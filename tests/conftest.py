@@ -8,3 +8,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8")
 os.environ.setdefault("VLLM_TPU_TEST_MODE", "1")
+
+# The environment ships a sitecustomize that imports jax (and pins
+# JAX_PLATFORMS=axon) before conftest runs, so the env var alone is too
+# late — override through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,375 @@
+"""Llama-family causal LM, functional JAX (reference behavior parity:
+vllm/model_executor/models/llama.py:498 LlamaForCausalLM; architecture is
+TPU-native, not a translation).
+
+Design:
+- params are a plain pytree; decoder layers are STACKED on a leading [L]
+  axis and the forward pass is one ``lax.scan`` over layers — one layer
+  gets traced/compiled regardless of depth (fast compiles, small HLO).
+- one fused qkv projection and one fused gate_up projection per layer
+  (analog of MergedColumnParallelLinear / QKVParallelLinear,
+  reference linear.py:608,886) so the MXU sees few large matmuls.
+- KV cache is a single stacked array per group: [L, num_blocks, page,
+  2*num_kv_heads, head]; the scan carries hidden states and maps over
+  (layer_params, kv_cache[l]).
+- covers Llama 1/2/3, Mistral (sliding window), Qwen2 (qkv bias),
+  Qwen3 (qk-norm, head_dim override), Gemma-style options are separate
+  subclasses via ModelArgs flags.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.config import ModelConfig
+from vllm_tpu.core.kv_cache_interface import (FullAttentionSpec, KVCacheSpec,
+                                              SlidingWindowSpec)
+from vllm_tpu.ops.activation import GATED_ACTIVATIONS
+from vllm_tpu.ops.attention import AttentionMetadata, attention, \
+    write_kv_cache
+from vllm_tpu.ops.layernorm import rms_norm
+from vllm_tpu.ops.linear import embedding_lookup, linear, lm_head_logits
+from vllm_tpu.ops.rotary import RopeConfig, apply_rope, compute_inv_freq
+
+
+@dataclass(frozen=True)
+class ModelArgs:
+    """Static architecture hyperparameters parsed from the HF config."""
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_eps: float
+    rope: RopeConfig
+    act: str = "silu"
+    attn_bias: bool = False
+    o_bias: bool = False
+    mlp_bias: bool = False
+    qk_norm: bool = False
+    tie_embeddings: bool = False
+    sliding_window: Optional[int] = None
+    # Gemma-style extras
+    logit_soft_cap: Optional[float] = None
+    attn_soft_cap: Optional[float] = None
+    embedding_multiplier: Optional[float] = None
+    attn_scale: Optional[float] = None
+    max_position: int = 2048
+
+    @staticmethod
+    def from_hf_config(hf) -> "ModelArgs":
+        head_dim = getattr(hf, "head_dim", None) or (hf.hidden_size //
+                                                     hf.num_attention_heads)
+        return ModelArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            num_kv_heads=getattr(hf, "num_key_value_heads", None)
+            or hf.num_attention_heads,
+            head_dim=head_dim,
+            intermediate_size=hf.intermediate_size,
+            rms_eps=getattr(hf, "rms_norm_eps", 1e-6),
+            rope=RopeConfig.from_hf_config(hf, head_dim),
+            act=getattr(hf, "hidden_act", "silu"),
+            attn_bias=bool(getattr(hf, "attention_bias", False)),
+            o_bias=False,
+            mlp_bias=bool(getattr(hf, "mlp_bias", False)),
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings", False)),
+            sliding_window=getattr(hf, "sliding_window", None),
+            max_position=getattr(hf, "max_position_embeddings", 2048),
+        )
+
+
+def _np_dtype(dtype: str):
+    import ml_dtypes
+
+    return {"bfloat16": ml_dtypes.bfloat16,
+            "float32": np.float32}[dtype]
+
+
+class LlamaForCausalLM:
+    """Functional model: all methods taking params are pure/jittable."""
+
+    # HF checkpoint name templates (subclasses override)
+    _EMBED = "model.embed_tokens.weight"
+    _FINAL_NORM = "model.norm.weight"
+    _LM_HEAD = "lm_head.weight"
+    _LAYER_PREFIX = "model.layers"
+
+    def __init__(self, model_config: ModelConfig,
+                 args: Optional[ModelArgs] = None) -> None:
+        self.model_config = model_config
+        hf = model_config.resolve_hf_config()
+        self.args = args or self.parse_args(hf)
+        self.inv_freq, self.rope_mscale = compute_inv_freq(self.args.rope)
+        self.dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
+            else jnp.float32
+        self.scale = self.args.attn_scale or (1.0 /
+                                              math.sqrt(self.args.head_dim))
+
+    def parse_args(self, hf) -> ModelArgs:
+        return ModelArgs.from_hf_config(hf)
+
+    # ------------------------------------------------------------- forward
+
+    def embed(self, params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+        x = embedding_lookup(input_ids, params["embed"]["w"])
+        if self.args.embedding_multiplier:
+            x = x * jnp.asarray(self.args.embedding_multiplier, x.dtype)
+        return x
+
+    def forward(
+        self,
+        params: dict,
+        input_ids: jnp.ndarray,  # i32[T]
+        kv_caches: list[jnp.ndarray],  # [ [L, N, P, 2K, D] ]
+        metadata: AttentionMetadata,
+    ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+        args = self.args
+        x = self.embed(params, input_ids)
+
+        def body(h, scanned):
+            lp, kv = scanned
+            new_h, new_kv = self._decoder_layer(lp, h, kv, metadata)
+            return new_h, new_kv
+
+        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches[0]))
+        x = rms_norm(x, params["final_ln"], args.rms_eps)
+        return x, [new_kv]
+
+    def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
+                       metadata: AttentionMetadata
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        h = rms_norm(x, lp["input_ln"], args.rms_eps)
+        qkv = linear(h, lp["qkv"])  # [T, (nq+2nk)*d]
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        if args.qk_norm:
+            q = rms_norm(q, lp["q_norm"], args.rms_eps)
+            k = rms_norm(k, lp["k_norm"], args.rms_eps)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        attn_out = attention(q, kv, metadata, self.scale,
+                             sliding_window=args.sliding_window,
+                             logits_soft_cap=args.attn_soft_cap)
+        attn_out = linear(attn_out.reshape(T, nq * d), lp["o"])
+        x = x + attn_out
+
+        h = rms_norm(x, lp["post_ln"], args.rms_eps)
+        gate_up = linear(h, lp["gate_up"])
+        act = GATED_ACTIVATIONS[args.act](gate_up)
+        x = x + linear(act, lp["down"])
+        return x, kv
+
+    def compute_logits(self, params: dict,
+                       hidden: jnp.ndarray) -> jnp.ndarray:
+        return lm_head_logits(hidden, params["lm_head"],
+                              self.args.logit_soft_cap)
+
+    # -------------------------------------------------------------- kv spec
+
+    def get_kv_cache_specs(self, block_size: int,
+                           cache_dtype: str) -> dict[str, KVCacheSpec]:
+        args = self.args
+        specs: dict[str, KVCacheSpec] = {}
+        for i in range(args.num_layers):
+            if args.sliding_window:
+                specs[f"layers.{i}"] = SlidingWindowSpec(
+                    block_size=block_size,
+                    num_kv_heads=args.num_kv_heads,
+                    head_size=args.head_dim,
+                    dtype=cache_dtype,
+                    sliding_window=args.sliding_window)
+            else:
+                specs[f"layers.{i}"] = FullAttentionSpec(
+                    block_size=block_size,
+                    num_kv_heads=args.num_kv_heads,
+                    head_size=args.head_dim,
+                    dtype=cache_dtype)
+        return specs
+
+    # --------------------------------------------------------- weight load
+
+    def _hf_layer_map(self) -> dict[str, tuple[str, str, bool]]:
+        """HF suffix -> (our layer key, part, transpose).
+
+        part: for fused destinations, which slice ("q"/"k"/"v",
+        "gate"/"up"); "" for whole tensors.
+        """
+        return {
+            "self_attn.q_proj.weight": ("qkv.w", "q", True),
+            "self_attn.k_proj.weight": ("qkv.w", "k", True),
+            "self_attn.v_proj.weight": ("qkv.w", "v", True),
+            "self_attn.q_proj.bias": ("qkv.b", "q", False),
+            "self_attn.k_proj.bias": ("qkv.b", "k", False),
+            "self_attn.v_proj.bias": ("qkv.b", "v", False),
+            "self_attn.o_proj.weight": ("o.w", "", True),
+            "self_attn.q_norm.weight": ("q_norm", "", False),
+            "self_attn.k_norm.weight": ("k_norm", "", False),
+            "mlp.gate_proj.weight": ("gate_up.w", "gate", True),
+            "mlp.up_proj.weight": ("gate_up.w", "up", True),
+            "mlp.down_proj.weight": ("down.w", "", True),
+            "input_layernorm.weight": ("input_ln", "", False),
+            "post_attention_layernorm.weight": ("post_ln", "", False),
+        }
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        a = self.args
+        L, H, I = a.num_layers, a.hidden_size, a.intermediate_size
+        nq, nk, d = a.num_heads, a.num_kv_heads, a.head_dim
+        layers: dict[str, Any] = {
+            "input_ln": np.empty((L, H), np_dtype),
+            "post_ln": np.empty((L, H), np_dtype),
+            "qkv": {"w": np.empty((L, H, (nq + 2 * nk) * d), np_dtype)},
+            "o": {"w": np.empty((L, nq * d, H), np_dtype)},
+            "gate_up": {"w": np.empty((L, H, 2 * I), np_dtype)},
+            "down": {"w": np.empty((L, I, H), np_dtype)},
+        }
+        if a.attn_bias:
+            layers["qkv"]["b"] = np.empty((L, (nq + 2 * nk) * d), np_dtype)
+        if a.qk_norm:
+            layers["q_norm"] = np.empty((L, d), np_dtype)
+            layers["k_norm"] = np.empty((L, d), np_dtype)
+        return layers
+
+    def _fused_offset(self, part: str) -> tuple[int, int]:
+        """(start, length) of a part inside its fused output dim."""
+        a = self.args
+        nq, nk, d, I = a.num_heads, a.num_kv_heads, a.head_dim, \
+            a.intermediate_size
+        table = {
+            "q": (0, nq * d),
+            "k": (nq * d, nk * d),
+            "v": ((nq + nk) * d, nk * d),
+            "gate": (0, I),
+            "up": (I, I),
+        }
+        return table[part]
+
+    def load_weights(self, weights_iter) -> dict:
+        """Stream (name, np array) pairs into the stacked param pytree."""
+        a = self.args
+        np_dtype = _np_dtype(self.model_config.dtype)
+        layers = self._alloc_layer_stack(np_dtype)
+        params: dict[str, Any] = {
+            "embed": {"w": np.empty((a.vocab_size, a.hidden_size),
+                                    np_dtype)},
+            "layers": layers,
+            "final_ln": np.empty((a.hidden_size,), np_dtype),
+            "lm_head": {"w": np.empty((a.hidden_size, a.vocab_size),
+                                      np_dtype)},
+        }
+        lmap = self._hf_layer_map()
+        prefix = self._LAYER_PREFIX + "."
+        seen_lm_head = False
+        for name, w in weights_iter:
+            w = np.asarray(w)
+            if name == self._EMBED:
+                params["embed"]["w"][...] = w.astype(np_dtype)
+                continue
+            if name == self._FINAL_NORM:
+                params["final_ln"][...] = w.astype(np_dtype)
+                continue
+            if name == self._LM_HEAD:
+                params["lm_head"]["w"][...] = w.T.astype(np_dtype)
+                seen_lm_head = True
+                continue
+            if not name.startswith(prefix):
+                continue  # e.g. rotary inv_freq buffers
+            rest = name[len(prefix):]
+            layer_str, suffix = rest.split(".", 1)
+            layer_idx = int(layer_str)
+            entry = lmap.get(suffix)
+            if entry is None:
+                continue
+            key, part, transpose = entry
+            if transpose:
+                w = w.T  # torch [out, in] -> [in, out]
+            dest: Any = layers
+            *path, leaf = key.split(".")
+            for p_ in path:
+                dest = dest[p_]
+            if part:
+                start, length = self._fused_offset(part)
+                if leaf == "b":
+                    dest[leaf][layer_idx, start:start + length] = \
+                        w.astype(np_dtype)
+                else:
+                    dest[leaf][layer_idx, :, start:start + length] = \
+                        w.astype(np_dtype)
+            else:
+                dest[leaf][layer_idx] = w.astype(np_dtype)
+        if a.tie_embeddings and not seen_lm_head:
+            params["lm_head"]["w"][...] = params["embed"]["w"].T
+        return params
+
+    def init_dummy_params(self, rng_seed: int = 0) -> dict:
+        """Random params for --load-format dummy (benchmarks)."""
+        a = self.args
+        rng = np.random.default_rng(rng_seed)
+        np_dtype = _np_dtype(self.model_config.dtype)
+
+        def rand(*shape):
+            return (rng.standard_normal(shape, dtype=np.float32) *
+                    0.02).astype(np_dtype)
+
+        layers = self._alloc_layer_stack(np_dtype)
+
+        def fill(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    fill(v)
+                elif "ln" in k or "norm" in k:
+                    tree[k] = np.ones_like(v)
+                else:
+                    tree[k] = rand(*v.shape)
+
+        fill(layers)
+        return {
+            "embed": {"w": rand(a.vocab_size, a.hidden_size)},
+            "layers": layers,
+            "final_ln": np.ones((a.hidden_size,), np_dtype),
+            "lm_head": {"w": rand(a.hidden_size, a.vocab_size)},
+        }
+
+
+class MistralForCausalLM(LlamaForCausalLM):
+    pass  # sliding_window picked up from the HF config
+
+
+class Qwen2ForCausalLM(LlamaForCausalLM):
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        # Qwen2 uses qkv bias (not flagged via attention_bias).
+        return dataclass_replace(args, attn_bias=True)
+
+
+class Qwen3ForCausalLM(LlamaForCausalLM):
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(args, qk_norm=True, attn_bias=False)
+
+
+def dataclass_replace(obj, **kwargs):
+    import dataclasses
+
+    return dataclasses.replace(obj, **kwargs)

@@ -1,0 +1,62 @@
+"""Model registry (reference: vllm/model_executor/models/registry.py:37).
+
+Maps HF ``architectures[0]`` strings to lazily-imported model classes.
+Plugin-extensible via ``register_model``.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import TYPE_CHECKING, Callable
+
+if TYPE_CHECKING:
+    from vllm_tpu.config import ModelConfig
+
+# arch name -> (module, class name)
+_TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
+    "LlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "MistralForCausalLM": ("vllm_tpu.models.llama", "MistralForCausalLM"),
+    "Qwen2ForCausalLM": ("vllm_tpu.models.llama", "Qwen2ForCausalLM"),
+    "Qwen3ForCausalLM": ("vllm_tpu.models.llama", "Qwen3ForCausalLM"),
+    "Gemma2ForCausalLM": ("vllm_tpu.models.gemma", "Gemma2ForCausalLM"),
+    "Gemma3ForCausalLM": ("vllm_tpu.models.gemma", "Gemma3ForCausalLM"),
+    "GemmaForCausalLM": ("vllm_tpu.models.gemma", "GemmaForCausalLM"),
+    "OPTForCausalLM": ("vllm_tpu.models.opt", "OPTForCausalLM"),
+    "GPT2LMHeadModel": ("vllm_tpu.models.gpt2", "GPT2LMHeadModel"),
+    "MixtralForCausalLM": ("vllm_tpu.models.mixtral", "MixtralForCausalLM"),
+    "Qwen2MoeForCausalLM": ("vllm_tpu.models.qwen_moe",
+                            "Qwen2MoeForCausalLM"),
+    "Qwen3MoeForCausalLM": ("vllm_tpu.models.qwen_moe",
+                            "Qwen3MoeForCausalLM"),
+    "Phi3ForCausalLM": ("vllm_tpu.models.phi3", "Phi3ForCausalLM"),
+    "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
+                             "LlamaForCausalLM"),
+    "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+}
+
+_EXTRA_MODELS: dict[str, Callable] = {}
+
+
+def register_model(arch: str, cls: Callable) -> None:
+    _EXTRA_MODELS[arch] = cls
+
+
+def resolve_model_cls(arch: str) -> Callable:
+    if arch in _EXTRA_MODELS:
+        return _EXTRA_MODELS[arch]
+    entry = _TEXT_GENERATION_MODELS.get(arch)
+    if entry is None:
+        raise ValueError(
+            f"Model architecture {arch!r} is not supported. Supported: "
+            f"{sorted(_TEXT_GENERATION_MODELS)}")
+    module, cls_name = entry
+    return getattr(importlib.import_module(module), cls_name)
+
+
+def get_model(model_config: "ModelConfig"):
+    arch = model_config.architecture
+    return resolve_model_cls(arch)(model_config)
+
+
+def get_supported_archs() -> list[str]:
+    return sorted(set(_TEXT_GENERATION_MODELS) | set(_EXTRA_MODELS))

@@ -1,0 +1,177 @@
+"""Ragged paged attention over a block-table KV cache.
+
+TPU-native answer to the reference's paged_attention_v1/v2 + flash varlen
+CUDA kernels (reference: csrc/attention/, vllm/v1/attention/backends/
+flash_attn.py, pallas.py:41-267). One op serves prefill, chunked prefill,
+decode, and spec-decode verification in a single ragged batch:
+
+  q               f32/bf16 [T, num_q_heads, head]   flat token-major
+  kv_cache        [num_blocks, page_size, 2 * num_kv_heads, head]
+                  (K heads first, then V heads, per page row)
+  query_start_loc i32 [R + 1]   cumulative query counts (padding rows
+                                 repeat the last value)
+  seq_lens        i32 [R]        context length per request (0 for padding)
+  block_tables    i32 [R, max_blocks]
+  positions       i32 [T]        absolute position of each query token
+
+This module provides the jnp reference implementation (used on CPU and as
+the numerics oracle); the production Pallas kernel lives in
+ops/pallas/ragged_paged_attention.py and is dispatched via `attention()`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class AttentionMetadata:
+    """Per-step device metadata (built host-side by the InputBatch)."""
+
+    slot_mapping: jnp.ndarray  # i32[T] flat slot = block_id*page + offset
+    block_tables: jnp.ndarray  # i32[R, max_blocks]
+    query_start_loc: jnp.ndarray  # i32[R+1]
+    seq_lens: jnp.ndarray  # i32[R]
+    positions: jnp.ndarray  # i32[T]
+
+
+def write_kv_cache(
+    kv_cache: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scatter new K/V rows into the paged cache
+    (reference csrc analog: cache_kernels.cu reshape_and_cache).
+
+    kv_cache: [num_blocks, page, 2*K, D]; k, v: [T, K, D];
+    slot_mapping: i32[T] (padding slots point at block 0, the null block).
+    Optional scales quantize into a low-precision cache dtype.
+    """
+    num_blocks, page, _, _ = kv_cache.shape
+    kv = jnp.concatenate([k, v], axis=1)  # [T, 2K, D]
+    if kv_cache.dtype != kv.dtype:
+        if k_scale is not None:
+            scale = jnp.concatenate([
+                jnp.broadcast_to(k_scale, k.shape[1:2]),
+                jnp.broadcast_to(v_scale, v.shape[1:2]),
+            ])[None, :, None]
+            kv = kv.astype(jnp.float32) / scale
+        finfo_max = (jnp.finfo(kv_cache.dtype).max
+                     if jnp.issubdtype(kv_cache.dtype, jnp.floating) else
+                     jnp.iinfo(kv_cache.dtype).max)
+        kv = jnp.clip(kv, -float(finfo_max), float(finfo_max))
+        kv = kv.astype(kv_cache.dtype)
+    block_ids = slot_mapping // page
+    offsets = slot_mapping % page
+    return kv_cache.at[block_ids, offsets].set(kv)
+
+
+def ragged_paged_attention_ref(
+    q: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    metadata: AttentionMetadata,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference jnp implementation (gathers all pages per request; O(T *
+    max_ctx) memory — the numerics oracle for the Pallas kernel and the
+    CPU-backend path)."""
+    T, num_q_heads, head = q.shape
+    num_blocks, page, two_k, _ = kv_cache.shape
+    num_kv_heads = two_k // 2
+    group = num_q_heads // num_kv_heads
+    R, max_blocks = metadata.block_tables.shape
+    ctx = max_blocks * page
+
+    # token -> request map from the ragged offsets.
+    token_ids = jnp.arange(T, dtype=jnp.int32)
+    token_req = jnp.clip(
+        jnp.searchsorted(metadata.query_start_loc,
+                         token_ids,
+                         side="right") - 1, 0, R - 1)
+
+    pages = kv_cache[metadata.block_tables]  # [R, B, page, 2K, D]
+    pages = pages.reshape(R, ctx, two_k, head)
+    k_all = pages[:, :, :num_kv_heads, :]
+    v_all = pages[:, :, num_kv_heads:, :]
+    if kv_cache.dtype != q.dtype:
+        k_all = k_all.astype(jnp.float32)
+        v_all = v_all.astype(jnp.float32)
+        if k_scale is not None:
+            k_all = k_all * k_scale
+            v_all = v_all * v_scale
+        k_all = k_all.astype(q.dtype)
+        v_all = v_all.astype(q.dtype)
+
+    k_t = k_all[token_req]  # [T, ctx, K, D]
+    v_t = v_all[token_req]
+    qg = q.reshape(T, num_kv_heads, group, head)
+
+    scores = jnp.einsum("tkgd,tckd->tkgc", qg.astype(jnp.float32),
+                        k_t.astype(jnp.float32)) * scale
+    if logits_soft_cap is not None:
+        scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
+
+    col = jnp.arange(ctx, dtype=jnp.int32)[None, :]  # [1, ctx]
+    pos = metadata.positions[:, None]  # [T, 1]
+    valid = (col < metadata.seq_lens[token_req][:, None]) & (col <= pos)
+    if sliding_window is not None:
+        valid &= col > pos - sliding_window
+    valid = valid[:, None, None, :]  # [T, 1, 1, ctx]
+
+    scores = jnp.where(valid, scores, -jnp.inf)
+    # Safe softmax: rows that are fully masked (padding tokens) yield 0.
+    row_max = jnp.max(scores, axis=-1, keepdims=True)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    unnorm = jnp.where(valid, jnp.exp(scores - row_max), 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-20)
+
+    out = jnp.einsum("tkgc,tckd->tkgd", probs, v_t.astype(jnp.float32))
+    return out.reshape(T, num_q_heads, head).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    backend = jax.default_backend()
+    return backend in ("tpu", "axon")
+
+
+def attention(
+    q: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    metadata: AttentionMetadata,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
+    elsewhere."""
+    if _use_pallas():
+        from vllm_tpu.ops.pallas.ragged_paged_attention import (
+            ragged_paged_attention)
+
+        return ragged_paged_attention(
+            q, kv_cache, metadata, scale,
+            sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap,
+            k_scale=k_scale, v_scale=v_scale)
+    return ragged_paged_attention_ref(
+        q, kv_cache, metadata, scale,
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+        k_scale=k_scale, v_scale=v_scale)

@@ -1,0 +1,117 @@
+"""Quantized compute ops.
+
+TPU-native answers to the reference's quant GEMM zoo (reference csrc:
+quantization/gptq_marlin/, awq/, fp8/, cutlass_w8a8/ — see SURVEY.md §2.7):
+- weight-only INT8/INT4 grouped dequant x bf16 matmul (jnp path here;
+  fused Pallas kernel in ops/pallas/quant_matmul.py dispatched on TPU)
+- FP8 W8A8 via the MXU's native fp8 dot with scale epilogue
+- per-token / per-tensor quantize helpers for activations and KV cache
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+FP8_DTYPE = jnp.float8_e4m3fn
+FP8_MAX = 448.0
+INT8_MAX = 127.0
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def quant_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Weight-only quantized matmul: x [..., in] @ dequant(w_q) -> f32.
+
+    p: {"w_q": int8 [in, out], "scale": [num_groups, out],
+        "zero"?: [num_groups, out]}. int4 weights are stored as int8
+    values in [-8, 7] (symmetric) or [0, 15] with zero points.
+    """
+    w_q, scale = p["w_q"], p["scale"]
+    zero = p.get("zero")
+    if _on_tpu() and x.ndim == 2:
+        from vllm_tpu.ops.pallas.quant_matmul import fused_quant_matmul
+
+        return fused_quant_matmul(x, w_q, scale, zero)
+    in_dim, out_dim = w_q.shape
+    num_groups = scale.shape[0]
+    group = in_dim // num_groups
+    # Group-wise: (x_g @ w_g) * scale_g summed over groups keeps the MXU
+    # in int8/bf16 without materializing a full dequantized weight.
+    xg = x.reshape(*x.shape[:-1], num_groups, group)
+    wg = w_q.reshape(num_groups, group, out_dim)
+    partial = jnp.einsum(
+        "...gk,gko->...go", xg.astype(jnp.float32),
+        wg.astype(jnp.float32))
+    if zero is not None:
+        # sum_k x_k * (w - z) * s = (sum x*w - z * sum x) * s
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=-1)  # [..., g]
+        partial = partial - xsum[..., None] * zero[None, :, :]
+    out = jnp.sum(partial * scale[None, :, :], axis=-2)
+    return out
+
+
+def fp8_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """FP8 W8A8 matmul (reference: vllm fp8.py Fp8LinearMethod):
+    quantize activations to e4m3 (static scale from checkpoint or dynamic
+    per-tensor), fp8 x fp8 dot with fp32 accumulation, scale epilogue."""
+    w_q, w_scale = p["w_q"], p["w_scale"]
+    a_scale = p.get("a_scale")
+    if a_scale is None:
+        a_scale = jnp.max(jnp.abs(x.astype(jnp.float32))) / FP8_MAX
+        a_scale = jnp.maximum(a_scale, 1e-12)
+    x_q = jnp.clip(x.astype(jnp.float32) / a_scale, -FP8_MAX,
+                   FP8_MAX).astype(FP8_DTYPE)
+    out = jnp.dot(x_q, w_q, preferred_element_type=jnp.float32)
+    return out * (a_scale * w_scale)
+
+
+# ---------------------------------------------------------------------------
+# Quantize helpers (activation / KV / weight repack at load time)
+
+
+def quantize_fp8(x: jnp.ndarray,
+                 scale: Optional[jnp.ndarray] = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor fp8 quantization (reference csrc:
+    quantization/fp8/common.cu static/dynamic_scaled_fp8_quant)."""
+    if scale is None:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32))) / FP8_MAX, 1e-12)
+    q = jnp.clip(x.astype(jnp.float32) / scale, -FP8_MAX, FP8_MAX)
+    return q.astype(FP8_DTYPE), scale
+
+
+def quantize_int8(x: jnp.ndarray,
+                  scale: Optional[jnp.ndarray] = None
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    if scale is None:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32))) / INT8_MAX, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_weight_grouped(w: "jnp.ndarray", bits: int,
+                            group_size: int) -> dict:
+    """Load-time symmetric grouped weight quantization (for
+    --quantization int8/int4 without a pre-quantized checkpoint).
+    w: [in, out] float -> {"w_q", "scale"}."""
+    in_dim, out_dim = w.shape
+    if group_size <= 0 or in_dim % group_size:
+        group_size = in_dim
+    num_groups = in_dim // group_size
+    qmax = 7.0 if bits == 4 else INT8_MAX
+    wg = w.astype(jnp.float32).reshape(num_groups, group_size, out_dim)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / qmax, 1e-10)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -qmax - 1, qmax)
+    return {
+        "w_q": q.reshape(in_dim, out_dim).astype(jnp.int8),
+        "scale": scale,
+    }
