@@ -1,0 +1,141 @@
+"""Engine core: owns the scheduler + executor; step = schedule -> execute
+-> update (reference: vllm/v1/engine/core.py:59 EngineCore).
+
+The busy-loop/ZMQ process wrapper lives in engine/core_proc.py; this class
+is the in-process core used directly by the sync LLMEngine.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Optional
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.core.kv_cache_interface import make_kv_cache_config
+from vllm_tpu.core.sched.scheduler import Scheduler
+from vllm_tpu.engine import EngineCoreOutputs, EngineCoreRequest
+from vllm_tpu.executor.abstract import Executor
+from vllm_tpu.request import Request, RequestStatus
+
+logger = logging.getLogger(__name__)
+
+
+class EngineCore:
+
+    def __init__(self, engine_config: EngineConfig,
+                 executor_class: Optional[type[Executor]] = None,
+                 log_stats: bool = True) -> None:
+        self.config = engine_config
+        executor_class = executor_class or Executor.get_class(engine_config)
+        self.executor = executor_class(engine_config)
+
+        kv_cache_config = self._initialize_kv_caches()
+
+        structured_output_manager = None
+        from vllm_tpu.structured_output.manager import \
+            StructuredOutputManager
+
+        structured_output_manager = StructuredOutputManager(engine_config)
+        self.structured_output_manager = structured_output_manager
+
+        self.scheduler = Scheduler(
+            scheduler_config=engine_config.scheduler_config,
+            cache_config=engine_config.cache_config,
+            kv_cache_config=kv_cache_config,
+            speculative_config=engine_config.speculative_config,
+            structured_output_manager=structured_output_manager,
+            log_stats=log_stats,
+        )
+
+        # ngram speculative proposer runs host-side in the core
+        self.spec_proposer = None
+        spec = engine_config.speculative_config
+        if spec.enabled and spec.method == "ngram":
+            from vllm_tpu.spec_decode.ngram import NgramProposer
+
+            self.spec_proposer = NgramProposer(
+                spec.num_speculative_tokens, spec.prompt_lookup_min,
+                spec.prompt_lookup_max)
+
+    def _initialize_kv_caches(self):
+        """Spec -> profile -> size -> allocate
+        (reference: core.py:145 _initialize_kv_caches; SURVEY §3.3)."""
+        t0 = time.perf_counter()
+        kv_specs = self.executor.get_kv_cache_specs()
+        available = self.executor.determine_available_memory()
+        kv_cache_config = make_kv_cache_config(
+            kv_specs, available,
+            self.config.cache_config.num_gpu_blocks_override)
+        self.config.cache_config.num_gpu_blocks = kv_cache_config.num_blocks
+        logger.info(
+            "KV cache: %d blocks x %d tokens (%.2f GiB) in %.1fs",
+            kv_cache_config.num_blocks,
+            self.config.cache_config.block_size,
+            kv_cache_config.total_bytes / 2**30,
+            time.perf_counter() - t0)
+        self.executor.initialize_from_config(kv_cache_config)
+        return kv_cache_config
+
+    # ------------------------------------------------------------- requests
+
+    def add_request(self, request: EngineCoreRequest) -> None:
+        req = Request(
+            request_id=request.request_id,
+            prompt_token_ids=request.prompt_token_ids,
+            sampling_params=request.sampling_params,
+            pooling_params=request.pooling_params,
+            eos_token_id=request.eos_token_id,
+            arrival_time=request.arrival_time,
+            lora_request=request.lora_request,
+            cache_salt=request.cache_salt,
+            priority=request.priority,
+            client_index=request.client_index,
+        )
+        if (request.sampling_params and
+                self.structured_output_manager is not None):
+            self.structured_output_manager.maybe_init_request(
+                req, request.sampling_params)
+        self.scheduler.add_request(req)
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        self.scheduler.finish_requests(request_ids,
+                                       RequestStatus.FINISHED_ABORTED)
+
+    # ---------------------------------------------------------------- step
+
+    def step(self) -> dict[int, EngineCoreOutputs]:
+        """One iteration (reference: core.py:269)."""
+        if not self.scheduler.has_requests():
+            return {}
+        scheduler_output = self.scheduler.schedule()
+        runner_output = self.executor.execute_model(scheduler_output)
+        if self.spec_proposer is not None and runner_output.req_ids:
+            runner_output.spec_token_ids = self.spec_proposer.propose(
+                self.scheduler.requests, runner_output)
+        return self.scheduler.update_from_output(scheduler_output,
+                                                 runner_output)
+
+    # ------------------------------------------------------------- control
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    def reset_prefix_cache(self) -> bool:
+        return self.scheduler.reset_prefix_cache()
+
+    def collective_rpc(self, method: str, args: tuple = (),
+                       kwargs: dict | None = None) -> list[Any]:
+        return self.executor.collective_rpc(method, args, kwargs)
+
+    def sleep(self, level: int = 1) -> None:
+        self.collective_rpc("sleep", (level,))
+
+    def wake_up(self, tags: Optional[list[str]] = None) -> None:
+        self.collective_rpc("wake_up", (tags,))
+
+    def profile(self, is_start: bool = True) -> None:
+        self.collective_rpc("profile", (is_start,))
+
+    def shutdown(self) -> None:
+        self.executor.shutdown()

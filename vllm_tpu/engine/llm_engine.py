@@ -1,0 +1,111 @@
+"""Synchronous engine facade (reference: vllm/v1/engine/llm_engine.py:41)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Union
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.engine.core import EngineCore
+from vllm_tpu.engine.output_processor import OutputProcessor
+from vllm_tpu.engine.processor import Processor, PromptType
+from vllm_tpu.outputs import RequestOutput
+from vllm_tpu.sampling_params import PoolingParams, SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+def build_tokenizer(model_config) -> Any:
+    if model_config.skip_tokenizer_init:
+        return None
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(
+        model_config.tokenizer,
+        trust_remote_code=model_config.trust_remote_code)
+
+
+class LLMEngine:
+
+    def __init__(self, engine_config: EngineConfig,
+                 log_stats: bool = False) -> None:
+        self.config = engine_config
+        self.tokenizer = build_tokenizer(engine_config.model_config)
+        self.processor = Processor(engine_config, self.tokenizer)
+        self.output_processor = OutputProcessor(self.tokenizer, log_stats)
+        self.engine_core = EngineCore(engine_config, log_stats=log_stats)
+        if self.engine_core.structured_output_manager is not None:
+            self.engine_core.structured_output_manager.attach_tokenizer(
+                self.tokenizer)
+
+    @classmethod
+    def from_engine_args(cls, engine_args) -> "LLMEngine":
+        return cls(engine_args.create_engine_config())
+
+    # ------------------------------------------------------------- requests
+
+    def add_request(
+        self,
+        request_id: str,
+        prompt: PromptType,
+        params: Union[SamplingParams, PoolingParams, None] = None,
+        arrival_time: Optional[float] = None,
+        lora_request: Optional[Any] = None,
+        priority: int = 0,
+    ) -> None:
+        request = self.processor.process_inputs(request_id, prompt, params,
+                                                arrival_time, lora_request,
+                                                priority)
+        prompt_text = prompt if isinstance(prompt, str) else (
+            prompt.get("prompt") if isinstance(prompt, dict) else None)
+        self.output_processor.add_request(request, prompt_text)
+        self.engine_core.add_request(request)
+
+    def abort_request(self, request_ids: list[str]) -> None:
+        self.output_processor.abort_requests(request_ids)
+        self.engine_core.abort_requests(request_ids)
+
+    # ---------------------------------------------------------------- step
+
+    def step(self) -> list[RequestOutput]:
+        outputs_by_client = self.engine_core.step()
+        all_outputs: list[RequestOutput] = []
+        for ec_outputs in outputs_by_client.values():
+            result = self.output_processor.process_outputs(
+                ec_outputs.outputs)
+            all_outputs.extend(result.request_outputs)
+            if result.reqs_to_abort:
+                # stop-string hits detected post-detokenization
+                self.engine_core.abort_requests(result.reqs_to_abort)
+        return all_outputs
+
+    def has_unfinished_requests(self) -> bool:
+        return (self.engine_core.has_unfinished_requests()
+                or self.output_processor.has_unfinished_requests())
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.output_processor.get_num_unfinished_requests()
+
+    # ------------------------------------------------------------- control
+
+    def reset_prefix_cache(self) -> bool:
+        return self.engine_core.reset_prefix_cache()
+
+    def collective_rpc(self, method: str, args: tuple = (),
+                       kwargs: dict | None = None) -> list[Any]:
+        return self.engine_core.collective_rpc(method, args, kwargs)
+
+    def sleep(self, level: int = 1) -> None:
+        self.engine_core.sleep(level)
+
+    def wake_up(self, tags: Optional[list[str]] = None) -> None:
+        self.engine_core.wake_up(tags)
+
+    def start_profile(self) -> None:
+        self.engine_core.profile(True)
+
+    def stop_profile(self) -> None:
+        self.engine_core.profile(False)
+
+    def shutdown(self) -> None:
+        self.engine_core.shutdown()

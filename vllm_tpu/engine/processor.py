@@ -1,0 +1,115 @@
+"""Input processing: tokenize, validate, normalize
+(reference: vllm/v1/engine/processor.py:219 Processor.process_inputs)."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional, Union
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.engine import EngineCoreRequest
+from vllm_tpu.sampling_params import PoolingParams, SamplingParams
+
+PromptType = Union[str, dict]
+
+
+class Processor:
+
+    def __init__(self, engine_config: EngineConfig, tokenizer) -> None:
+        self.config = engine_config
+        self.model_config = engine_config.model_config
+        self.tokenizer = tokenizer
+        self.max_model_len = engine_config.scheduler_config.max_model_len
+
+    @property
+    def eos_token_id(self) -> Optional[int]:
+        if self.tokenizer is None:
+            return None
+        return self.tokenizer.eos_token_id
+
+    def process_inputs(
+        self,
+        request_id: str,
+        prompt: PromptType,
+        params: Union[SamplingParams, PoolingParams, None],
+        arrival_time: Optional[float] = None,
+        lora_request: Optional[Any] = None,
+        priority: int = 0,
+    ) -> EngineCoreRequest:
+        if arrival_time is None:
+            arrival_time = time.monotonic()
+
+        cache_salt = None
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("text prompts require a tokenizer")
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        elif isinstance(prompt, dict):
+            cache_salt = prompt.get("cache_salt")
+            if "prompt_token_ids" in prompt:
+                prompt_token_ids = list(prompt["prompt_token_ids"])
+            elif "prompt" in prompt:
+                prompt_token_ids = self.tokenizer.encode(prompt["prompt"])
+            else:
+                raise ValueError(
+                    "prompt dict needs 'prompt' or 'prompt_token_ids'")
+        else:
+            raise TypeError(f"unsupported prompt type {type(prompt)}")
+
+        self._validate(request_id, prompt_token_ids, params)
+
+        sampling_params = None
+        pooling_params = None
+        if isinstance(params, PoolingParams):
+            pooling_params = params
+        else:
+            sampling_params = (params or SamplingParams()).clone()
+            # Convert stop strings' implied token budget: cap max_tokens to
+            # what fits the context window.
+            room = self.max_model_len - len(prompt_token_ids)
+            if sampling_params.max_tokens is None:
+                sampling_params.max_tokens = room
+            else:
+                sampling_params.max_tokens = min(sampling_params.max_tokens,
+                                                 room)
+            if self.tokenizer is not None:
+                sampling_params.update_from_generation_config(
+                    self.tokenizer.eos_token_id)
+
+        return EngineCoreRequest(
+            request_id=request_id,
+            prompt_token_ids=prompt_token_ids,
+            sampling_params=sampling_params,
+            pooling_params=pooling_params,
+            eos_token_id=self.eos_token_id,
+            arrival_time=arrival_time,
+            lora_request=lora_request,
+            cache_salt=cache_salt,
+            priority=priority,
+        )
+
+    def _validate(self, request_id: str, prompt_token_ids: list[int],
+                  params) -> None:
+        if not prompt_token_ids:
+            raise ValueError(f"request {request_id}: empty prompt")
+        if len(prompt_token_ids) >= self.max_model_len:
+            raise ValueError(
+                f"request {request_id}: prompt length "
+                f"{len(prompt_token_ids)} >= max_model_len "
+                f"{self.max_model_len}")
+        if isinstance(params, SamplingParams):
+            if params.logprobs and \
+                    params.logprobs > self.model_config.max_logprobs:
+                raise ValueError(
+                    f"logprobs {params.logprobs} > max_logprobs "
+                    f"{self.model_config.max_logprobs}")
+        vocab = None
+        if self.tokenizer is not None:
+            vocab = getattr(self.tokenizer, "vocab_size", None)
+        if vocab:
+            bad = [t for t in prompt_token_ids
+                   if t < 0 or t >= max(vocab, len(self.tokenizer))]
+            if bad:
+                raise ValueError(
+                    f"request {request_id}: token ids out of vocab: "
+                    f"{bad[:5]}")

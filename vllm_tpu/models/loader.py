@@ -1,0 +1,127 @@
+"""Model-weight loading pipeline (reference:
+vllm/model_executor/model_loader/default_loader.py, tpu.py).
+
+Streams checkpoint tensors -> model-specific param pytree -> load-time
+quantization transform -> device placement (with TP shardings when a mesh
+is present).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.config import EngineConfig
+
+logger = logging.getLogger(__name__)
+
+# Linear weights that get quantized (embed/lm_head/norms stay high-prec).
+_QUANT_LAYER_KEYS = ("qkv", "o", "gate_up", "down")
+
+
+def _quantize_stacked(w: np.ndarray, bits: int, group_size: int) -> dict:
+    """Symmetric grouped quantization of a stacked weight [L, in, out]."""
+    L, in_dim, out_dim = w.shape
+    if group_size <= 0 or in_dim % group_size:
+        group_size = in_dim
+    G = in_dim // group_size
+    qmax = 7.0 if bits == 4 else 127.0
+    wf = np.asarray(w, np.float32).reshape(L, G, group_size, out_dim)
+    scale = np.maximum(np.abs(wf).max(axis=2) / qmax, 1e-10)  # [L, G, out]
+    q = np.clip(np.round(wf / scale[:, :, None, :]), -qmax - 1, qmax)
+    return {
+        "w_q": q.reshape(L, in_dim, out_dim).astype(np.int8),
+        "scale": scale.astype(np.float32),
+    }
+
+
+def _quantize_fp8_stacked(w: np.ndarray) -> dict:
+    import ml_dtypes
+
+    L = w.shape[0]
+    wf = np.asarray(w, np.float32)
+    scale = np.maximum(
+        np.abs(wf).reshape(L, -1).max(axis=1) / 448.0, 1e-12)  # [L]
+    q = np.clip(wf / scale[:, None, None], -448.0, 448.0)
+    return {
+        "w_q": q.astype(ml_dtypes.float8_e4m3fn),
+        "w_scale": scale.astype(np.float32),
+    }
+
+
+def apply_load_time_quantization(params: dict, method: str,
+                                 group_size: int = 128) -> dict:
+    """In-place transform of layer linear weights for --quantization
+    int8/int4/fp8 on an unquantized checkpoint (reference analog:
+    tpu_int8.py:19 XLA-friendly weight-only quantization)."""
+    layers = params["layers"]
+    for key in _QUANT_LAYER_KEYS:
+        p = layers.get(key)
+        if p is None or "w" not in p:
+            continue
+        w = p.pop("w")
+        if method in ("int8", "tpu_int8"):
+            p.update(_quantize_stacked(w, 8, group_size))
+        elif method == "int4":
+            p.update(_quantize_stacked(w, 4, group_size))
+        elif method == "fp8":
+            q = _quantize_fp8_stacked(w)
+            # per-layer scale: reshape to broadcast under scan ([L] -> [L])
+            p.update(q)
+        else:
+            raise ValueError(f"unknown quantization method {method!r}")
+    return params
+
+
+def resolve_model_dir(model: str) -> str:
+    if os.path.isdir(model):
+        return model
+    # No network egress in this environment: require a local path or an
+    # already-populated HF cache.
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(model, local_files_only=True)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"model {model!r} is not a local directory and is not in the "
+            f"local HF cache ({e})") from e
+
+
+def load_model_params(model, engine_config: EngineConfig,
+                      mesh=None) -> Any:
+    model_config = engine_config.model_config
+    load_format = engine_config.load_config.load_format
+
+    if load_format == "dummy":
+        params = model.init_dummy_params(model_config.seed)
+    else:
+        from vllm_tpu.models.weight_utils import weights_iterator
+
+        model_dir = resolve_model_dir(model_config.model)
+        t0 = time.perf_counter()
+        params = model.load_weights(weights_iterator(model_dir))
+        logger.info("checkpoint streamed in %.1fs", time.perf_counter() - t0)
+
+    quant = model_config.quantization
+    if quant is not None:
+        params = apply_load_time_quantization(params, quant)
+
+    # Device placement (sharded when a mesh is given).
+    if mesh is not None:
+        from vllm_tpu.parallel.mesh import param_shardings
+
+        shardings = param_shardings(params, mesh)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), params,
+            shardings)
+    else:
+        params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)),
+                              params)
+    return params

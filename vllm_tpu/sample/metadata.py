@@ -24,7 +24,10 @@ class SamplingMetadata:
     top_p: jnp.ndarray  # f32[R]; 1.0 => disabled
     min_p: jnp.ndarray  # f32[R]; 0.0 => disabled
     seeds: jnp.ndarray  # u32[R] per-request seed
-    step: jnp.ndarray  # i32[] fold-in counter (monotonic per step)
+    # Per-row fold-in counter: the request's sequence position. Using the
+    # position (not a global step counter) makes seeded sampling
+    # reproducible across runs and engine restarts.
+    step: jnp.ndarray  # i32[R]
     # Penalties (None when unused in the whole batch):
     #   output_counts: i32[R, V] counts of generated tokens
     #   prompt_mask:   bool[R, V] tokens present in the prompt
@@ -50,5 +53,5 @@ def greedy_metadata(num_reqs: int) -> SamplingMetadata:
         top_p=jnp.ones(num_reqs, jnp.float32),
         min_p=jnp.zeros(num_reqs, jnp.float32),
         seeds=jnp.zeros(num_reqs, jnp.uint32),
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.zeros(num_reqs, jnp.int32),
     )

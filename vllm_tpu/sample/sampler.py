@@ -122,11 +122,12 @@ def sample(
         jnp.any(meta.min_p > 0.0),
         lambda x: _apply_min_p(x, meta.min_p), lambda x: x, scaled)
 
-    # Per-request fold-in of (seed, step) — deterministic given seed.
-    def row_key(seed):
-        return jax.random.fold_in(jax.random.PRNGKey(seed), meta.step)
+    # Per-request fold-in of (seed, position) — deterministic given seed,
+    # independent of batch composition and engine step count.
+    def row_key(seed, pos):
+        return jax.random.fold_in(jax.random.PRNGKey(seed), pos)
 
-    keys = jax.vmap(row_key)(meta.seeds)
+    keys = jax.vmap(row_key)(meta.seeds, meta.step)
     gumbel = jax.vmap(
         lambda k, row: jax.random.gumbel(k, row.shape, jnp.float32))(
             keys, scaled)

@@ -1,0 +1,89 @@
+"""Structured-output manager (reference: vllm/v1/structured_output/__init__.py:32).
+
+Builds per-step vocab bitmasks that the sampler applies on device
+(ops in sample/sampler.py apply_grammar_bitmask); FSM state advances
+host-side on accepted tokens only (reference: scheduler.py:831-851).
+
+Backends: xgrammar / outlines are not available in this environment; the
+builtin backend (structured_output/builtin.py) covers guided_choice,
+guided_regex and guided_json via a character-level DFA composed with the
+tokenizer vocabulary.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import TYPE_CHECKING, Optional
+
+import numpy as np
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.sampling_params import SamplingParams
+
+if TYPE_CHECKING:
+    from vllm_tpu.core.sched.output import SchedulerOutput
+    from vllm_tpu.request import Request
+
+logger = logging.getLogger(__name__)
+
+
+def wants_structured_output(params: SamplingParams) -> bool:
+    return any((params.guided_json, params.guided_regex,
+                params.guided_choice, params.guided_grammar))
+
+
+class StructuredOutputManager:
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.config = engine_config
+        self._grammar_cache: dict = {}
+        self.tokenizer = None  # attached lazily by the engine front-end
+
+    def attach_tokenizer(self, tokenizer) -> None:
+        self.tokenizer = tokenizer
+
+    def maybe_init_request(self, request: "Request",
+                           params: SamplingParams) -> None:
+        if not wants_structured_output(params):
+            return
+        if self.tokenizer is None:
+            raise ValueError(
+                "structured output requires a tokenizer-enabled engine")
+        from vllm_tpu.structured_output.builtin import compile_grammar
+
+        spec = (params.guided_choice, params.guided_regex,
+                params.guided_json, params.guided_grammar)
+        key = repr(spec)
+        grammar = self._grammar_cache.get(key)
+        if grammar is None:
+            grammar = compile_grammar(params, self.tokenizer)
+            self._grammar_cache[key] = grammar
+        request.structured_output_request = grammar.new_state()
+
+    def grammar_ready(self, request: "Request") -> bool:
+        # The builtin backend compiles synchronously; async compilation
+        # (WAITING_FOR_FSM) becomes meaningful with heavier backends.
+        return True
+
+    def build_bitmask(self, requests: dict[str, "Request"],
+                      scheduler_output: "SchedulerOutput") -> None:
+        rows: dict[str, int] = {}
+        masks = []
+        for req_id in scheduler_output.num_scheduled_tokens:
+            request = requests[req_id]
+            state = request.structured_output_request
+            if state is None:
+                continue
+            rows[req_id] = len(masks)
+            masks.append(state.allowed_bitmask())
+        if masks:
+            scheduler_output.structured_output_request_ids = rows
+            scheduler_output.grammar_bitmask = np.stack(masks)
+
+    def accept_tokens(self, request: "Request",
+                      token_ids: list[int]) -> None:
+        state = request.structured_output_request
+        if state is None:
+            return
+        for t in token_ids:
+            state.advance(t)

@@ -1,0 +1,324 @@
+"""Persistent struct-of-arrays input batch
+(reference: vllm/v1/worker/gpu_input_batch.py:61 InputBatch).
+
+Host-side numpy state mirroring the scheduler's view of every running
+request; each step ``prepare_inputs`` turns the SchedulerOutput diff into
+padded, bucket-shaped device arrays. Slots are kept dense by moving the
+last occupied slot into holes on removal (condense), so padding is always
+a suffix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from vllm_tpu.core.sched.output import (CachedRequestData, NewRequestData,
+                                        SchedulerOutput)
+from vllm_tpu.sampling_params import SamplingParams, SamplingType
+from vllm_tpu.utils import cdiv
+
+
+@dataclass
+class PreparedInputs:
+    """Numpy arrays, already padded to (token_bucket, req_bucket)."""
+
+    input_ids: np.ndarray  # i32[T]
+    positions: np.ndarray  # i32[T]
+    slot_mapping: np.ndarray  # i32[T]
+    query_start_loc: np.ndarray  # i32[R+1]
+    seq_lens: np.ndarray  # i32[R]
+    block_tables: np.ndarray  # i32[R, max_blocks]
+    logits_indices: np.ndarray  # i32[R]
+    # sampling (padded rows: temperature 0 => greedy)
+    temperature: np.ndarray
+    top_k: np.ndarray
+    top_p: np.ndarray
+    min_p: np.ndarray
+    seeds: np.ndarray
+    # host bookkeeping (unpadded)
+    req_ids: list[str]  # active request ids in row order
+    # rows whose prompt completes this step (sampling is valid)
+    sample_valid: np.ndarray  # bool[num_active]
+    num_active: int
+    # penalties: None unless some active request uses them
+    presence_penalty: Optional[np.ndarray] = None
+    frequency_penalty: Optional[np.ndarray] = None
+    repetition_penalty: Optional[np.ndarray] = None
+    # logprobs requested per row (-1 = no)
+    num_logprobs: Optional[np.ndarray] = None
+
+
+class InputBatch:
+
+    def __init__(
+        self,
+        max_num_reqs: int,
+        max_model_len: int,
+        max_blocks_per_req: int,
+        block_size: int,
+        num_kv_groups: int = 1,
+    ) -> None:
+        self.max_num_reqs = max_num_reqs
+        self.max_model_len = max_model_len
+        self.max_blocks_per_req = max_blocks_per_req
+        self.block_size = block_size
+        self.num_kv_groups = num_kv_groups
+
+        self.req_ids: list[Optional[str]] = [None] * max_num_reqs
+        self.req_id_to_index: dict[str, int] = {}
+        self.num_reqs = 0
+
+        self.token_ids = np.zeros((max_num_reqs, max_model_len), np.int32)
+        self.num_tokens = np.zeros(max_num_reqs, np.int32)
+        self.num_prompt_tokens = np.zeros(max_num_reqs, np.int32)
+        self.num_computed_tokens = np.zeros(max_num_reqs, np.int32)
+        self.block_tables = np.zeros(
+            (num_kv_groups, max_num_reqs, max_blocks_per_req), np.int32)
+        self.num_blocks = np.zeros((num_kv_groups, max_num_reqs), np.int32)
+
+        # Sampling params per slot
+        self.temperature = np.zeros(max_num_reqs, np.float32)
+        self.top_k = np.zeros(max_num_reqs, np.int32)
+        self.top_p = np.ones(max_num_reqs, np.float32)
+        self.min_p = np.zeros(max_num_reqs, np.float32)
+        self.seeds = np.zeros(max_num_reqs, np.uint32)
+        self.presence_penalty = np.zeros(max_num_reqs, np.float32)
+        self.frequency_penalty = np.zeros(max_num_reqs, np.float32)
+        self.repetition_penalty = np.ones(max_num_reqs, np.float32)
+        self.num_logprobs = np.full(max_num_reqs, -1, np.int32)
+        self.sampling_params: list[Optional[SamplingParams]] = \
+            [None] * max_num_reqs
+
+    # ------------------------------------------------------------- mutation
+
+    def add_request(self, data: NewRequestData,
+                    rng: np.random.Generator) -> int:
+        idx = self.num_reqs
+        assert idx < self.max_num_reqs
+        req_id = data.req_id
+        self.req_ids[idx] = req_id
+        self.req_id_to_index[req_id] = idx
+        self.num_reqs += 1
+
+        n = len(data.prompt_token_ids)
+        self.token_ids[idx, :n] = data.prompt_token_ids
+        self.num_tokens[idx] = n
+        self.num_prompt_tokens[idx] = n
+        self.num_computed_tokens[idx] = data.num_computed_tokens
+        for g, ids in enumerate(data.block_ids):
+            self.num_blocks[g, idx] = len(ids)
+            self.block_tables[g, idx, :len(ids)] = ids
+
+        sp = data.sampling_params or SamplingParams()
+        self.sampling_params[idx] = sp
+        self.temperature[idx] = sp.temperature
+        self.top_k[idx] = sp.top_k
+        self.top_p[idx] = sp.top_p
+        self.min_p[idx] = sp.min_p
+        if sp.sampling_type == SamplingType.RANDOM_SEED:
+            self.seeds[idx] = np.uint32(sp.seed & 0xFFFFFFFF)
+        else:
+            self.seeds[idx] = rng.integers(0, 2**32, dtype=np.uint32)
+        self.presence_penalty[idx] = sp.presence_penalty
+        self.frequency_penalty[idx] = sp.frequency_penalty
+        self.repetition_penalty[idx] = sp.repetition_penalty
+        self.num_logprobs[idx] = -1 if sp.logprobs is None else sp.logprobs
+        return idx
+
+    def remove_request(self, req_id: str) -> None:
+        idx = self.req_id_to_index.pop(req_id, None)
+        if idx is None:
+            return
+        last = self.num_reqs - 1
+        if idx != last:
+            # condense: move the last slot into the hole
+            self._copy_slot(last, idx)
+            moved_id = self.req_ids[last]
+            self.req_ids[idx] = moved_id
+            self.req_id_to_index[moved_id] = idx
+        self.req_ids[last] = None
+        self.sampling_params[last] = None
+        self.num_reqs -= 1
+
+    def _copy_slot(self, src: int, dst: int) -> None:
+        self.token_ids[dst] = self.token_ids[src]
+        self.num_tokens[dst] = self.num_tokens[src]
+        self.num_prompt_tokens[dst] = self.num_prompt_tokens[src]
+        self.num_computed_tokens[dst] = self.num_computed_tokens[src]
+        self.block_tables[:, dst] = self.block_tables[:, src]
+        self.num_blocks[:, dst] = self.num_blocks[:, src]
+        for arr in (self.temperature, self.top_k, self.top_p, self.min_p,
+                    self.seeds, self.presence_penalty,
+                    self.frequency_penalty, self.repetition_penalty,
+                    self.num_logprobs):
+            arr[dst] = arr[src]
+        self.sampling_params[dst] = self.sampling_params[src]
+
+    # ---------------------------------------------------------- update/step
+
+    def update_states(self, scheduler_output: SchedulerOutput,
+                      rng: np.random.Generator) -> None:
+        """Apply the SchedulerOutput diff
+        (reference: gpu_model_runner._update_states:368)."""
+        for req_id in scheduler_output.finished_req_ids:
+            self.remove_request(req_id)
+
+        cached: CachedRequestData = scheduler_output.scheduled_cached_reqs
+        for i, req_id in enumerate(cached.req_ids):
+            idx = self.req_id_to_index[req_id]
+            if cached.resumed_from_preemption[i]:
+                toks = cached.resumed_req_token_ids[i]
+                self.token_ids[idx, :len(toks)] = toks
+                self.num_tokens[idx] = len(toks)
+                # block ids replace wholesale
+                for g, ids in enumerate(cached.new_block_ids[i]):
+                    self.num_blocks[g, idx] = len(ids)
+                    self.block_tables[g, idx, :len(ids)] = ids
+            elif cached.new_block_ids[i] is not None:
+                for g, ids in enumerate(cached.new_block_ids[i]):
+                    n0 = self.num_blocks[g, idx]
+                    self.num_blocks[g, idx] = n0 + len(ids)
+                    self.block_tables[g, idx, n0:n0 + len(ids)] = ids
+            self.num_computed_tokens[idx] = cached.num_computed_tokens[i]
+
+        for data in scheduler_output.scheduled_new_reqs:
+            self.add_request(data, rng)
+
+        # Spec-decode drafts ride in the token stream: append scheduled
+        # draft tokens after the committed tokens.
+        for req_id, spec in (
+                scheduler_output.scheduled_spec_decode_tokens.items()):
+            idx = self.req_id_to_index[req_id]
+            n = self.num_tokens[idx]
+            self.token_ids[idx, n:n + len(spec)] = spec
+
+    def append_sampled(self, req_id: str, token_ids: list[int]) -> None:
+        """Commit accepted tokens after a step (host mirror of the
+        scheduler's append)."""
+        idx = self.req_id_to_index.get(req_id)
+        if idx is None:
+            return
+        n = self.num_tokens[idx]
+        self.token_ids[idx, n:n + len(token_ids)] = token_ids
+        self.num_tokens[idx] += len(token_ids)
+
+    def prepare_inputs(self, scheduler_output: SchedulerOutput,
+                       token_bucket: int, req_bucket: int,
+                       step_counter: int = 0) -> PreparedInputs:
+        """Build padded flat arrays for one device step
+        (reference: gpu_model_runner._prepare_inputs:631; ragged-batch
+        contract documented in SURVEY.md §3.4)."""
+        num_sched = scheduler_output.num_scheduled_tokens
+        # Row order: batch-slot order restricted to scheduled requests
+        # (keeps rows stable across steps for sampler determinism).
+        active = [(idx, rid) for idx, rid in enumerate(self.req_ids)
+                  if rid is not None and rid in num_sched]
+        num_active = len(active)
+        total = scheduler_output.total_num_scheduled_tokens
+        assert total <= token_bucket, (total, token_bucket)
+        assert num_active <= req_bucket
+
+        T, R = token_bucket, req_bucket
+        input_ids = np.zeros(T, np.int32)
+        positions = np.zeros(T, np.int32)
+        slot_mapping = np.zeros(T, np.int32)
+        qsl = np.zeros(R + 1, np.int32)
+        seq_lens = np.zeros(R, np.int32)
+        block_tables = np.zeros((R, self.max_blocks_per_req), np.int32)
+        logits_indices = np.zeros(R, np.int32)
+        sample_valid = np.zeros(num_active, bool)
+
+        offset = 0
+        for row, (idx, rid) in enumerate(active):
+            n = num_sched[rid]
+            start = self.num_computed_tokens[idx]
+            input_ids[offset:offset + n] = \
+                self.token_ids[idx, start:start + n]
+            pos = np.arange(start, start + n, dtype=np.int32)
+            positions[offset:offset + n] = pos
+            bt = self.block_tables[0, idx]
+            slot_mapping[offset:offset + n] = (
+                bt[pos // self.block_size] * self.block_size +
+                pos % self.block_size)
+            block_tables[row] = bt
+            seq_lens[row] = start + n
+            qsl[row + 1] = offset + n
+            logits_indices[row] = offset + n - 1
+            # Sampling is valid only when every committed token is computed
+            # after this step (partial prefills and resume-catch-up steps
+            # must not emit).
+            sample_valid[row] = start + n >= self.num_tokens[idx]
+            offset += n
+        qsl[num_active + 1:] = offset
+        # padding rows sample garbage at index 0; discarded host-side
+        logits_indices[num_active:] = 0
+
+        rows = [idx for idx, _ in active]
+        temperature = np.zeros(R, np.float32)
+        top_k = np.zeros(R, np.int32)
+        top_p = np.ones(R, np.float32)
+        min_p = np.zeros(R, np.float32)
+        seeds = np.zeros(R, np.uint32)
+        temperature[:num_active] = self.temperature[rows]
+        top_k[:num_active] = self.top_k[rows]
+        top_p[:num_active] = self.top_p[rows]
+        min_p[:num_active] = self.min_p[rows]
+        seeds[:num_active] = self.seeds[rows]
+
+        use_penalties = bool(
+            np.any(self.presence_penalty[rows] != 0.0)
+            or np.any(self.frequency_penalty[rows] != 0.0)
+            or np.any(self.repetition_penalty[rows] != 1.0))
+        pp = fp = rp = None
+        if use_penalties:
+            pp = np.zeros(R, np.float32)
+            fp = np.zeros(R, np.float32)
+            rp = np.ones(R, np.float32)
+            pp[:num_active] = self.presence_penalty[rows]
+            fp[:num_active] = self.frequency_penalty[rows]
+            rp[:num_active] = self.repetition_penalty[rows]
+
+        nl = self.num_logprobs[rows] if num_active else \
+            np.empty(0, np.int32)
+        return PreparedInputs(
+            input_ids=input_ids,
+            positions=positions,
+            slot_mapping=slot_mapping,
+            query_start_loc=qsl,
+            seq_lens=seq_lens,
+            block_tables=block_tables,
+            logits_indices=logits_indices,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            min_p=min_p,
+            seeds=seeds,
+            req_ids=[rid for _, rid in active],
+            sample_valid=sample_valid,
+            num_active=num_active,
+            presence_penalty=pp,
+            frequency_penalty=fp,
+            repetition_penalty=rp,
+            num_logprobs=nl if np.any(nl >= 0) else None,
+        )
+
+    def make_penalty_arrays(self, req_ids: list[str], req_bucket: int,
+                            vocab_size: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """Dense [R, V] output-token counts + prompt one-hot mask for the
+        penalty path (host-built; only when penalties are active)."""
+        counts = np.zeros((req_bucket, vocab_size), np.int32)
+        prompt_mask = np.zeros((req_bucket, vocab_size), bool)
+        for row, rid in enumerate(req_ids):
+            idx = self.req_id_to_index[rid]
+            np_tok = int(self.num_prompt_tokens[idx])
+            n_tok = int(self.num_tokens[idx])
+            prompt = self.token_ids[idx, :np_tok]
+            out = self.token_ids[idx, np_tok:n_tok]
+            prompt_mask[row, prompt[prompt < vocab_size]] = True
+            if len(out):
+                np.add.at(counts[row], out[out < vocab_size], 1)
+        return counts, prompt_mask

@@ -1,0 +1,327 @@
+"""TPU model runner — the device hot path
+(reference: vllm/v1/worker/gpu_model_runner.py:92 GPUModelRunner and the
+torch-xla tpu_model_runner.py:106; re-designed for JAX).
+
+One jitted whole-step function (forward + logits gather + sample) per
+(token_bucket, req_bucket) shape; buckets are precompiled at startup so
+steady-state serving never recompiles (the torch-xla runner's
+_get_token_paddings:1862 bucketing precedent). KV caches are donated
+through the step so XLA updates them in place.
+"""
+
+from __future__ import annotations
+
+import bisect
+import functools
+import logging
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.core.kv_cache_interface import KVCacheConfig, KVCacheSpec
+from vllm_tpu.core.sched.output import ModelRunnerOutput, SchedulerOutput
+from vllm_tpu.models.registry import get_model
+from vllm_tpu.ops.attention import AttentionMetadata
+from vllm_tpu.sample.metadata import SamplingMetadata
+from vllm_tpu.sample.sampler import compute_logprobs, sample
+from vllm_tpu.utils import cdiv
+from vllm_tpu.worker.input_batch import InputBatch, PreparedInputs
+
+logger = logging.getLogger(__name__)
+
+_CACHE_DTYPES = {
+    "auto": None,
+    "bfloat16": jnp.bfloat16,
+    "fp8": jnp.float8_e4m3fn,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+    "int8": jnp.int8,
+}
+
+
+class TPUModelRunner:
+
+    def __init__(self, engine_config: EngineConfig, mesh=None) -> None:
+        self.config = engine_config
+        self.model_config = engine_config.model_config
+        self.cache_config = engine_config.cache_config
+        self.scheduler_config = engine_config.scheduler_config
+        self.comp_config = engine_config.compilation_config
+        self.mesh = mesh
+
+        self.model = get_model(self.model_config)
+        self.params: Any = None
+        self.kv_caches: list[jnp.ndarray] = []
+        self.kv_cache_config: Optional[KVCacheConfig] = None
+        self.input_batch: Optional[InputBatch] = None
+        self.rng = np.random.default_rng(self.model_config.seed)
+        self.step_counter = 0
+        self._num_compilations = 0
+
+        max_len = self.scheduler_config.max_model_len
+        self.token_buckets = self.comp_config.token_buckets(
+            min(self.scheduler_config.max_num_batched_tokens,
+                max(max_len, 16)))
+        self.req_buckets = self.comp_config.req_buckets(
+            self.scheduler_config.max_num_seqs)
+        self.max_logprobs = self.model_config.max_logprobs
+
+        self._compiled_step = self._build_step_fn()
+
+    # ------------------------------------------------------------ model load
+
+    def load_model(self) -> None:
+        from vllm_tpu.models.loader import load_model_params
+
+        t0 = time.perf_counter()
+        self.params = load_model_params(self.model, self.config,
+                                        mesh=self.mesh)
+        logger.info("model weights loaded in %.1fs",
+                    time.perf_counter() - t0)
+
+    # ------------------------------------------------------------- kv cache
+
+    def get_kv_cache_specs(self) -> dict[str, KVCacheSpec]:
+        cache_dtype = self.cache_config.cache_dtype
+        if cache_dtype == "auto":
+            cache_dtype = self.model_config.dtype
+        return self.model.get_kv_cache_specs(self.cache_config.block_size,
+                                             cache_dtype)
+
+    def initialize_kv_cache(self, kv_cache_config: KVCacheConfig) -> None:
+        """Allocate one stacked array per KV group:
+        [num_layers, num_blocks, page, 2*kv_heads, head]."""
+        self.kv_cache_config = kv_cache_config
+        self.kv_caches = []
+        for group in kv_cache_config.kv_cache_groups:
+            spec = group.kv_cache_spec
+            dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
+            if spec.dtype == "float32":
+                dtype = jnp.float32
+            shape = (len(group.layer_names), kv_cache_config.num_blocks,
+                     spec.block_size, 2 * spec.num_kv_heads, spec.head_size)
+            arr = jnp.zeros(shape, dtype)
+            if self.mesh is not None:
+                from vllm_tpu.parallel.mesh import kv_cache_sharding
+
+                arr = jax.device_put(arr, kv_cache_sharding(self.mesh))
+            self.kv_caches.append(arr)
+
+        max_blocks_per_req = cdiv(self.scheduler_config.max_model_len,
+                                  self.cache_config.block_size)
+        self.input_batch = InputBatch(
+            max_num_reqs=self.scheduler_config.max_num_seqs,
+            max_model_len=self.scheduler_config.max_model_len,
+            max_blocks_per_req=max_blocks_per_req,
+            block_size=self.cache_config.block_size,
+            num_kv_groups=len(kv_cache_config.kv_cache_groups),
+        )
+
+    # ------------------------------------------------------------- step fn
+
+    def _build_step_fn(self):
+        model = self.model
+
+        def step(params, kv_caches, input_ids, metadata, logits_indices,
+                 sampling: SamplingMetadata, num_logprobs: int):
+            hidden, kv_caches = model.forward(params, input_ids, kv_caches,
+                                              metadata)
+            sel = hidden[logits_indices]
+            logits = model.compute_logits(params, sel)
+            tokens = sample(logits, sampling)
+            if num_logprobs > 0:
+                lp = compute_logprobs(logits, tokens, num_logprobs)
+            else:
+                lp = None
+            return kv_caches, tokens, lp
+
+        return jax.jit(step, donate_argnums=(1,),
+                       static_argnums=(6,))
+
+    def _pick_bucket(self, buckets: list[int], n: int) -> int:
+        i = bisect.bisect_left(buckets, n)
+        if i == len(buckets):
+            raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
+        return buckets[i]
+
+    # ------------------------------------------------------------- execute
+
+    def execute_model(
+            self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
+        batch = self.input_batch
+        batch.update_states(scheduler_output, self.rng)
+        if scheduler_output.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput()
+
+        token_bucket = self._pick_bucket(
+            self.token_buckets, scheduler_output.total_num_scheduled_tokens)
+        req_bucket = self._pick_bucket(
+            self.req_buckets,
+            max(len(scheduler_output.num_scheduled_tokens), 1))
+        prep = batch.prepare_inputs(scheduler_output, token_bucket,
+                                    req_bucket, self.step_counter)
+
+        metadata = AttentionMetadata(
+            slot_mapping=jnp.asarray(prep.slot_mapping),
+            block_tables=jnp.asarray(prep.block_tables),
+            query_start_loc=jnp.asarray(prep.query_start_loc),
+            seq_lens=jnp.asarray(prep.seq_lens),
+            positions=jnp.asarray(prep.positions),
+        )
+        sampling = self._make_sampling_metadata(prep, scheduler_output)
+        num_logprobs = 0
+        if prep.num_logprobs is not None:
+            num_logprobs = int(
+                min(max(prep.num_logprobs.max() + 1, 1),
+                    self.max_logprobs))
+
+        self.kv_caches, tokens_dev, lp_dev = self._compiled_step(
+            self.params, self.kv_caches, jnp.asarray(prep.input_ids),
+            metadata, jnp.asarray(prep.logits_indices), sampling,
+            num_logprobs)
+        self.step_counter += 1
+
+        tokens = np.asarray(tokens_dev)
+        return self._build_output(scheduler_output, prep, tokens, lp_dev,
+                                  num_logprobs)
+
+    def _build_output(self, scheduler_output: SchedulerOutput,
+                      prep: PreparedInputs, tokens: np.ndarray, lp_dev,
+                      num_logprobs: int) -> ModelRunnerOutput:
+        req_ids: list[str] = []
+        sampled: list[list[int]] = []
+        logprobs_out: Optional[list] = None
+        if num_logprobs > 0 and lp_dev is not None:
+            topk_vals = np.asarray(lp_dev[0])
+            topk_ids = np.asarray(lp_dev[1])
+            sampled_info = np.asarray(lp_dev[2])
+            logprobs_out = []
+
+        for row, rid in enumerate(prep.req_ids):
+            req_ids.append(rid)
+            if prep.sample_valid[row]:
+                token = int(tokens[row])
+                sampled.append([token])
+                self.input_batch.append_sampled(rid, [token])
+                if logprobs_out is not None:
+                    want = int(prep.num_logprobs[row])
+                    if want >= 0:
+                        d = {
+                            int(topk_ids[row, j]):
+                            float(topk_vals[row, j])
+                            for j in range(min(want, num_logprobs))
+                        }
+                        d[int(tokens[row])] = float(sampled_info[row, 0])
+                        logprobs_out.append([d])
+                    else:
+                        logprobs_out.append(None)
+            else:
+                sampled.append([])
+                if logprobs_out is not None:
+                    logprobs_out.append(None)
+
+        return ModelRunnerOutput(
+            req_ids=req_ids,
+            sampled_token_ids=sampled,
+            logprobs=logprobs_out,
+        )
+
+    def _make_sampling_metadata(
+            self, prep: PreparedInputs,
+            scheduler_output: SchedulerOutput) -> SamplingMetadata:
+        kw: dict[str, Any] = {}
+        if prep.presence_penalty is not None:
+            vocab = self.model.args.vocab_size
+            counts, prompt_mask = self.input_batch.make_penalty_arrays(
+                prep.req_ids, len(prep.temperature), vocab)
+            kw.update(
+                presence_penalty=jnp.asarray(prep.presence_penalty),
+                frequency_penalty=jnp.asarray(prep.frequency_penalty),
+                repetition_penalty=jnp.asarray(prep.repetition_penalty),
+                output_counts=jnp.asarray(counts),
+                prompt_mask=jnp.asarray(prompt_mask),
+            )
+        if scheduler_output.grammar_bitmask is not None:
+            R = len(prep.temperature)
+            V = self.model.args.vocab_size
+            words = cdiv(V, 32)
+            bitmask = np.full((R, words), 0xFFFFFFFF, np.uint32)
+            for req_id, src_row in (
+                    scheduler_output.structured_output_request_ids.items()):
+                if req_id in prep.req_ids:
+                    row = prep.req_ids.index(req_id)
+                    bitmask[row] = scheduler_output.grammar_bitmask[src_row]
+            kw["grammar_bitmask"] = jnp.asarray(bitmask)
+        return SamplingMetadata(
+            temperature=jnp.asarray(prep.temperature),
+            top_k=jnp.asarray(prep.top_k),
+            top_p=jnp.asarray(prep.top_p),
+            min_p=jnp.asarray(prep.min_p),
+            seeds=jnp.asarray(prep.seeds),
+            step=jnp.asarray(prep.seq_lens),
+            **kw,
+        )
+
+    # ------------------------------------------------------------ warm-up
+
+    def profile_run(self) -> None:
+        """Max-shape dummy forward for memory profiling
+        (reference: gpu_model_runner.py:2377 profile_run)."""
+        T = self.token_buckets[-1]
+        R = self.req_buckets[-1]
+        specs = self.get_kv_cache_specs()
+        any_spec = next(iter(specs.values()))
+        # 2-block dummy cache: enough to run, negligible memory.
+        dtype = _CACHE_DTYPES.get(any_spec.dtype) or jnp.bfloat16
+        dummy_kv = [
+            jnp.zeros((len(specs), 2, any_spec.block_size,
+                       2 * any_spec.num_kv_heads, any_spec.head_size),
+                      dtype)
+        ]
+        metadata, input_ids, logits_idx, sampling = self._dummy_inputs(T, R)
+        _, tokens, _ = self._compiled_step(self.params, dummy_kv, input_ids,
+                                           metadata, logits_idx, sampling,
+                                           0)
+        tokens.block_until_ready()
+
+    def _dummy_inputs(self, T: int, R: int):
+        from vllm_tpu.sample.metadata import greedy_metadata
+
+        metadata = AttentionMetadata(
+            slot_mapping=jnp.zeros(T, jnp.int32),
+            block_tables=jnp.zeros(
+                (R, cdiv(self.scheduler_config.max_model_len,
+                         self.cache_config.block_size)), jnp.int32),
+            query_start_loc=jnp.zeros(R + 1, jnp.int32),
+            seq_lens=jnp.zeros(R, jnp.int32),
+            positions=jnp.zeros(T, jnp.int32),
+        )
+        return (metadata, jnp.zeros(T, jnp.int32), jnp.zeros(R, jnp.int32),
+                greedy_metadata(R))
+
+    def capture_model(self) -> None:
+        """Precompile every (token, req) bucket
+        (reference analog: tpu_model_runner.capture_model:1531)."""
+        if not self.comp_config.precompile or self.model_config.enforce_eager:
+            return
+        t0 = time.perf_counter()
+        n = 0
+        for T in self.token_buckets:
+            for R in self.req_buckets:
+                # A request schedules >=1 token, so R <= T at runtime;
+                # skip impossible combos to bound compile count.
+                if R > max(T, self.req_buckets[0]):
+                    continue
+                metadata, input_ids, logits_idx, sampling = \
+                    self._dummy_inputs(T, R)
+                self.kv_caches, tokens, _ = self._compiled_step(
+                    self.params, self.kv_caches, input_ids, metadata,
+                    logits_idx, sampling, 0)
+                tokens.block_until_ready()
+                n += 1
+        logger.info("precompiled %d bucket graphs in %.1fs", n,
+                    time.perf_counter() - t0)

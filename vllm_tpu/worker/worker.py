@@ -1,0 +1,104 @@
+"""TPU worker: device init, model load, memory profiling, KV allocation
+(reference: vllm/v1/worker/gpu_worker.py:43, tpu_worker.py:38)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+import jax
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.core.kv_cache_interface import KVCacheConfig, KVCacheSpec
+from vllm_tpu.core.sched.output import ModelRunnerOutput, SchedulerOutput
+from vllm_tpu.worker.model_runner import TPUModelRunner
+
+logger = logging.getLogger(__name__)
+
+
+class Worker:
+
+    def __init__(self, engine_config: EngineConfig, rank: int = 0) -> None:
+        self.config = engine_config
+        self.rank = rank
+        self.mesh = None
+        self.runner: Optional[TPUModelRunner] = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def init_device(self) -> None:
+        pc = self.config.parallel_config
+        if pc.world_size > 1:
+            from vllm_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(pc.tensor_parallel_size,
+                                  pc.data_parallel_size)
+        self.runner = TPUModelRunner(self.config, mesh=self.mesh)
+
+    def load_model(self) -> None:
+        self.runner.load_model()
+
+    def get_kv_cache_specs(self) -> dict[str, KVCacheSpec]:
+        return self.runner.get_kv_cache_specs()
+
+    def determine_available_memory(self) -> int:
+        """Free HBM for the KV cache after weights + activation peak
+        (reference: gpu_worker.py:211, tpu_worker.py:166)."""
+        self.runner.profile_run()
+        util = self.config.cache_config.gpu_memory_utilization
+        device = jax.local_devices()[0]
+        stats = getattr(device, "memory_stats", lambda: None)() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", stats.get("peak_bytes_in_use", 0))
+        if limit:
+            return max(int(limit * util) - int(in_use), 0)
+        # CPU backend: no HBM accounting — use a fixed test budget.
+        return 256 * 1024 * 1024
+
+    def initialize_from_config(self,
+                               kv_cache_config: KVCacheConfig) -> None:
+        self.runner.initialize_kv_cache(kv_cache_config)
+
+    def compile_or_warm_up_model(self) -> None:
+        self.runner.capture_model()
+
+    # -- steady state ----------------------------------------------------------
+
+    def execute_model(
+            self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
+        return self.runner.execute_model(scheduler_output)
+
+    # -- control verbs ----------------------------------------------------------
+
+    def apply_method(self, method: str, *args, **kwargs) -> Any:
+        """collective_rpc target: run a named method (reference:
+        multiproc_executor worker_busy_loop dispatch)."""
+        return getattr(self, method)(*args, **kwargs)
+
+    def sleep(self, level: int = 1) -> None:
+        """Discard KV cache (and weights at level 2) to free HBM for an
+        external trainer (reference: gpu_worker sleep/wake_up; the CUDA VMM
+        allocator has no TPU analog — arrays are simply dropped and
+        re-created, SURVEY §2.7 cumem_allocator row)."""
+        self.runner.kv_caches = []
+        if level >= 2:
+            self.runner.params = None
+
+    def wake_up(self, tags: Optional[list[str]] = None) -> None:
+        if self.runner.params is None:
+            self.runner.load_model()
+        if not self.runner.kv_caches and self.runner.kv_cache_config:
+            self.runner.initialize_kv_cache(self.runner.kv_cache_config)
+
+    def profile(self, is_start: bool = True) -> None:
+        if is_start:
+            import os
+
+            trace_dir = os.environ.get("VLLM_TPU_PROFILE_DIR",
+                                       "/tmp/vllm_tpu_profile")
+            jax.profiler.start_trace(trace_dir)
+        else:
+            jax.profiler.stop_trace()
+
+    def check_health(self) -> bool:
+        return True
