@@ -1,0 +1,120 @@
+"""Round benchmark: offline decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config: Llama-3-8B-class architecture (32 layers, 4096 hidden, GQA 32/8,
+head 128) with dummy weights, INT8 weight-only quantization, bf16 KV,
+continuous batching at high concurrency. Baseline anchor: the reference's
+MI300X Llama-3.1-70B FP8 TP8 number normalized per GPU (1580 tok/s/GPU,
+BASELINE.md) — the calibration anchor BASELINE.json names for tok/s/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_TOKS_PER_CHIP = 1580.0
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        # CPU smoke mode: shrink everything so the script stays runnable.
+        model_kwargs = dict(hidden_size=256, intermediate_size=512,
+                            num_hidden_layers=2, num_attention_heads=8,
+                            num_key_value_heads=8, head_dim=32)
+        num_prompts, in_len, out_len = 8, 32, 16
+        max_seqs, max_tokens = 8, 512
+        max_model_len = 256
+        quant = None
+        dtype = "float32"
+    else:
+        model_kwargs = dict(hidden_size=4096, intermediate_size=14336,
+                            num_hidden_layers=32, num_attention_heads=32,
+                            num_key_value_heads=8, head_dim=128)
+        num_prompts, in_len, out_len = 256, 128, 128
+        max_seqs, max_tokens = 256, 4096
+        max_model_len = 1024
+        quant = "int8"
+        dtype = "bfloat16"
+
+    from transformers import LlamaConfig
+
+    from vllm_tpu.config import ModelConfig
+    from vllm_tpu.engine.args import EngineArgs
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.sampling_params import SamplingParams
+
+    hf_config = LlamaConfig(vocab_size=128256,
+                            max_position_embeddings=max_model_len,
+                            **model_kwargs)
+    if not on_tpu:
+        hf_config.vocab_size = 2048
+
+    engine_args = EngineArgs(
+        model="llama3-8b-dummy",
+        dtype=dtype,
+        quantization=quant,
+        load_format="dummy",
+        skip_tokenizer_init=True,
+        max_model_len=max_model_len,
+        max_num_seqs=max_seqs,
+        max_num_batched_tokens=max_tokens,
+        block_size=32,
+        gpu_memory_utilization=0.92,
+        hf_config=hf_config,
+    )
+    engine = LLMEngine(engine_args.create_engine_config())
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    params = SamplingParams(temperature=0.0, max_tokens=out_len,
+                            ignore_eos=True)
+
+    def add_all():
+        for i in range(num_prompts):
+            toks = rng.integers(10, hf_config.vocab_size - 10,
+                                in_len).tolist()
+            engine.add_request(str(i), {"prompt_token_ids": toks}, params)
+
+    # Warmup round (compile all buckets touched by this workload).
+    t_warm = time.perf_counter()
+    add_all()
+    while engine.has_unfinished_requests():
+        engine.step()
+    warm_s = time.perf_counter() - t_warm
+
+    # Timed round.
+    t0 = time.perf_counter()
+    add_all()
+    done = 0
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done += 1
+    elapsed = time.perf_counter() - t0
+    assert done == num_prompts, (done, num_prompts)
+
+    total_tokens = num_prompts * (in_len + out_len)
+    gen_tokens = num_prompts * out_len
+    toks_per_s = total_tokens / elapsed
+    result = {
+        "metric": "offline_throughput_tok_per_s_per_chip",
+        "value": round(toks_per_s, 1),
+        "unit": "tok/s/chip (prompt+gen, Llama-3-8B-class int8 dummy, "
+                f"in{in_len}/out{out_len}x{num_prompts})",
+        "vs_baseline": round(toks_per_s / BASELINE_TOKS_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+    print(f"# gen-only: {gen_tokens / elapsed:.1f} tok/s; warmup {warm_s:.1f}s;"
+          f" timed {elapsed:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,22 @@ class ModelConfig:
     def architecture(self) -> str:
         cfg = self.resolve_hf_config()
         archs = getattr(cfg, "architectures", None) or []
-        return archs[0] if archs else ""
+        if archs:
+            return archs[0]
+        # Programmatic configs often lack `architectures`.
+        model_type = getattr(cfg, "model_type", "")
+        guess = {
+            "llama": "LlamaForCausalLM",
+            "mistral": "MistralForCausalLM",
+            "qwen2": "Qwen2ForCausalLM",
+            "qwen3": "Qwen3ForCausalLM",
+            "gemma": "GemmaForCausalLM",
+            "gemma2": "Gemma2ForCausalLM",
+            "mixtral": "MixtralForCausalLM",
+            "gpt2": "GPT2LMHeadModel",
+            "opt": "OPTForCausalLM",
+        }
+        return guess.get(model_type, "")
 
     def get_vocab_size(self) -> int:
         return int(self.resolve_hf_config().vocab_size)

@@ -56,6 +56,9 @@ class EngineArgs:
 
     otlp_traces_endpoint: Optional[str] = None
     guided_decoding_backend: str = "auto"
+    # Programmatic-only: inject a transformers config instead of reading
+    # one from the model path (dummy-weight benchmarks, tests).
+    hf_config: Optional[object] = None
 
     def create_engine_config(self) -> EngineConfig:
         model_config = ModelConfig(
@@ -71,6 +74,7 @@ class EngineArgs:
             enforce_eager=self.enforce_eager,
             skip_tokenizer_init=self.skip_tokenizer_init,
             task=self.task,
+            hf_config=self.hf_config,
         )
         # Resolve max_model_len from the checkpoint before wiring the
         # scheduler config.
@@ -123,6 +127,8 @@ class EngineArgs:
     def add_cli_args(parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
         for f in fields(EngineArgs):
+            if f.name == "hf_config":
+                continue
             name = "--" + f.name.replace("_", "-")
             default = f.default
             if f.type == "bool" or isinstance(default, bool):

@@ -162,14 +162,17 @@ def attention(
     """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
     elsewhere."""
     if _use_pallas():
-        from vllm_tpu.ops.pallas.ragged_paged_attention import (
-            ragged_paged_attention)
-
-        return ragged_paged_attention(
-            q, kv_cache, metadata, scale,
-            sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap,
-            k_scale=k_scale, v_scale=v_scale)
+        try:
+            from vllm_tpu.ops.pallas.ragged_paged_attention import (
+                ragged_paged_attention)
+        except ImportError:
+            pass
+        else:
+            return ragged_paged_attention(
+                q, kv_cache, metadata, scale,
+                sliding_window=sliding_window,
+                logits_soft_cap=logits_soft_cap,
+                k_scale=k_scale, v_scale=v_scale)
     return ragged_paged_attention_ref(
         q, kv_cache, metadata, scale,
         sliding_window=sliding_window,
