@@ -1,0 +1,121 @@
+"""Pallas ragged-paged-attention kernel vs jnp reference, interpret mode
+(reference analog: tests/v1/tpu/test_pallas.py + kernel-vs-torch tests)."""
+
+import os
+
+os.environ["VLLM_TPU_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vllm_tpu.ops.attention import AttentionMetadata, \
+    ragged_paged_attention_ref
+
+
+def make_case(rng, seq_specs, num_q_heads, num_kv_heads, head, page,
+              max_blocks, token_pad, req_pad, dtype=jnp.float32):
+    """seq_specs: list of (q_len, kv_len) with kv_len >= q_len."""
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        build_logical_blocks
+
+    R, T = req_pad, token_pad
+    total_q = sum(q for q, _ in seq_specs)
+    assert total_q <= T
+    num_blocks = 1 + sum(-(-kv // page) for _, kv in seq_specs)
+    kv_cache = jnp.asarray(
+        rng.standard_normal((num_blocks, page, 2 * num_kv_heads, head),
+                            dtype=np.float32), dtype)
+    q = jnp.asarray(
+        rng.standard_normal((T, num_q_heads, head), dtype=np.float32),
+        dtype)
+
+    qsl = np.zeros(R + 1, np.int32)
+    seq_lens = np.zeros(R, np.int32)
+    positions = np.zeros(T, np.int32)
+    block_tables = np.zeros((R, max_blocks), np.int32)
+    next_block = 1
+    offset = 0
+    for r, (q_len, kv_len) in enumerate(seq_specs):
+        seq_lens[r] = kv_len
+        positions[offset:offset + q_len] = np.arange(kv_len - q_len, kv_len)
+        nb = -(-kv_len // page)
+        block_tables[r, :nb] = np.arange(next_block, next_block + nb)
+        next_block += nb
+        qsl[r + 1] = offset + q_len
+        offset += q_len
+    qsl[len(seq_specs) + 1:] = offset
+
+    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+    meta = AttentionMetadata(
+        slot_mapping=jnp.zeros(T, jnp.int32),
+        block_tables=jnp.asarray(block_tables),
+        query_start_loc=jnp.asarray(qsl),
+        seq_lens=jnp.asarray(seq_lens),
+        positions=jnp.asarray(positions),
+        lb_seq=jnp.asarray(lb_seq),
+        lb_q_start=jnp.asarray(lb_q_start),
+    )
+    return q, kv_cache, meta, total_q
+
+
+CASES = [
+    # (seq_specs, description)
+    ([(1, 17), (1, 32), (1, 5), (1, 64)], "pure decode"),
+    ([(48, 48)], "single prefill"),
+    ([(30, 30), (17, 17), (1, 40)], "mixed prefill+decode"),
+    ([(16, 48)], "chunked prefill continuation"),
+    ([(5, 9), (3, 3)], "tiny ragged"),
+]
+
+
+@pytest.mark.parametrize("case_idx", range(len(CASES)))
+def test_kernel_matches_reference(case_idx):
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        ragged_paged_attention
+
+    seq_specs, _ = CASES[case_idx]
+    rng = np.random.default_rng(case_idx)
+    q, kv, meta, total_q = make_case(
+        rng, seq_specs, num_q_heads=8, num_kv_heads=2, head=128, page=16,
+        max_blocks=8, token_pad=64, req_pad=8)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.125)
+    out = ragged_paged_attention(q, kv, meta, scale=0.125, chunk_pages=2)
+    np.testing.assert_allclose(np.asarray(out)[:total_q],
+                               np.asarray(ref)[:total_q],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_sliding_window():
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        ragged_paged_attention
+
+    rng = np.random.default_rng(7)
+    q, kv, meta, total_q = make_case(
+        rng, [(24, 24), (1, 40)], num_q_heads=4, num_kv_heads=4, head=128,
+        page=16, max_blocks=8, token_pad=32, req_pad=4)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.2,
+                                     sliding_window=8)
+    out = ragged_paged_attention(q, kv, meta, scale=0.2, sliding_window=8,
+                                 chunk_pages=2)
+    np.testing.assert_allclose(np.asarray(out)[:total_q],
+                               np.asarray(ref)[:total_q],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_soft_cap():
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        ragged_paged_attention
+
+    rng = np.random.default_rng(9)
+    q, kv, meta, total_q = make_case(
+        rng, [(8, 8), (1, 24)], num_q_heads=4, num_kv_heads=2, head=128,
+        page=16, max_blocks=4, token_pad=16, req_pad=4)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.3,
+                                     logits_soft_cap=30.0)
+    out = ragged_paged_attention(q, kv, meta, scale=0.3,
+                                 logits_soft_cap=30.0, chunk_pages=2)
+    np.testing.assert_allclose(np.asarray(out)[:total_q],
+                               np.asarray(ref)[:total_q],
+                               rtol=2e-3, atol=2e-3)

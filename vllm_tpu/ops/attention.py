@@ -39,6 +39,11 @@ class AttentionMetadata:
     query_start_loc: jnp.ndarray  # i32[R+1]
     seq_lens: jnp.ndarray  # i32[R]
     positions: jnp.ndarray  # i32[T]
+    # Logical q-block assignment for the Pallas ragged kernel (host-built
+    # by ops.pallas.ragged_paged_attention.build_logical_blocks); None on
+    # the jnp-reference path.
+    lb_seq: Optional[jnp.ndarray] = None  # i32[MAXLB], -1 padded
+    lb_q_start: Optional[jnp.ndarray] = None  # i32[MAXLB]
 
 
 def write_kv_cache(

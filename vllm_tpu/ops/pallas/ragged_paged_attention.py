@@ -1,0 +1,344 @@
+"""Pallas TPU ragged paged attention.
+
+TPU-native replacement for the reference's paged_attention_v1/v2 +
+flash-varlen CUDA kernels (reference: csrc/attention/attention_kernels.cuh:670,
+vllm/v1/attention/backends/pallas.py:41-267 — design re-derived, not
+ported). One kernel serves prefill, chunked prefill, decode and
+spec-verify in a single ragged batch.
+
+Design
+------
+The ragged token batch is tiled into *logical q blocks*: per-sequence
+tiles of at most BQ query rows (a sequence with q_len queries contributes
+ceil(q_len / BQ) blocks). The worst-case block count for a (T, R) bucket
+is static: MAXLB = R + T // BQ, so the grid shape never depends on the
+batch composition.
+
+grid = (MAXLB,). Each program:
+  1. reads its (seq, q_start) assignment from scalar-prefetched SMEM,
+  2. DMAs its q tile HBM->VMEM,
+  3. streams the sequence's KV pages in double-buffered chunks
+     (CHUNK_PAGES pages per DMA round), maintaining an online-softmax
+     accumulator per KV head,
+  4. writes the normalized output tile back to HBM.
+
+Decode buckets (T == R) use BQ=16 so the per-sequence FLOP waste stays
+under the HBM-streaming cost; prefill buckets use BQ=128 for MXU
+utilization. GQA is computed head-group-major: per KV head h, the q tile
+is reshaped to [BQ*G, d] so the MXU sees tall matmuls.
+
+The q/out arrays carry BQ rows of padding slack so partial tiles can be
+written with full-tile DMAs (a later program in token order overwrites
+any spill, and the grid is sequential on a TPU core).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_tpu.ops.attention import AttentionMetadata
+
+NEG_INF = -1e30
+# CPU-interpret mode for kernel unit tests (reference test precedent:
+# Pallas-kernel vs jnp-reference in interpret mode, SURVEY.md §4).
+_INTERPRET = os.environ.get("VLLM_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def q_block_size(num_tokens: int, num_reqs: int) -> int:
+    """Decode-ish buckets get small q tiles; prefill gets MXU-sized ones."""
+    if num_tokens <= 2 * num_reqs:
+        return 16
+    return 128
+
+
+def max_logical_blocks(num_tokens: int, num_reqs: int) -> int:
+    bq = q_block_size(num_tokens, num_reqs)
+    return num_reqs + num_tokens // bq
+
+
+def build_logical_blocks(query_start_loc: np.ndarray, num_tokens: int,
+                         num_reqs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side: (lb_seq, lb_q_start) arrays, padded with -1.
+
+    Called by InputBatch.prepare_inputs; the result rides in
+    AttentionMetadata so the kernel never sees dynamic shapes.
+    """
+    bq = q_block_size(num_tokens, num_reqs)
+    maxlb = max_logical_blocks(num_tokens, num_reqs)
+    lb_seq = np.full(maxlb, -1, np.int32)
+    lb_q_start = np.zeros(maxlb, np.int32)
+    i = 0
+    for s in range(num_reqs):
+        start, end = int(query_start_loc[s]), int(query_start_loc[s + 1])
+        for q0 in range(start, end, bq):
+            lb_seq[i] = s
+            lb_q_start[i] = q0
+            i += 1
+    return lb_seq, lb_q_start
+
+
+def _kernel(
+    # scalar prefetch
+    lb_seq_ref,  # i32[MAXLB]
+    lb_q_start_ref,  # i32[MAXLB]
+    cu_q_lens_ref,  # i32[R+1]
+    seq_lens_ref,  # i32[R]
+    block_tables_ref,  # i32[R, MAXP]
+    # tensors (HBM)
+    q_hbm,  # [T + BQ, nq, d]
+    kv_hbm,  # [N, ps, 2*nk, d]
+    out_hbm,  # [T + BQ, nq, d]
+    # scratch
+    q_buf,  # VMEM [BQ, nq, d]
+    kv_buf,  # VMEM [2, C, 2*nk, d]   C = CHUNK_PAGES * ps
+    out_buf,  # VMEM [BQ, nq, d]
+    q_sem,
+    out_sem,
+    kv_sems,  # DMA sems [2, CHUNK_PAGES]
+    *,
+    bq: int,
+    chunk_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+    kv_quant: bool,
+    k_scale: float,
+    v_scale: float,
+):
+    lb = pl.program_id(0)
+    s = lb_seq_ref[lb]
+
+    @pl.when(s >= 0)
+    def _run():
+        q_start = lb_q_start_ref[lb]
+        q_end_seq = cu_q_lens_ref[s + 1]
+        kv_len = seq_lens_ref[s]
+        C = chunk_pages * page_size
+        nq = num_kv_heads * group
+
+        # ---- q tile in
+        q_dma = pltpu.make_async_copy(
+            q_hbm.at[pl.ds(q_start, bq)], q_buf, q_sem)
+        q_dma.start()
+
+        # causal upper bound on needed KV: position of the tile's last
+        # valid row + 1 (positions: pos(t) = kv_len - (q_end_seq - t)).
+        last_row_t = jnp.minimum(q_start + bq, q_end_seq) - 1
+        kv_needed = jnp.minimum(kv_len, kv_len - (q_end_seq - last_row_t) + 1)
+        kv_needed = jnp.maximum(kv_needed, 0)
+        num_chunks = pl.cdiv(kv_needed, C)
+
+        def chunk_dma(slot, ci):
+            # CHUNK_PAGES page copies into the slot buffer.
+            copies = []
+            for p in range(chunk_pages):
+                page_pos = ci * chunk_pages + p
+                max_page = pl.cdiv(kv_len, page_size) - 1
+                safe_pos = jnp.clip(page_pos, 0, jnp.maximum(max_page, 0))
+                page_id = block_tables_ref[s, safe_pos]
+                copies.append(
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page_id],
+                        kv_buf.at[slot, pl.ds(p * page_size, page_size)],
+                        kv_sems.at[slot, p]))
+            return copies
+
+        @pl.when(num_chunks > 0)
+        def _():
+            for c in chunk_dma(0, 0):
+                c.start()
+
+        q_dma.wait()
+        qf = q_buf[...]  # model dtype; scale applied post-dot in fp32
+
+        # row coordinates
+        row_t = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (bq * group, 1), 0) // group
+        row_pos = kv_len - (q_end_seq - row_t)  # absolute position
+        row_valid = row_t < q_end_seq
+
+        def body(ci, carry):
+            m_all, l_all, acc_all = carry
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                for cpy in chunk_dma((ci + 1) % 2, ci + 1):
+                    cpy.start()
+
+            for cpy in chunk_dma(slot, ci):
+                cpy.wait()
+
+            col = ci * C + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+            col_ok = (col < kv_len) & (col <= row_pos)
+            if sliding_window is not None:
+                col_ok &= col > row_pos - sliding_window
+
+            kv = kv_buf[slot]
+            new_m, new_l, new_acc = [], [], []
+            for h in range(num_kv_heads):
+                k = kv[:, h, :]
+                v = kv[:, num_kv_heads + h, :]
+                if kv_quant:
+                    k = (k.astype(jnp.float32) * k_scale).astype(qf.dtype)
+                    v = (v.astype(jnp.float32) * v_scale).astype(qf.dtype)
+                qh = qf[:, h * group:(h + 1) * group, :].reshape(
+                    bq * group, head_dim)
+                scores = jax.lax.dot_general(
+                    qh, k,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if soft_cap is not None:
+                    scores = soft_cap * jnp.tanh(scores / soft_cap)
+                scores = jnp.where(col_ok & row_valid, scores, NEG_INF)
+
+                m_prev = m_all[h]
+                l_prev = l_all[h]
+                acc_prev = acc_all[h]
+                m_cur = jnp.max(scores, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(scores - m_new)
+                l_cur = jnp.sum(p, axis=-1, keepdims=True)
+                alpha = jnp.exp(m_prev - m_new)
+                l_new = l_prev * alpha + l_cur
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_new = acc_prev * alpha + pv
+                new_m.append(m_new)
+                new_l.append(l_new)
+                new_acc.append(acc_new)
+            return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+
+        init = (
+            jnp.full((num_kv_heads, bq * group, 1), NEG_INF, jnp.float32),
+            jnp.zeros((num_kv_heads, bq * group, 1), jnp.float32),
+            jnp.zeros((num_kv_heads, bq * group, head_dim), jnp.float32),
+        )
+        m_all, l_all, acc_all = jax.lax.fori_loop(0, num_chunks, body, init)
+
+        # normalize + scatter heads back to [BQ, nq, d]
+        out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, BQ*G, d]
+        out = out.reshape(num_kv_heads, bq, group, head_dim)
+        out = out.transpose(1, 0, 2, 3).reshape(bq, nq, head_dim)
+        out_buf[...] = out.astype(out_buf.dtype)
+
+        out_dma = pltpu.make_async_copy(
+            out_buf, out_hbm.at[pl.ds(q_start, bq)], out_sem)
+        out_dma.start()
+        out_dma.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_scale_arr", "v_scale_arr", "scale",
+                     "sliding_window", "logits_soft_cap", "chunk_pages"))
+def _ragged_paged_attention_impl(
+    q: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    lb_seq: jnp.ndarray,
+    lb_q_start: jnp.ndarray,
+    query_start_loc: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    k_scale_arr: Optional[float],
+    v_scale_arr: Optional[float],
+    scale: float,
+    sliding_window: Optional[int],
+    logits_soft_cap: Optional[float],
+    chunk_pages: int,
+) -> jnp.ndarray:
+    T, nq, d = q.shape
+    N, ps, two_nk, _ = kv_cache.shape
+    nk = two_nk // 2
+    group = nq // nk
+    R = seq_lens.shape[0]
+    bq = q_block_size(T, R)
+    maxlb = lb_seq.shape[0]
+
+    kv_quant = kv_cache.dtype != q.dtype
+    # Per-layer KV scales must be static floats for now (checkpoint
+    # scalars); dynamic activation scales land with the quant milestone.
+    k_scale = k_scale_arr if k_scale_arr is not None else 1.0
+    v_scale = v_scale_arr if v_scale_arr is not None else 1.0
+
+    q_pad = jnp.pad(q, ((0, bq), (0, 0), (0, 0)))
+
+    C = chunk_pages * ps
+    kernel = functools.partial(
+        _kernel,
+        bq=bq,
+        chunk_pages=chunk_pages,
+        page_size=ps,
+        num_kv_heads=nk,
+        group=group,
+        head_dim=d,
+        scale=scale,
+        sliding_window=sliding_window,
+        soft_cap=logits_soft_cap,
+        kv_quant=kv_quant,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(maxlb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q
+            pl.BlockSpec(memory_space=pl.ANY),  # kv
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bq, nq, d), q.dtype),
+            pltpu.VMEM((2, C, two_nk, d), kv_cache.dtype),
+            pltpu.VMEM((bq, nq, d), q.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, chunk_pages)),
+        ],
+    )
+    out_pad = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T + bq, nq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(lb_seq, lb_q_start, query_start_loc, seq_lens, block_tables, q_pad,
+      kv_cache)
+    return out_pad[:T]
+
+
+def ragged_paged_attention(
+    q: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    metadata: AttentionMetadata,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logits_soft_cap: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    chunk_pages: int = 8,
+) -> jnp.ndarray:
+    if metadata.lb_seq is None:
+        raise ValueError(
+            "AttentionMetadata.lb_seq/lb_q_start must be populated for the "
+            "Pallas path (InputBatch.prepare_inputs builds them)")
+    return _ragged_paged_attention_impl(
+        q, kv_cache, metadata.lb_seq, metadata.lb_q_start,
+        metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
+        k_scale, v_scale, scale, sliding_window, logits_soft_cap,
+        chunk_pages)

@@ -36,9 +36,12 @@ def quant_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     w_q, scale = p["w_q"], p["scale"]
     zero = p.get("zero")
     if _on_tpu() and x.ndim == 2:
-        from vllm_tpu.ops.pallas.quant_matmul import fused_quant_matmul
-
-        return fused_quant_matmul(x, w_q, scale, zero)
+        try:
+            from vllm_tpu.ops.pallas.quant_matmul import fused_quant_matmul
+        except ImportError:
+            pass
+        else:
+            return fused_quant_matmul(x, w_q, scale, zero)
     in_dim, out_dim = w_q.shape
     num_groups = scale.shape[0]
     group = in_dim // num_groups

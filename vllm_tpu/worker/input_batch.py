@@ -32,6 +32,8 @@ class PreparedInputs:
     seq_lens: np.ndarray  # i32[R]
     block_tables: np.ndarray  # i32[R, max_blocks]
     logits_indices: np.ndarray  # i32[R]
+    lb_seq: np.ndarray  # i32[MAXLB] logical q blocks (pallas kernel)
+    lb_q_start: np.ndarray  # i32[MAXLB]
     # sampling (padded rows: temperature 0 => greedy)
     temperature: np.ndarray
     top_k: np.ndarray
@@ -256,6 +258,12 @@ class InputBatch:
         # padding rows sample garbage at index 0; discarded host-side
         logits_indices[num_active:] = 0
 
+        # Logical q-block assignment for the Pallas ragged kernel.
+        from vllm_tpu.ops.pallas.ragged_paged_attention import \
+            build_logical_blocks
+
+        lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+
         rows = [idx for idx, _ in active]
         temperature = np.zeros(R, np.float32)
         top_k = np.zeros(R, np.int32)
@@ -291,6 +299,8 @@ class InputBatch:
             seq_lens=seq_lens,
             block_tables=block_tables,
             logits_indices=logits_indices,
+            lb_seq=lb_seq,
+            lb_q_start=lb_q_start,
             temperature=temperature,
             top_k=top_k,
             top_p=top_p,

@@ -171,6 +171,8 @@ class TPUModelRunner:
             query_start_loc=jnp.asarray(prep.query_start_loc),
             seq_lens=jnp.asarray(prep.seq_lens),
             positions=jnp.asarray(prep.positions),
+            lb_seq=jnp.asarray(prep.lb_seq),
+            lb_q_start=jnp.asarray(prep.lb_q_start),
         )
         sampling = self._make_sampling_metadata(prep, scheduler_output)
         num_logprobs = 0
