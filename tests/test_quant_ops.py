@@ -1,0 +1,118 @@
+"""Quantized op tests: Pallas fused dequant-matmul vs jnp reference, and
+quantize/dequant round trips (reference analog: tests/kernels/quantization/)."""
+
+import os
+
+os.environ["VLLM_TPU_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def dequant_ref(w_q, scale, zero):
+    K, N = w_q.shape
+    G = scale.shape[0]
+    gs = K // G
+    w = np.asarray(w_q, np.float32).reshape(G, gs, N)
+    if zero is not None:
+        w = w - np.asarray(zero)[:, None, :]
+    w = w * np.asarray(scale)[:, None, :]
+    return w.reshape(K, N)
+
+
+@pytest.mark.parametrize("zero_point", [False, True])
+@pytest.mark.parametrize("shape", [(16, 256, 256), (64, 512, 384)])
+def test_fused_quant_matmul(zero_point, shape):
+    from vllm_tpu.ops.pallas.quant_matmul import fused_quant_matmul
+
+    T, K, N = shape
+    G = K // 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    w_q = jnp.asarray(rng.integers(-8, 8, (K, N)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (G, N)), jnp.float32)
+    zero = None
+    if zero_point:
+        zero = jnp.asarray(rng.uniform(-2, 2, (G, N)), jnp.float32)
+
+    out = fused_quant_matmul(x, w_q, scale, zero)
+    ref = np.asarray(x) @ dequant_ref(w_q, scale, zero)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_quant_matmul_jnp_path_matches():
+    """The grouped jnp fallback (CPU) must match plain dequant matmul."""
+    from vllm_tpu.ops.quant import quant_matmul
+
+    rng = np.random.default_rng(1)
+    T, K, N, G = 8, 256, 128, 2
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    w_q = jnp.asarray(rng.integers(-128, 128, (K, N)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (G, N)), jnp.float32)
+    out = quant_matmul(x, {"w_q": w_q, "scale": scale})
+    ref = np.asarray(x) @ dequant_ref(w_q, scale, None)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_weight_quant_roundtrip_error():
+    from vllm_tpu.models.loader import _quantize_stacked
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((2, 256, 128)).astype(np.float32) * 0.05
+    q8 = _quantize_stacked(w, 8, 128)
+    deq = dequant_ref(q8["w_q"][0], q8["scale"][0], None)
+    rel = np.abs(deq - w[0]).max() / np.abs(w[0]).max()
+    assert rel < 0.01  # int8: <1% of max
+
+    q4 = _quantize_stacked(w, 4, 128)
+    assert q4["w_q"].min() >= -8 and q4["w_q"].max() <= 7
+    deq4 = dequant_ref(q4["w_q"][0], q4["scale"][0], None)
+    rel4 = np.abs(deq4 - w[0]).max() / np.abs(w[0]).max()
+    assert rel4 < 0.1
+
+
+def test_fp8_quantize_roundtrip():
+    from vllm_tpu.ops.quant import quantize_fp8
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+    q, s = quantize_fp8(x)
+    deq = np.asarray(q, np.float32) * float(s)
+    # e4m3 carries ~6% relative precision (3 mantissa bits).
+    rel = np.abs(deq - np.asarray(x)) / (np.abs(np.asarray(x)) + 1e-3)
+    assert np.median(rel) < 0.04
+    assert rel.max() < 0.15
+
+
+def test_int8_kv_cache_write_and_attend():
+    """KV cache in int8 with scales: write + attention dequant path."""
+    from vllm_tpu.ops.attention import (AttentionMetadata,
+                                        ragged_paged_attention_ref,
+                                        write_kv_cache)
+
+    rng = np.random.default_rng(4)
+    T, nk, d, page = 8, 2, 64, 8
+    k = jnp.asarray(rng.standard_normal((T, nk, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, nk, d)) * 0.5, jnp.float32)
+    kv_f = jnp.zeros((4, page, 2 * nk, d), jnp.float32)
+    kv_q = jnp.zeros((4, page, 2 * nk, d), jnp.int8)
+    slots = jnp.arange(page, page + T, dtype=jnp.int32)  # block 1
+    kv_f = write_kv_cache(kv_f, k, v, slots)
+    scale = jnp.asarray(0.05, jnp.float32)
+    kv_q = write_kv_cache(kv_q, k, v, slots, k_scale=scale, v_scale=scale)
+
+    meta = AttentionMetadata(
+        slot_mapping=slots,
+        block_tables=jnp.asarray([[1, 0]], jnp.int32),
+        query_start_loc=jnp.asarray([0, T], jnp.int32),
+        seq_lens=jnp.asarray([T], jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+    )
+    q = jnp.asarray(rng.standard_normal((T, 4, d)), jnp.float32)
+    out_f = ragged_paged_attention_ref(q, kv_f, meta, scale=0.125)
+    out_q = ragged_paged_attention_ref(q, kv_q, meta, scale=0.125,
+                                       k_scale=scale, v_scale=scale)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f),
+                               rtol=0.15, atol=0.05)
