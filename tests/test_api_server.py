@@ -1,0 +1,248 @@
+"""API-server integration: real subprocess server hit over HTTP
+(reference analog: tests/entrypoints/openai/ RemoteOpenAIServer)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+from tests.test_llm_engine import tiny_model_dir  # fixture reuse  # noqa
+
+SERVER_BOOT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import logging
+logging.basicConfig(level=logging.WARNING)
+from vllm_tpu.entrypoints.openai.api_server import make_arg_parser, run_server
+run_server(make_arg_parser().parse_args())
+"""
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=10) as r:
+        return r.status, r.read().decode()
+
+
+def _post(base, path, payload, timeout=60):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.read().decode()
+
+
+@pytest.fixture(scope="module")
+def server(tiny_model_dir, tmp_path_factory):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    boot = tmp_path_factory.mktemp("srv") / "boot.py"
+    boot.write_text(SERVER_BOOT)
+    proc = subprocess.Popen(
+        [
+            sys.executable, str(boot),
+            "--host", "127.0.0.1", "--port", str(port),
+            "--model", tiny_model_dir,
+            "--dtype", "float32",
+            "--max-model-len", "128",
+            "--max-num-seqs", "8",
+            "--block-size", "16",
+            "--num-gpu-blocks-override", "64",
+            "--enforce-eager",
+        ],
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode()
+            raise RuntimeError(f"server died:\n{out[-3000:]}")
+        try:
+            status, _ = _get(base, "/health")
+            if status == 200:
+                break
+        except Exception:
+            time.sleep(0.5)
+    else:
+        proc.kill()
+        raise TimeoutError("server did not come up")
+    yield base
+    proc.send_signal(signal.SIGINT)
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def test_health_version_models(server):
+    assert _get(server, "/health")[0] == 200
+    status, body = _get(server, "/version")
+    assert status == 200 and "version" in body
+    status, body = _get(server, "/v1/models")
+    data = json.loads(body)
+    assert data["object"] == "list"
+    assert len(data["data"]) == 1
+
+
+def test_completions(server):
+    status, body = _post(
+        server, "/v1/completions", {
+            "prompt": "hello world",
+            "max_tokens": 8,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        })
+    assert status == 200
+    data = json.loads(body)
+    assert data["object"] == "text_completion"
+    assert data["choices"][0]["finish_reason"] == "length"
+    assert data["usage"]["completion_tokens"] == 8
+    assert isinstance(data["choices"][0]["text"], str)
+
+
+def test_completions_n2(server):
+    status, body = _post(
+        server, "/v1/completions", {
+            "prompt": "one two three",
+            "max_tokens": 4,
+            "temperature": 0.7,
+            "seed": 42,
+            "n": 2,
+            "ignore_eos": True,
+        })
+    data = json.loads(body)
+    assert len(data["choices"]) == 2
+    assert {c["index"] for c in data["choices"]} == {0, 1}
+
+
+def test_completions_stream(server):
+    import http.client
+
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({
+            "prompt": "the quick brown",
+            "max_tokens": 6,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "stream": True,
+        }).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data:"):
+                chunks.append(line[5:].strip())
+    assert chunks[-1] == "[DONE]"
+    assert len(chunks) >= 2
+
+
+def test_chat_completions(server):
+    status, body = _post(
+        server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hello world"}],
+            "max_tokens": 6,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        })
+    assert status == 200
+    data = json.loads(body)
+    assert data["object"] == "chat.completion"
+    assert data["choices"][0]["message"]["role"] == "assistant"
+    assert data["choices"][0]["finish_reason"] == "length"
+
+
+def test_chat_completions_stream(server):
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "one two"}],
+            "max_tokens": 5,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "stream": True,
+        }).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data:"):
+                chunks.append(line[5:].strip())
+    assert chunks[-1] == "[DONE]"
+    first = json.loads(chunks[0])
+    assert first["choices"][0]["delta"]["role"] == "assistant"
+
+
+def test_tokenize_detokenize(server):
+    status, body = _post(server, "/tokenize",
+                         {"prompt": "hello world test"})
+    assert status == 200
+    data = json.loads(body)
+    assert data["count"] == len(data["tokens"]) > 0
+    status, body = _post(server, "/detokenize", {"tokens": data["tokens"]})
+    assert status == 200
+    assert "hello" in json.loads(body)["prompt"]
+
+
+def test_metrics_endpoint(server):
+    status, body = _get(server, "/metrics")
+    assert status == 200
+    assert "vllm:num_requests_running" in body
+    assert "vllm:generation_tokens" in body
+    # completions above must have counted
+    for line in body.splitlines():
+        if line.startswith("vllm:request_success_total"):
+            assert float(line.rsplit(" ", 1)[1]) >= 1
+            break
+    else:
+        pytest.fail("vllm:request_success_total missing")
+
+
+def test_admin_routes(server):
+    status, body = _post(server, "/reset_prefix_cache", {})
+    assert status == 200
+    status, body = _get(server, "/is_sleeping")
+    assert json.loads(body)["is_sleeping"] is False
+
+
+def test_bad_request_400(server):
+    try:
+        _post(server, "/v1/completions", {
+            "prompt": "x",
+            "max_tokens": 8,
+            "temperature": -5,
+        })
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        err = json.loads(e.read().decode())
+        assert "error" in err
+
+
+def test_guided_choice(server):
+    # NB: the test tokenizer (Whitespace pretokenizer) cannot emit spaces,
+    # so choices are single words.
+    status, body = _post(
+        server, "/v1/completions", {
+            "prompt": "hello",
+            "max_tokens": 10,
+            "temperature": 0.0,
+            "guided_choice": ["onetwo", "threefourfive"],
+        })
+    assert status == 200
+    text = json.loads(body)["choices"][0]["text"]
+    assert text.replace(" ", "") in ("onetwo", "threefourfive"), text

@@ -37,6 +37,10 @@ def tiny_model_dir(tmp_path_factory):
         bos_token="<s>",
         eos_token="</s>",
     )
+    fast.chat_template = (
+        "{% for message in messages %}{{ message['role'] }}: "
+        "{{ message['content'] }}\n{% endfor %}"
+        "{% if add_generation_prompt %}assistant:{% endif %}")
     fast.save_pretrained(d)
 
     torch.manual_seed(0)

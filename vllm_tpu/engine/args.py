@@ -131,17 +131,17 @@ class EngineArgs:
                 continue
             name = "--" + f.name.replace("_", "-")
             default = f.default
-            if f.type == "bool" or isinstance(default, bool):
+            ann = str(f.type)
+            if "bool" in ann or isinstance(default, bool):
                 parser.add_argument(name, action="store_true"
                                     if not default else "store_false",
                                     default=default)
+            elif "float" in ann:
+                parser.add_argument(name, type=float, default=default)
+            elif "int" in ann:
+                parser.add_argument(name, type=int, default=default)
             else:
-                ftype = str
-                if isinstance(default, int):
-                    ftype = int
-                elif isinstance(default, float):
-                    ftype = float
-                parser.add_argument(name, type=ftype, default=default)
+                parser.add_argument(name, type=str, default=default)
         return parser
 
     @classmethod

@@ -1,0 +1,224 @@
+"""OpenAI-compatible API server on aiohttp
+(reference: vllm/entrypoints/openai/api_server.py — route surface parity;
+fastapi/uvicorn are not available in this environment, aiohttp is).
+
+Routes: /v1/completions, /v1/chat/completions, /v1/models, /v1/embeddings
+(501 until the pooling runner lands), /tokenize, /detokenize, /health,
+/ping, /version, /metrics (Prometheus), admin: /reset_prefix_cache,
+/sleep, /wake_up, /is_sleeping, /start_profile, /stop_profile, /invocations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import inspect
+import json
+import logging
+from typing import Optional
+
+from aiohttp import web
+
+import vllm_tpu
+from vllm_tpu.engine.args import EngineArgs
+from vllm_tpu.engine.async_llm import AsyncLLM, EngineDeadError
+from vllm_tpu.entrypoints.openai.protocol import (ChatCompletionRequest,
+                                                  CompletionRequest,
+                                                  DetokenizeRequest,
+                                                  DetokenizeResponse,
+                                                  ErrorInfo, ErrorResponse,
+                                                  ModelCard, ModelList,
+                                                  TokenizeRequest,
+                                                  TokenizeResponse)
+from vllm_tpu.entrypoints.openai.serving import (OpenAIServingChat,
+                                                 OpenAIServingCompletion)
+
+logger = logging.getLogger(__name__)
+
+ENGINE_KEY = web.AppKey("engine", AsyncLLM)
+
+
+def _json_error(message: str, status: int = 400,
+                err_type: str = "BadRequestError") -> web.Response:
+    body = ErrorResponse(error=ErrorInfo(message=message, type=err_type,
+                                         code=status))
+    return web.json_response(json.loads(body.model_dump_json()),
+                             status=status)
+
+
+async def _respond(result) -> web.Response:
+    return web.json_response(json.loads(result.model_dump_json()))
+
+
+async def _stream_response(request: web.Request,
+                           gen) -> web.StreamResponse:
+    resp = web.StreamResponse(
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+    await resp.prepare(request)
+    async for chunk in gen:
+        await resp.write(chunk.encode())
+    await resp.write_eof()
+    return resp
+
+
+def build_app(engine: AsyncLLM, served_model_name: str,
+              max_model_len: int) -> web.Application:
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app[ENGINE_KEY] = engine
+    completion = OpenAIServingCompletion(engine, served_model_name)
+    chat = OpenAIServingChat(engine, served_model_name)
+
+    async def health(request: web.Request) -> web.Response:
+        try:
+            await engine.check_health()
+        except EngineDeadError as e:
+            return _json_error(str(e), 500, "EngineDeadError")
+        return web.Response(text="")
+
+    async def version(request: web.Request) -> web.Response:
+        return web.json_response({"version": vllm_tpu.__version__})
+
+    async def models(request: web.Request) -> web.Response:
+        card = ModelCard(id=served_model_name,
+                         max_model_len=max_model_len)
+        return await _respond(ModelList(data=[card]))
+
+    async def completions(request: web.Request) -> web.StreamResponse:
+        try:
+            req = CompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        try:
+            result = await completion.create_completion(req)
+        except ValueError as e:
+            return _json_error(str(e))
+        except EngineDeadError as e:
+            return _json_error(str(e), 500, "EngineDeadError")
+        if inspect.isasyncgen(result):
+            return await _stream_response(request, result)
+        return await _respond(result)
+
+    async def chat_completions(request: web.Request) -> web.StreamResponse:
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        try:
+            result = await chat.create_chat_completion(req)
+        except ValueError as e:
+            return _json_error(str(e))
+        except EngineDeadError as e:
+            return _json_error(str(e), 500, "EngineDeadError")
+        if inspect.isasyncgen(result):
+            return await _stream_response(request, result)
+        return await _respond(result)
+
+    async def tokenize(request: web.Request) -> web.Response:
+        req = TokenizeRequest(**await request.json())
+        tokenizer = engine.tokenizer
+        if req.messages is not None:
+            text = tokenizer.apply_chat_template(req.messages,
+                                                 tokenize=False,
+                                                 add_generation_prompt=True)
+        else:
+            text = req.prompt or ""
+        tokens = tokenizer.encode(text,
+                                  add_special_tokens=req.add_special_tokens)
+        return await _respond(
+            TokenizeResponse(count=len(tokens), max_model_len=max_model_len,
+                             tokens=tokens))
+
+    async def detokenize(request: web.Request) -> web.Response:
+        req = DetokenizeRequest(**await request.json())
+        text = engine.tokenizer.decode(req.tokens)
+        return await _respond(DetokenizeResponse(prompt=text))
+
+    async def metrics(request: web.Request) -> web.Response:
+        import prometheus_client
+
+        data = prometheus_client.generate_latest()
+        return web.Response(body=data,
+                            content_type="text/plain",
+                            charset="utf-8")
+
+    async def embeddings(request: web.Request) -> web.Response:
+        return _json_error("embedding models are not yet supported", 501,
+                           "NotImplementedError")
+
+    async def reset_prefix_cache(request: web.Request) -> web.Response:
+        ok = await engine.reset_prefix_cache()
+        return web.json_response({"success": bool(ok)})
+
+    async def sleep(request: web.Request) -> web.Response:
+        level = int(request.query.get("level", "1"))
+        await engine.sleep(level)
+        return web.Response(text="")
+
+    async def wake_up(request: web.Request) -> web.Response:
+        await engine.wake_up(None)
+        return web.Response(text="")
+
+    async def is_sleeping(request: web.Request) -> web.Response:
+        return web.json_response({"is_sleeping": await engine.is_sleeping()})
+
+    async def start_profile(request: web.Request) -> web.Response:
+        await engine.start_profile()
+        return web.Response(text="")
+
+    async def stop_profile(request: web.Request) -> web.Response:
+        await engine.stop_profile()
+        return web.Response(text="")
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/ping", health)
+    app.router.add_post("/ping", health)
+    app.router.add_get("/version", version)
+    app.router.add_get("/v1/models", models)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_post("/tokenize", tokenize)
+    app.router.add_post("/detokenize", detokenize)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_post("/reset_prefix_cache", reset_prefix_cache)
+    app.router.add_post("/sleep", sleep)
+    app.router.add_post("/wake_up", wake_up)
+    app.router.add_get("/is_sleeping", is_sleeping)
+    app.router.add_post("/start_profile", start_profile)
+    app.router.add_post("/stop_profile", stop_profile)
+    app.router.add_post("/invocations", completions)
+    return app
+
+
+def run_server(args: argparse.Namespace) -> None:
+    engine_args = EngineArgs.from_cli_args(args)
+    config = engine_args.create_engine_config()
+    engine = AsyncLLM(config)
+    app = build_app(engine, config.model_config.served_model_name,
+                    config.scheduler_config.max_model_len)
+    logger.info("vllm-tpu API server on %s:%d", args.host, args.port)
+    try:
+        web.run_app(app, host=args.host, port=args.port,
+                    access_log=None, shutdown_timeout=5)
+    finally:
+        engine.shutdown()
+
+
+def make_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="vllm-tpu OpenAI server")
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    EngineArgs.add_cli_args(parser)
+    return parser
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    run_server(make_arg_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

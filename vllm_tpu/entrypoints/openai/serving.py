@@ -1,0 +1,210 @@
+"""OpenAI serving handlers (reference: vllm/entrypoints/openai/serving_chat.py,
+serving_completion.py — behavior parity, aiohttp-native implementation)."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import AsyncGenerator, Optional, Union
+
+from vllm_tpu.engine.async_llm import AsyncLLM
+from vllm_tpu.entrypoints.openai.protocol import (
+    ChatCompletionChunk, ChatCompletionChunkChoice, ChatCompletionRequest,
+    ChatCompletionResponse, ChatCompletionChoice, ChatMessage,
+    CompletionChoice, CompletionLogProbs, CompletionRequest,
+    CompletionResponse, DeltaMessage, UsageInfo, random_uuid)
+from vllm_tpu.outputs import RequestOutput
+from vllm_tpu.sampling_params import SamplingParams
+
+
+class OpenAIServing:
+
+    def __init__(self, engine: AsyncLLM, served_model_name: str) -> None:
+        self.engine = engine
+        self.model_name = served_model_name
+
+    def _default_max_tokens(self) -> Optional[int]:
+        return None  # processor caps to context window
+
+    async def _collect(self, gen) -> RequestOutput:
+        final = None
+        async for out in gen:
+            final = out
+        return final
+
+    def _make_logprobs(self, logprobs_list, tokenizer
+                       ) -> Optional[CompletionLogProbs]:
+        if logprobs_list is None:
+            return None
+        out = CompletionLogProbs()
+        for pos in logprobs_list:
+            if not pos:
+                continue
+            best = max(pos.items(), key=lambda kv: kv[1].logprob)
+            out.tokens.append(best[1].decoded_token or "")
+            out.token_logprobs.append(best[1].logprob)
+            out.top_logprobs.append({
+                (lp.decoded_token or str(tid)): lp.logprob
+                for tid, lp in pos.items()
+            })
+            out.text_offset.append(0)
+        return out
+
+
+class OpenAIServingCompletion(OpenAIServing):
+
+    async def create_completion(self, request: CompletionRequest
+                                ) -> Union[CompletionResponse,
+                                           AsyncGenerator[str, None]]:
+        prompts = request.prompt
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        elif prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+
+        params = request.to_sampling_params(self._default_max_tokens())
+        request_id = f"cmpl-{random_uuid()}"
+
+        gens = []
+        for i, prompt in enumerate(prompts):
+            for j in range(request.n):
+                p = prompt if isinstance(prompt, str) else {
+                    "prompt_token_ids": prompt
+                }
+                child = params if request.n == 1 else params.clone()
+                if request.n > 1 and child.seed is not None:
+                    child.seed += j
+                gens.append(
+                    ((i * request.n + j),
+                     self.engine.generate(p, child,
+                                          f"{request_id}-{i}-{j}",
+                                          priority=request.priority)))
+
+        if request.stream:
+            return self._stream_completion(request, request_id, gens)
+
+        tokenizer = self.engine.tokenizer
+        choices = []
+        usage = UsageInfo()
+        results = await asyncio.gather(*[self._collect(g) for _, g in gens])
+        for (idx, _), out in zip(gens, results):
+            c = out.outputs[0]
+            text = c.text
+            if request.echo:
+                text = (out.prompt or "") + text
+            choices.append(
+                CompletionChoice(
+                    index=idx,
+                    text=text,
+                    logprobs=self._make_logprobs(c.logprobs, tokenizer),
+                    finish_reason=c.finish_reason,
+                    stop_reason=c.stop_reason,
+                ))
+            usage.prompt_tokens += len(out.prompt_token_ids or [])
+            usage.completion_tokens += len(c.token_ids)
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        return CompletionResponse(id=request_id,
+                                  model=request.model or self.model_name,
+                                  choices=choices, usage=usage)
+
+    async def _stream_completion(self, request: CompletionRequest,
+                                 request_id: str,
+                                 gens) -> AsyncGenerator[str, None]:
+        model = request.model or self.model_name
+
+        async def stream_one(idx, gen):
+            async for out in gen:
+                c = out.outputs[0]
+                chunk = CompletionResponse(
+                    id=request_id,
+                    model=model,
+                    choices=[
+                        CompletionChoice(index=idx, text=c.text,
+                                         finish_reason=c.finish_reason,
+                                         stop_reason=c.stop_reason)
+                    ])
+                yield f"data: {chunk.model_dump_json()}\n\n"
+
+        for idx, gen in gens:
+            async for chunk in stream_one(idx, gen):
+                yield chunk
+        yield "data: [DONE]\n\n"
+
+
+class OpenAIServingChat(OpenAIServing):
+
+    def _render(self, request: ChatCompletionRequest) -> str:
+        tokenizer = self.engine.tokenizer
+        return tokenizer.apply_chat_template(
+            request.messages,
+            tokenize=False,
+            add_generation_prompt=request.add_generation_prompt,
+            chat_template=request.chat_template,
+            tools=request.tools,
+        )
+
+    async def create_chat_completion(
+            self, request: ChatCompletionRequest
+    ) -> Union[ChatCompletionResponse, AsyncGenerator[str, None]]:
+        prompt = self._render(request)
+        params = request.to_sampling_params(self._default_max_tokens())
+        request_id = f"chatcmpl-{random_uuid()}"
+
+        if request.stream:
+            return self._stream_chat(request, request_id, prompt, params)
+
+        gens = []
+        for j in range(request.n):
+            child = params if request.n == 1 else params.clone()
+            if request.n > 1 and child.seed is not None:
+                child.seed += j
+            gens.append(
+                self.engine.generate(prompt, child, f"{request_id}-{j}",
+                                     priority=request.priority))
+        results = await asyncio.gather(*[self._collect(g) for g in gens])
+        choices = []
+        usage = UsageInfo()
+        for j, out in enumerate(results):
+            c = out.outputs[0]
+            choices.append(
+                ChatCompletionChoice(
+                    index=j,
+                    message=ChatMessage(role="assistant", content=c.text),
+                    finish_reason=c.finish_reason,
+                    stop_reason=c.stop_reason,
+                ))
+            usage.prompt_tokens = len(out.prompt_token_ids or [])
+            usage.completion_tokens += len(c.token_ids)
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        return ChatCompletionResponse(id=request_id,
+                                      model=request.model or
+                                      self.model_name,
+                                      choices=choices, usage=usage)
+
+    async def _stream_chat(self, request: ChatCompletionRequest,
+                           request_id: str, prompt: str,
+                           params: SamplingParams
+                           ) -> AsyncGenerator[str, None]:
+        model = request.model or self.model_name
+        first = ChatCompletionChunk(
+            id=request_id, model=model,
+            choices=[
+                ChatCompletionChunkChoice(index=0,
+                                          delta=DeltaMessage(
+                                              role="assistant", content=""))
+            ])
+        yield f"data: {first.model_dump_json()}\n\n"
+        async for out in self.engine.generate(prompt, params, request_id,
+                                              priority=request.priority):
+            c = out.outputs[0]
+            chunk = ChatCompletionChunk(
+                id=request_id, model=model,
+                choices=[
+                    ChatCompletionChunkChoice(
+                        index=0,
+                        delta=DeltaMessage(content=c.text),
+                        finish_reason=c.finish_reason)
+                ])
+            yield f"data: {chunk.model_dump_json()}\n\n"
+        yield "data: [DONE]\n\n"

@@ -90,6 +90,12 @@ class TokenGrammar:
             if s in dfa.accepting and eos_token_id is not None:
                 mask[eos_token_id // 32] |= np.uint32(
                     1 << (eos_token_id % 32))
+            if not mask.any() and eos_token_id is not None:
+                # Dead-end state (tokenizer can't continue the grammar):
+                # allow EOS so the request terminates cleanly instead of
+                # sampling from an all-masked distribution.
+                mask[eos_token_id // 32] |= np.uint32(
+                    1 << (eos_token_id % 32))
 
     def new_state(self) -> "GrammarState":
         return GrammarState(self)

@@ -252,11 +252,18 @@ class TPUModelRunner:
             V = self.model.args.vocab_size
             words = cdiv(V, 32)
             bitmask = np.full((R, words), 0xFFFFFFFF, np.uint32)
+            grammar = scheduler_output.grammar_bitmask
+            # The model vocab may be padded wider than the tokenizer vocab
+            # the grammar was compiled against; out-of-tokenizer ids are
+            # never grammar-legal, so the tail words are zeroed.
+            gwords = grammar.shape[1]
             for req_id, src_row in (
                     scheduler_output.structured_output_request_ids.items()):
                 if req_id in prep.req_ids:
                     row = prep.req_ids.index(req_id)
-                    bitmask[row] = scheduler_output.grammar_bitmask[src_row]
+                    n = min(words, gwords)
+                    bitmask[row, :n] = grammar[src_row][:n]
+                    bitmask[row, n:] = 0
             kw["grammar_bitmask"] = jnp.asarray(bitmask)
         return SamplingMetadata(
             temperature=jnp.asarray(prep.temperature),
