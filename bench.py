@@ -68,6 +68,10 @@ def main() -> None:
         block_size=32,
         gpu_memory_utilization=0.92,
         hf_config=hf_config,
+        # The warmup round compiles exactly the buckets this workload
+        # touches; blanket precompilation of every bucket would add
+        # ~30 min of compile time for nothing here.
+        enforce_eager=True,
     )
     engine = LLMEngine(engine_args.create_engine_config())
 

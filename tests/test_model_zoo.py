@@ -1,0 +1,142 @@
+"""Golden-logit tests for every supported architecture vs HF transformers
+(reference analog: tests/models/ greedy/logprob agreement)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.test_model_vs_hf import build_metadata
+
+TOKENS = [[1, 5, 9, 3, 7, 11, 2], [4, 8, 100, 42]]
+
+
+def make_hf_model(arch):
+    import torch
+
+    torch.manual_seed(0)
+    common = dict(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=256,
+    )
+    if arch == "qwen2":
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        return Qwen2ForCausalLM(
+            Qwen2Config(num_key_value_heads=2, **common))
+    if arch == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        return Qwen3ForCausalLM(
+            Qwen3Config(num_key_value_heads=2, head_dim=16, **common))
+    if arch == "mistral_sw":
+        from transformers import MistralConfig, MistralForCausalLM
+
+        return MistralForCausalLM(
+            MistralConfig(num_key_value_heads=2, sliding_window=5,
+                          **common))
+    if arch == "gemma":
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        return GemmaForCausalLM(
+            GemmaConfig(num_key_value_heads=2, head_dim=16, **common))
+    if arch == "gemma2":
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+
+        return Gemma2ForCausalLM(
+            Gemma2Config(num_key_value_heads=2, head_dim=16,
+                         sliding_window=5, query_pre_attn_scalar=16,
+                         attn_logit_softcapping=50.0,
+                         final_logit_softcapping=30.0, **common))
+    if arch == "gpt2":
+        from transformers import GPT2Config, GPT2LMHeadModel
+
+        return GPT2LMHeadModel(
+            GPT2Config(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                       n_positions=256))
+    if arch == "opt":
+        from transformers import OPTConfig, OPTForCausalLM
+
+        return OPTForCausalLM(
+            OPTConfig(vocab_size=128, hidden_size=64, ffn_dim=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      max_position_embeddings=256,
+                      word_embed_proj_dim=64))
+    if arch == "mixtral":
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        return MixtralForCausalLM(
+            MixtralConfig(num_key_value_heads=2, num_local_experts=4,
+                          num_experts_per_tok=2, pad_token_id=0, **common))
+    if arch == "phi3":
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        return Phi3ForCausalLM(
+            Phi3Config(num_key_value_heads=2, pad_token_id=0, **common))
+    raise ValueError(arch)
+
+
+@pytest.mark.parametrize("arch", [
+    "qwen2", "qwen3", "mistral_sw", "gemma", "gemma2", "gpt2", "opt",
+    "mixtral", "phi3"
+])
+def test_arch_logits_match_hf(arch, tmp_path):
+    import torch
+
+    hf_model = make_hf_model(arch)
+    hf_model.eval()
+    d = tmp_path / arch
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    expected = []
+    with torch.no_grad():
+        for toks in TOKENS:
+            out = hf_model(torch.tensor([toks])).logits[0]
+            expected.append(out.numpy())
+
+    from vllm_tpu.config import ModelConfig
+    from vllm_tpu.models.registry import get_model
+    from vllm_tpu.models.weight_utils import weights_iterator
+
+    mc = ModelConfig(model=str(d), dtype="float32")
+    model = get_model(mc)
+    params = model.load_weights(weights_iterator(str(d)))
+
+    block_size = 4
+    metadata, input_ids, _ = build_metadata(TOKENS, block_size,
+                                            max_blocks=8, total_pad=16,
+                                            req_pad=4)
+    a = model.args
+    kv = jnp.zeros((a.num_layers, 32, block_size, 2 * a.num_kv_heads,
+                    a.head_dim), jnp.float32)
+    hidden, _ = model.forward(params, input_ids, [kv], metadata)
+    logits = np.asarray(model.compute_logits(params, hidden))
+
+    # MoE routing amplifies tiny fp differences; loosen slightly.
+    tol = 2e-3 if arch == "mixtral" else 5e-4
+    offset = 0
+    for r, toks in enumerate(TOKENS):
+        ours = logits[offset:offset + len(toks)]
+        np.testing.assert_allclose(ours, expected[r], rtol=tol, atol=tol)
+        offset += len(toks)
+
+
+def test_fused_moe_matches_dense_reference():
+    from vllm_tpu.ops.moe import fused_moe, fused_moe_ref, topk_routing
+
+    rng = np.random.default_rng(0)
+    T, H, I, E, K = 24, 32, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    w_gu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1,
+                       jnp.float32)
+    w_d = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+    weights, ids = topk_routing(router, K)
+    out = fused_moe(x, w_gu, w_d, weights, ids, capacity_factor=4.0)
+    ref = fused_moe_ref(x, w_gu, w_d, weights, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

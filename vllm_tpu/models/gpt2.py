@@ -1,0 +1,161 @@
+"""GPT-2 (reference parity: vllm/model_executor/models/gpt2.py).
+
+Learned positional embeddings, LayerNorm (not RMS), fused c_attn qkv,
+gelu_new MLP. Checkpoint Conv1D weights are stored [in, out] already (no
+transpose).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.config import ModelConfig
+from vllm_tpu.core.kv_cache_interface import FullAttentionSpec
+from vllm_tpu.models.llama import _np_dtype
+from vllm_tpu.ops.activation import gelu_new
+from vllm_tpu.ops.attention import AttentionMetadata, attention, \
+    write_kv_cache
+from vllm_tpu.ops.layernorm import layer_norm
+from vllm_tpu.ops.linear import embedding_lookup, linear, lm_head_logits
+
+
+class GPT2LMHeadModel:
+
+    def __init__(self, model_config: ModelConfig) -> None:
+        self.model_config = model_config
+        hf = model_config.resolve_hf_config()
+        self.hidden = hf.hidden_size
+        self.num_layers = hf.num_hidden_layers
+        self.num_heads = hf.num_attention_heads
+        self.head_dim = self.hidden // self.num_heads
+        self.inner = getattr(hf, "n_inner", None) or 4 * self.hidden
+        self.vocab_size = hf.vocab_size
+        self.max_pos = hf.max_position_embeddings
+        self.ln_eps = getattr(hf, "layer_norm_epsilon", 1e-5)
+        self.dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
+            else jnp.float32
+        self.scale = 1.0 / math.sqrt(self.head_dim)
+
+        class _Args:
+            vocab_size = self.vocab_size
+            num_layers = self.num_layers
+            num_kv_heads = self.num_heads
+            head_dim = self.head_dim
+            hidden_size = self.hidden
+
+        self.args = _Args()
+
+    def forward(self, params, input_ids, kv_caches, metadata):
+        x = embedding_lookup(input_ids, params["embed"]["w"])
+        x = x + embedding_lookup(metadata.positions, params["pos_embed"])
+
+        def body(h, scanned):
+            lp, kv = scanned
+            nh, hd = self.num_heads, self.head_dim
+            T = h.shape[0]
+            a = layer_norm(h, lp["ln1_w"], lp["ln1_b"], self.ln_eps)
+            qkv = linear(a, lp["qkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(T, nh, hd)
+            k = k.reshape(T, nh, hd)
+            v = v.reshape(T, nh, hd)
+            kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+            attn = attention(q, kv, metadata, self.scale)
+            h = h + linear(attn.reshape(T, nh * hd), lp["o"])
+            a = layer_norm(h, lp["ln2_w"], lp["ln2_b"], self.ln_eps)
+            mlp = linear(gelu_new(linear(a, lp["fc"])), lp["proj"])
+            return h + mlp, kv
+
+        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches[0]))
+        x = layer_norm(x, params["final_ln_w"], params["final_ln_b"],
+                       self.ln_eps)
+        return x, [new_kv]
+
+    def compute_logits(self, params, hidden):
+        return lm_head_logits(hidden, params["lm_head"])
+
+    def get_kv_cache_specs(self, block_size, cache_dtype):
+        return {
+            f"h.{i}": FullAttentionSpec(block_size=block_size,
+                                        num_kv_heads=self.num_heads,
+                                        head_size=self.head_dim,
+                                        dtype=cache_dtype)
+            for i in range(self.num_layers)
+        }
+
+    def load_weights(self, weights_iter):
+        L, H, I = self.num_layers, self.hidden, self.inner
+        np_dtype = _np_dtype(self.model_config.dtype)
+        layers: dict[str, Any] = {
+            "ln1_w": np.empty((L, H), np_dtype),
+            "ln1_b": np.empty((L, H), np_dtype),
+            "ln2_w": np.empty((L, H), np_dtype),
+            "ln2_b": np.empty((L, H), np_dtype),
+            "qkv": {"w": np.empty((L, H, 3 * H), np_dtype),
+                    "b": np.empty((L, 3 * H), np_dtype)},
+            "o": {"w": np.empty((L, H, H), np_dtype),
+                  "b": np.empty((L, H), np_dtype)},
+            "fc": {"w": np.empty((L, H, I), np_dtype),
+                   "b": np.empty((L, I), np_dtype)},
+            "proj": {"w": np.empty((L, I, H), np_dtype),
+                     "b": np.empty((L, H), np_dtype)},
+        }
+        params: dict[str, Any] = {
+            "embed": {"w": np.empty((self.vocab_size, H), np_dtype)},
+            "pos_embed": np.empty((self.max_pos, H), np_dtype),
+            "layers": layers,
+            "final_ln_w": np.empty((H,), np_dtype),
+            "final_ln_b": np.empty((H,), np_dtype),
+            "lm_head": {"w": np.empty((H, self.vocab_size), np_dtype)},
+        }
+        # Conv1D layout: weight [in, out] — no transpose.
+        suffix_map = {
+            "ln_1.weight": ("ln1_w", None),
+            "ln_1.bias": ("ln1_b", None),
+            "ln_2.weight": ("ln2_w", None),
+            "ln_2.bias": ("ln2_b", None),
+            "attn.c_attn.weight": ("qkv", "w"),
+            "attn.c_attn.bias": ("qkv", "b"),
+            "attn.c_proj.weight": ("o", "w"),
+            "attn.c_proj.bias": ("o", "b"),
+            "mlp.c_fc.weight": ("fc", "w"),
+            "mlp.c_fc.bias": ("fc", "b"),
+            "mlp.c_proj.weight": ("proj", "w"),
+            "mlp.c_proj.bias": ("proj", "b"),
+        }
+        for name, w in weights_iter:
+            w = np.asarray(w)
+            if name.startswith("transformer."):
+                name = name[len("transformer."):]
+            if name == "wte.weight":
+                params["embed"]["w"][...] = w.astype(np_dtype)
+            elif name == "wpe.weight":
+                params["pos_embed"][...] = w.astype(np_dtype)
+            elif name == "ln_f.weight":
+                params["final_ln_w"][...] = w.astype(np_dtype)
+            elif name == "ln_f.bias":
+                params["final_ln_b"][...] = w.astype(np_dtype)
+            elif name == "lm_head.weight":
+                params["lm_head"]["w"][...] = w.T.astype(np_dtype)
+            elif name.startswith("h."):
+                layer_str, suffix = name[2:].split(".", 1)
+                entry = suffix_map.get(suffix)
+                if entry is None:
+                    continue
+                key, leaf = entry
+                li = int(layer_str)
+                if leaf is None:
+                    layers[key][li] = w.astype(np_dtype)
+                else:
+                    layers[key][leaf][li] = w.astype(np_dtype)
+        # GPT-2 ties lm_head to wte.
+        params["lm_head"]["w"][...] = params["embed"]["w"].T
+        return params
+
+    def init_dummy_params(self, seed: int = 0):
+        raise NotImplementedError("use a real GPT-2 checkpoint")

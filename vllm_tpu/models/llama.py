@@ -128,6 +128,15 @@ class LlamaForCausalLM:
             x = x * jnp.asarray(self.args.embedding_multiplier, x.dtype)
         return x
 
+    # Repeating per-layer static-config pattern (e.g. Gemma-2 alternates
+    # sliding-window and full-attention layers). Length p must divide
+    # num_layers; the scan runs over layer *groups* of size p with an
+    # unrolled static inner loop, so every layer keeps a static config
+    # while the whole stack still compiles as one scan body.
+    @property
+    def layer_pattern(self) -> list[dict]:
+        return [{}]
+
     def forward(
         self,
         params: dict,
@@ -137,22 +146,43 @@ class LlamaForCausalLM:
     ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
         args = self.args
         x = self.embed(params, input_ids)
+        pattern = self.layer_pattern
+        p = len(pattern)
+        assert args.num_layers % p == 0
+
+        def regroup(leaf):
+            return leaf.reshape(args.num_layers // p, p, *leaf.shape[1:])
+
+        layers = jax.tree.map(regroup, params["layers"])
+        kv = regroup(kv_caches[0])
 
         def body(h, scanned):
-            lp, kv = scanned
-            new_h, new_kv = self._decoder_layer(lp, h, kv, metadata)
-            return new_h, new_kv
+            lp, kv_g = scanned
+            new_kvs = []
+            for i, cfg in enumerate(pattern):
+                lp_i = jax.tree.map(lambda leaf: leaf[i], lp)
+                h, kv_i = self._decoder_layer(lp_i, h, kv_g[i], metadata,
+                                              **cfg)
+                new_kvs.append(kv_i)
+            return h, jnp.stack(new_kvs)
 
-        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches[0]))
+        x, new_kv = jax.lax.scan(body, x, (layers, kv))
+        new_kv = new_kv.reshape(args.num_layers, *new_kv.shape[2:])
         x = rms_norm(x, params["final_ln"], args.rms_eps)
         return x, [new_kv]
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
-                       metadata: AttentionMetadata
+                       metadata: AttentionMetadata,
+                       sliding_window: Optional[int] = "default",
+                       inv_freq=None,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+        if sliding_window == "default":
+            sliding_window = args.sliding_window
+        if inv_freq is None:
+            inv_freq = self.inv_freq
 
         h = rms_norm(x, lp["input_ln"], args.rms_eps)
         qkv = linear(h, lp["qkv"])  # [T, (nq+2nk)*d]
@@ -163,11 +193,11 @@ class LlamaForCausalLM:
         if args.qk_norm:
             q = rms_norm(q, lp["q_norm"], args.rms_eps)
             k = rms_norm(k, lp["k_norm"], args.rms_eps)
-        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+        q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
         attn_out = attention(q, kv, metadata, self.scale,
-                             sliding_window=args.sliding_window,
+                             sliding_window=sliding_window,
                              logits_soft_cap=args.attn_soft_cap)
         attn_out = linear(attn_out.reshape(T, nq * d), lp["o"])
         x = x + attn_out

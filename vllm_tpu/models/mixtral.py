@@ -1,0 +1,230 @@
+"""Mixtral-style MoE causal LM (reference parity:
+vllm/model_executor/models/mixtral.py; built on the Llama skeleton with
+the MLP swapped for fused MoE)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.models.llama import LlamaForCausalLM, ModelArgs, \
+    dataclass_replace
+from vllm_tpu.ops.attention import AttentionMetadata
+from vllm_tpu.ops.layernorm import rms_norm
+from vllm_tpu.ops.linear import linear
+from vllm_tpu.ops.moe import fused_moe, topk_routing
+
+
+class MixtralForCausalLM(LlamaForCausalLM):
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        self.num_experts = int(getattr(hf, "num_local_experts", 8))
+        self.top_k = int(getattr(hf, "num_experts_per_tok", 2))
+        self.moe_intermediate = int(
+            getattr(hf, "intermediate_size", args.intermediate_size))
+        return args
+
+    # ---- forward: override the MLP half of the decoder layer
+
+    def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
+                       metadata: AttentionMetadata,
+                       **_cfg) -> tuple[jnp.ndarray, jnp.ndarray]:
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        from vllm_tpu.ops.attention import attention, write_kv_cache
+        from vllm_tpu.ops.rotary import apply_rope
+
+        h = rms_norm(x, lp["input_ln"], args.rms_eps)
+        qkv = linear(h, lp["qkv"])
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        attn_out = attention(q, kv, metadata, self.scale,
+                             sliding_window=args.sliding_window)
+        x = x + linear(attn_out.reshape(T, nq * d), lp["o"])
+
+        h = rms_norm(x, lp["post_ln"], args.rms_eps)
+        router_logits = linear(h, lp["router"])
+        weights, expert_ids = topk_routing(router_logits, self.top_k,
+                                           renormalize=True)
+        moe_out = fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
+                            weights, expert_ids, act=args.act)
+        return x + moe_out, kv
+
+    # ---- weights
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        a = self.args
+        L, H = a.num_layers, a.hidden_size
+        I = self.moe_intermediate
+        E = self.num_experts
+        nq, nk, d = a.num_heads, a.num_kv_heads, a.head_dim
+        return {
+            "input_ln": np.empty((L, H), np_dtype),
+            "post_ln": np.empty((L, H), np_dtype),
+            "qkv": {"w": np.empty((L, H, (nq + 2 * nk) * d), np_dtype)},
+            "o": {"w": np.empty((L, nq * d, H), np_dtype)},
+            "router": {"w": np.empty((L, H, E), np_dtype)},
+            "experts_gate_up": np.empty((L, E, H, 2 * I), np_dtype),
+            "experts_down": np.empty((L, E, I, H), np_dtype),
+        }
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        # Mixtral: block_sparse_moe.gate + experts.N.w{1,2,3}
+        m["block_sparse_moe.gate.weight"] = ("router.w", "", True)
+        for e in range(self.num_experts):
+            # w1 = gate, w3 = up, w2 = down
+            m[f"block_sparse_moe.experts.{e}.w1.weight"] = (
+                f"experts_gate_up@{e}", "gate", True)
+            m[f"block_sparse_moe.experts.{e}.w3.weight"] = (
+                f"experts_gate_up@{e}", "up", True)
+            m[f"block_sparse_moe.experts.{e}.w2.weight"] = (
+                f"experts_down@{e}", "", True)
+        return m
+
+    def load_weights(self, weights_iter):
+        """Extends the Llama loader with expert-indexed destinations
+        (keys containing '@e')."""
+        from vllm_tpu.models.llama import _np_dtype
+
+        a = self.args
+        np_dtype = _np_dtype(self.model_config.dtype)
+        layers = self._alloc_layer_stack(np_dtype)
+        params: dict[str, Any] = {
+            "embed": {"w": np.empty((a.vocab_size, a.hidden_size),
+                                    np_dtype)},
+            "layers": layers,
+            "final_ln": np.empty((a.hidden_size,), np_dtype),
+            "lm_head": {"w": np.empty((a.hidden_size, a.vocab_size),
+                                      np_dtype)},
+        }
+        lmap = self._hf_layer_map()
+        prefix = self._LAYER_PREFIX + "."
+        I = self.moe_intermediate
+        seen_lm_head = False
+        for name, w in weights_iter:
+            w = np.asarray(w)
+            if name == self._EMBED:
+                params["embed"]["w"][...] = w.astype(np_dtype)
+                continue
+            if name == self._FINAL_NORM:
+                params["final_ln"][...] = w.astype(np_dtype)
+                continue
+            if name == self._LM_HEAD:
+                params["lm_head"]["w"][...] = w.T.astype(np_dtype)
+                seen_lm_head = True
+                continue
+            if not name.startswith(prefix):
+                continue
+            layer_str, suffix = name[len(prefix):].split(".", 1)
+            li = int(layer_str)
+            entry = lmap.get(suffix)
+            if entry is None:
+                continue
+            key, part, transpose = entry
+            if transpose:
+                w = w.T
+            if "@" in key:
+                base, e = key.split("@")
+                e = int(e)
+                if base == "experts_gate_up":
+                    start = 0 if part == "gate" else I
+                    layers[base][li, e, :, start:start + I] = \
+                        w.astype(np_dtype)
+                else:
+                    layers[base][li, e] = w.astype(np_dtype)
+            else:
+                dest: Any = layers
+                *path, leaf = key.split(".")
+                for p_ in path:
+                    dest = dest[p_]
+                if part:
+                    start, length = self._fused_offset(part)
+                    dest[leaf][li, :, start:start + length] = \
+                        w.astype(np_dtype)
+                else:
+                    dest[leaf][li] = w.astype(np_dtype)
+        if a.tie_embeddings and not seen_lm_head:
+            params["lm_head"]["w"][...] = params["embed"]["w"].T
+        return params
+
+
+class Qwen2MoeForCausalLM(MixtralForCausalLM):
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        args = dataclass_replace(args, attn_bias=True)
+        self.num_experts = int(getattr(hf, "num_experts", 60))
+        self.top_k = int(getattr(hf, "num_experts_per_tok", 4))
+        self.moe_intermediate = int(
+            getattr(hf, "moe_intermediate_size", 1408))
+        return args
+
+    def _hf_layer_map(self):
+        m = LlamaForCausalLM._hf_layer_map(self)
+        m["mlp.gate.weight"] = ("router.w", "", True)
+        for e in range(self.num_experts):
+            m[f"mlp.experts.{e}.gate_proj.weight"] = (
+                f"experts_gate_up@{e}", "gate", True)
+            m[f"mlp.experts.{e}.up_proj.weight"] = (
+                f"experts_gate_up@{e}", "up", True)
+            m[f"mlp.experts.{e}.down_proj.weight"] = (
+                f"experts_down@{e}", "", True)
+        return m
+
+
+class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = super().parse_args(hf)
+        return dataclass_replace(args, qk_norm=True, attn_bias=False)
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        a = self.args
+        layers["q_norm"] = np.empty((a.num_layers, a.head_dim), np_dtype)
+        layers["k_norm"] = np.empty((a.num_layers, a.head_dim), np_dtype)
+        return layers
+
+    def _decoder_layer(self, lp, x, kv, metadata, **_cfg):
+        # qk-norm variant of the Mixtral layer
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        from vllm_tpu.ops.attention import attention, write_kv_cache
+        from vllm_tpu.ops.rotary import apply_rope
+
+        h = rms_norm(x, lp["input_ln"], args.rms_eps)
+        qkv = linear(h, lp["qkv"])
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = rms_norm(q.reshape(T, nq, d), lp["q_norm"], args.rms_eps)
+        k = rms_norm(k.reshape(T, nk, d), lp["k_norm"], args.rms_eps)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        attn_out = attention(q, kv, metadata, self.scale)
+        x = x + linear(attn_out.reshape(T, nq * d), lp["o"])
+
+        h = rms_norm(x, lp["post_ln"], args.rms_eps)
+        router_logits = linear(h, lp["router"])
+        weights, expert_ids = topk_routing(
+            router_logits, self.top_k,
+            renormalize=bool(
+                getattr(self.model_config.resolve_hf_config(),
+                        "norm_topk_prob", True)))
+        moe_out = fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
+                            weights, expert_ids, act=args.act)
+        return x + moe_out, kv

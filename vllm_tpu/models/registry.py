@@ -24,9 +24,9 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "OPTForCausalLM": ("vllm_tpu.models.opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": ("vllm_tpu.models.gpt2", "GPT2LMHeadModel"),
     "MixtralForCausalLM": ("vllm_tpu.models.mixtral", "MixtralForCausalLM"),
-    "Qwen2MoeForCausalLM": ("vllm_tpu.models.qwen_moe",
+    "Qwen2MoeForCausalLM": ("vllm_tpu.models.mixtral",
                             "Qwen2MoeForCausalLM"),
-    "Qwen3MoeForCausalLM": ("vllm_tpu.models.qwen_moe",
+    "Qwen3MoeForCausalLM": ("vllm_tpu.models.mixtral",
                             "Qwen3MoeForCausalLM"),
     "Phi3ForCausalLM": ("vllm_tpu.models.phi3", "Phi3ForCausalLM"),
     "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
