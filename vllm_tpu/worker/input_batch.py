@@ -51,6 +51,11 @@ class PreparedInputs:
     repetition_penalty: Optional[np.ndarray] = None
     # logprobs requested per row (-1 = no)
     num_logprobs: Optional[np.ndarray] = None
+    # speculative decoding (S = num_speculative_tokens; None when S == 0)
+    spec_logits_indices: Optional[np.ndarray] = None  # i32[R, 1+S]
+    spec_fold_positions: Optional[np.ndarray] = None  # i32[R, 1+S]
+    spec_draft_tokens: Optional[np.ndarray] = None  # i32[R, S]
+    spec_num_drafts: Optional[np.ndarray] = None  # i32[R]
 
 
 class InputBatch:
@@ -209,7 +214,7 @@ class InputBatch:
 
     def prepare_inputs(self, scheduler_output: SchedulerOutput,
                        token_bucket: int, req_bucket: int,
-                       step_counter: int = 0) -> PreparedInputs:
+                       num_spec_tokens: int = 0) -> PreparedInputs:
         """Build padded flat arrays for one device step
         (reference: gpu_model_runner._prepare_inputs:631; ragged-batch
         contract documented in SURVEY.md §3.4)."""
@@ -264,6 +269,28 @@ class InputBatch:
 
         lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
 
+        spec_kw = {}
+        if num_spec_tokens > 0:
+            S1 = num_spec_tokens + 1
+            sli = np.zeros((R, S1), np.int32)
+            sfp = np.zeros((R, S1), np.int32)
+            sdt = np.zeros((R, num_spec_tokens), np.int32)
+            snd = np.zeros(R, np.int32)
+            spec_map = scheduler_output.scheduled_spec_decode_tokens
+            for row, (idx, rid) in enumerate(active):
+                end = qsl[row + 1] - 1  # last scheduled token index
+                drafts = spec_map.get(rid, [])
+                s_r = len(drafts)
+                snd[row] = s_r
+                sdt[row, :s_r] = drafts
+                # verify positions: the last (1 + s_r) scheduled tokens
+                for j in range(S1):
+                    jj = min(j, s_r)
+                    sli[row, j] = end - s_r + jj
+                    sfp[row, j] = seq_lens[row] - s_r + jj
+            spec_kw = dict(spec_logits_indices=sli, spec_fold_positions=sfp,
+                           spec_draft_tokens=sdt, spec_num_drafts=snd)
+
         rows = [idx for idx, _ in active]
         temperature = np.zeros(R, np.float32)
         top_k = np.zeros(R, np.int32)
@@ -313,6 +340,7 @@ class InputBatch:
             frequency_penalty=fp,
             repetition_penalty=rp,
             num_logprobs=nl if np.any(nl >= 0) else None,
+            **spec_kw,
         )
 
     def make_penalty_arrays(self, req_ids: list[str], req_bucket: int,

@@ -69,6 +69,9 @@ class TPUModelRunner:
         self.req_buckets = self.comp_config.req_buckets(
             self.scheduler_config.max_num_seqs)
         self.max_logprobs = self.model_config.max_logprobs
+        spec_cfg = engine_config.speculative_config
+        self.num_spec_tokens = (spec_cfg.num_speculative_tokens
+                                if spec_cfg.enabled else 0)
 
         self._compiled_step = self._build_step_fn()
 
@@ -127,9 +130,24 @@ class TPUModelRunner:
         model = self.model
 
         def step(params, kv_caches, input_ids, metadata, logits_indices,
-                 sampling: SamplingMetadata, num_logprobs: int):
+                 sampling: SamplingMetadata, num_logprobs: int, spec):
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
                                               metadata)
+            if spec is not None:
+                # Speculative verify: sample at 1+S positions per row and
+                # accept the matching draft prefix on device.
+                from vllm_tpu.sample.rejection_sampler import (
+                    sample_positions, verify_drafts)
+
+                sli, fold_pos, draft_tokens, num_drafts = spec
+                sel = hidden[sli]  # [R, 1+S, H]
+                logits = model.compute_logits(
+                    params, sel.reshape(-1, sel.shape[-1]))
+                logits = logits.reshape(*sli.shape, -1)
+                sampled = sample_positions(logits, sampling, fold_pos)
+                tokens, num_emitted = verify_drafts(sampled, draft_tokens,
+                                                    num_drafts)
+                return kv_caches, (tokens, num_emitted), None
             sel = hidden[logits_indices]
             logits = model.compute_logits(params, sel)
             tokens = sample(logits, sampling)
@@ -163,7 +181,7 @@ class TPUModelRunner:
             self.req_buckets,
             max(len(scheduler_output.num_scheduled_tokens), 1))
         prep = batch.prepare_inputs(scheduler_output, token_bucket,
-                                    req_bucket, self.step_counter)
+                                    req_bucket, self.num_spec_tokens)
 
         metadata = AttentionMetadata(
             slot_mapping=jnp.asarray(prep.slot_mapping),
@@ -181,15 +199,44 @@ class TPUModelRunner:
                 min(max(prep.num_logprobs.max() + 1, 1),
                     self.max_logprobs))
 
+        spec = None
+        if prep.spec_logits_indices is not None:
+            spec = (jnp.asarray(prep.spec_logits_indices),
+                    jnp.asarray(prep.spec_fold_positions),
+                    jnp.asarray(prep.spec_draft_tokens),
+                    jnp.asarray(prep.spec_num_drafts))
+            num_logprobs = 0  # logprobs + spec decode: later milestone
+
         self.kv_caches, tokens_dev, lp_dev = self._compiled_step(
             self.params, self.kv_caches, jnp.asarray(prep.input_ids),
             metadata, jnp.asarray(prep.logits_indices), sampling,
-            num_logprobs)
+            num_logprobs, spec)
         self.step_counter += 1
 
+        if spec is not None:
+            emitted = np.asarray(tokens_dev[0])
+            num_emitted = np.asarray(tokens_dev[1])
+            return self._build_spec_output(prep, emitted, num_emitted)
         tokens = np.asarray(tokens_dev)
         return self._build_output(scheduler_output, prep, tokens, lp_dev,
                                   num_logprobs)
+
+    def _build_spec_output(self, prep: PreparedInputs,
+                           emitted: np.ndarray,
+                           num_emitted: np.ndarray) -> ModelRunnerOutput:
+        req_ids: list[str] = []
+        sampled: list[list[int]] = []
+        for row, rid in enumerate(prep.req_ids):
+            req_ids.append(rid)
+            if prep.sample_valid[row]:
+                n = int(num_emitted[row])
+                toks = emitted[row, :n].tolist()
+                sampled.append(toks)
+                self.input_batch.append_sampled(rid, toks)
+            else:
+                sampled.append([])
+        return ModelRunnerOutput(req_ids=req_ids,
+                                 sampled_token_ids=sampled)
 
     def _build_output(self, scheduler_output: SchedulerOutput,
                       prep: PreparedInputs, tokens: np.ndarray, lp_dev,
@@ -294,7 +341,7 @@ class TPUModelRunner:
         metadata, input_ids, logits_idx, sampling = self._dummy_inputs(T, R)
         _, tokens, _ = self._compiled_step(self.params, dummy_kv, input_ids,
                                            metadata, logits_idx, sampling,
-                                           0)
+                                           0, None)
         tokens.block_until_ready()
 
     def _dummy_inputs(self, T: int, R: int):
@@ -329,7 +376,7 @@ class TPUModelRunner:
                     self._dummy_inputs(T, R)
                 self.kv_caches, tokens, _ = self._compiled_step(
                     self.params, self.kv_caches, input_ids, metadata,
-                    logits_idx, sampling, 0)
+                    logits_idx, sampling, 0, None)
                 tokens.block_until_ready()
                 n += 1
         logger.info("precompiled %d bucket graphs in %.1fs", n,
