@@ -350,15 +350,112 @@ class LlamaForCausalLM:
             params["lm_head"]["w"][...] = params["embed"]["w"].T
         return params
 
+    # ---------------------------------------------- quantized checkpoints
+
+    def load_quantized_weights(self, weights_iter, method: str) -> dict:
+        """Ingest a GPTQ/AWQ checkpoint (SURVEY.md §2.4 contracts) into
+        fused stacked quant params {w_q, scale, zero} consumable by the
+        fused dequant-matmul kernel."""
+        from vllm_tpu.models.quant_checkpoints import (unpack_awq,
+                                                       unpack_gptq)
+
+        a = self.args
+        np_dtype = _np_dtype(self.model_config.dtype)
+        tensors: dict[str, np.ndarray] = {}
+        params: dict[str, Any] = {
+            "embed": {"w": np.empty((a.vocab_size, a.hidden_size),
+                                    np_dtype)},
+            "final_ln": np.empty((a.hidden_size,), np_dtype),
+            "lm_head": {"w": np.empty((a.hidden_size, a.vocab_size),
+                                      np_dtype)},
+        }
+        seen_lm_head = False
+        for name, w in weights_iter:
+            w = np.asarray(w)
+            if name == self._EMBED:
+                params["embed"]["w"][...] = w.astype(np_dtype)
+            elif name == self._FINAL_NORM:
+                params["final_ln"][...] = w.astype(np_dtype)
+            elif name == self._LM_HEAD:
+                params["lm_head"]["w"][...] = w.T.astype(np_dtype)
+                seen_lm_head = True
+            else:
+                tensors[name] = w
+        if a.tie_embeddings and not seen_lm_head:
+            params["lm_head"]["w"][...] = params["embed"]["w"].T
+
+        L = a.num_layers
+        nq, nk, d, H, I = (a.num_heads, a.num_kv_heads, a.head_dim,
+                           a.hidden_size, a.intermediate_size)
+        # (our key, [(hf proj name, out_slice_start, out_len)], K)
+        fused = {
+            "qkv": ([("self_attn.q_proj", 0, nq * d),
+                     ("self_attn.k_proj", nq * d, nk * d),
+                     ("self_attn.v_proj", (nq + nk) * d, nk * d)], H),
+            "o": ([("self_attn.o_proj", 0, H)], nq * d),
+            "gate_up": ([("mlp.gate_proj", 0, I),
+                         ("mlp.up_proj", I, I)], H),
+            "down": ([("mlp.down_proj", 0, H)], I),
+        }
+        layers: dict[str, Any] = {
+            "input_ln": np.empty((L, H), np_dtype),
+            "post_ln": np.empty((L, H), np_dtype),
+        }
+        for li in range(L):
+            p = f"{self._LAYER_PREFIX}.{li}."
+            layers["input_ln"][li] = tensors.pop(
+                p + "input_layernorm.weight").astype(np_dtype)
+            layers["post_ln"][li] = tensors.pop(
+                p + "post_attention_layernorm.weight").astype(np_dtype)
+            for key, (projs, K) in fused.items():
+                for proj, start, length in projs:
+                    base = p + proj
+                    if method == "gptq":
+                        g_idx = tensors.pop(base + ".g_idx", None)
+                        unpacked = unpack_gptq(
+                            tensors.pop(base + ".qweight"),
+                            tensors.pop(base + ".qzeros"),
+                            tensors.pop(base + ".scales"), g_idx)
+                        if "perm" in unpacked:
+                            raise NotImplementedError(
+                                "GPTQ act-order (desc_act=True) "
+                                "checkpoints are not yet supported")
+                    else:  # awq
+                        unpacked = unpack_awq(
+                            tensors.pop(base + ".qweight"),
+                            tensors.pop(base + ".qzeros"),
+                            tensors.pop(base + ".scales"))
+                    G = unpacked["scale"].shape[0]
+                    dest = layers.get(key)
+                    if dest is None or "w_q" not in dest:
+                        out_dim = sum(x[2] for x in projs)
+                        layers[key] = dest = {
+                            "w_q": np.empty((L, K, out_dim), np.int8),
+                            "scale": np.empty((L, G, out_dim), np.float32),
+                            "zero": np.empty((L, G, out_dim), np.float32),
+                        }
+                    dest["w_q"][li, :, start:start + length] = \
+                        unpacked["w_q"]
+                    dest["scale"][li, :, start:start + length] = \
+                        unpacked["scale"]
+                    dest["zero"][li, :, start:start + length] = \
+                        unpacked["zero"]
+        params["layers"] = layers
+        return params
+
     def init_dummy_params(self, rng_seed: int = 0) -> dict:
-        """Random params for --load-format dummy (benchmarks)."""
+        """Random params for --load-format dummy (benchmarks).
+
+        Generated in native float32 (ml_dtypes bf16 casts on numpy are
+        ~50x slower); the loader casts to the model dtype on device.
+        """
         a = self.args
         rng = np.random.default_rng(rng_seed)
-        np_dtype = _np_dtype(self.model_config.dtype)
+        np_dtype = np.float32
 
         def rand(*shape):
-            return (rng.standard_normal(shape, dtype=np.float32) *
-                    0.02).astype(np_dtype)
+            return rng.standard_normal(shape, dtype=np.float32) * \
+                np.float32(0.02)
 
         layers = self._alloc_layer_stack(np_dtype)
 

@@ -99,29 +99,46 @@ def load_model_params(model, engine_config: EngineConfig,
     model_config = engine_config.model_config
     load_format = engine_config.load_config.load_format
 
+    quant = model_config.quantization
     if load_format == "dummy":
         params = model.init_dummy_params(model_config.seed)
+        if quant is not None:
+            params = apply_load_time_quantization(params, quant)
     else:
+        from vllm_tpu.models.quant_checkpoints import \
+            detect_checkpoint_quantization
         from vllm_tpu.models.weight_utils import weights_iterator
 
         model_dir = resolve_model_dir(model_config.model)
+        ckpt_quant = detect_checkpoint_quantization(
+            getattr(model_config.resolve_hf_config(), "quantization_config",
+                    None))
         t0 = time.perf_counter()
-        params = model.load_weights(weights_iterator(model_dir))
+        if ckpt_quant in ("gptq", "awq"):
+            params = model.load_quantized_weights(
+                weights_iterator(model_dir), ckpt_quant)
+        else:
+            params = model.load_weights(weights_iterator(model_dir))
+            if quant is not None:
+                params = apply_load_time_quantization(params, quant)
         logger.info("checkpoint streamed in %.1fs", time.perf_counter() - t0)
 
-    quant = model_config.quantization
-    if quant is not None:
-        params = apply_load_time_quantization(params, quant)
+    # Device placement (sharded when a mesh is given). Float32 leaves are
+    # cast to the model dtype on device (host bf16 casts are slow).
+    target = jnp.bfloat16 if model_config.dtype == "bfloat16" else None
 
-    # Device placement (sharded when a mesh is given).
+    def put(x, sharding=None):
+        arr = jnp.asarray(x)
+        if target is not None and arr.dtype == jnp.float32:
+            arr = arr.astype(target)
+        return jax.device_put(arr, sharding) if sharding is not None \
+            else jax.device_put(arr)
+
     if mesh is not None:
         from vllm_tpu.parallel.mesh import param_shardings
 
         shardings = param_shardings(params, mesh)
-        params = jax.tree.map(
-            lambda x, s: jax.device_put(jnp.asarray(x), s), params,
-            shardings)
+        params = jax.tree.map(put, params, shardings)
     else:
-        params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)),
-                              params)
+        params = jax.tree.map(put, params)
     return params
