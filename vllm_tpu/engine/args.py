@@ -8,10 +8,10 @@ from dataclasses import dataclass, field, fields
 from typing import Optional
 
 from vllm_tpu.config import (CacheConfig, CompilationConfig, DeviceConfig,
-                             EngineConfig, LoadConfig, ModelConfig,
-                             ObservabilityConfig, ParallelConfig,
-                             SchedulerConfig, SpeculativeConfig,
-                             StructuredOutputConfig)
+                             EngineConfig, LoadConfig, LoRAConfig,
+                             ModelConfig, ObservabilityConfig,
+                             ParallelConfig, SchedulerConfig,
+                             SpeculativeConfig, StructuredOutputConfig)
 
 
 @dataclass
@@ -53,6 +53,12 @@ class EngineArgs:
     speculative_method: Optional[str] = None
     num_speculative_tokens: int = 0
     speculative_model: Optional[str] = None
+
+    enable_lora: bool = False
+    max_loras: int = 1
+    max_lora_rank: int = 16
+    max_cpu_loras: Optional[int] = None
+    lora_dtype: str = "auto"
 
     otlp_traces_endpoint: Optional[str] = None
     guided_decoding_backend: str = "auto"
@@ -121,6 +127,12 @@ class EngineArgs:
                 otlp_traces_endpoint=self.otlp_traces_endpoint),
             structured_output_config=StructuredOutputConfig(
                 backend=self.guided_decoding_backend),
+            lora_config=(LoRAConfig(
+                max_lora_rank=self.max_lora_rank,
+                max_loras=self.max_loras,
+                max_cpu_loras=self.max_cpu_loras,
+                lora_dtype=self.lora_dtype,
+            ) if self.enable_lora else None),
         )
 
     @staticmethod

@@ -217,6 +217,15 @@ class AsyncLLM:
     async def is_sleeping(self) -> bool:
         return not self.engine_core.executor.worker.runner.kv_caches
 
+    async def add_lora(self, lora_request) -> bool:
+        return self.engine_core.add_lora(lora_request)
+
+    async def remove_lora(self, lora_id: int) -> bool:
+        return self.engine_core.remove_lora(lora_id)
+
+    async def list_loras(self) -> set[int]:
+        return self.engine_core.list_loras()
+
     async def start_profile(self) -> None:
         self.engine_core.profile(True)
 

@@ -137,5 +137,18 @@ class EngineCore:
     def profile(self, is_start: bool = True) -> None:
         self.collective_rpc("profile", (is_start,))
 
+    def add_lora(self, lora_request) -> bool:
+        return all(self.collective_rpc("add_lora", (lora_request,)))
+
+    def remove_lora(self, lora_id: int) -> bool:
+        return all(self.collective_rpc("remove_lora", (lora_id,)))
+
+    def list_loras(self) -> set[int]:
+        results = self.collective_rpc("list_loras")
+        return results[0] if results else set()
+
+    def pin_lora(self, lora_id: int) -> bool:
+        return all(self.collective_rpc("pin_lora", (lora_id,)))
+
     def shutdown(self) -> None:
         self.executor.shutdown()

@@ -101,6 +101,18 @@ class LLMEngine:
     def wake_up(self, tags: Optional[list[str]] = None) -> None:
         self.engine_core.wake_up(tags)
 
+    def add_lora(self, lora_request) -> bool:
+        return self.engine_core.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        return self.engine_core.remove_lora(lora_id)
+
+    def list_loras(self) -> set[int]:
+        return self.engine_core.list_loras()
+
+    def pin_lora(self, lora_id: int) -> bool:
+        return self.engine_core.pin_lora(lora_id)
+
     def start_profile(self) -> None:
         self.engine_core.profile(True)
 

@@ -33,6 +33,7 @@ class LLM:
                                None] = None,
         *,
         use_tqdm: bool = False,
+        lora_request: Optional[Any] = None,
         priority: Optional[list[int]] = None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, (str, dict)):
@@ -62,6 +63,7 @@ class LLM:
                         child.seed += j
                 self.llm_engine.add_request(
                     rid, prompt, child,
+                    lora_request=lora_request,
                     priority=priority[i] if priority else 0)
                 request_ids.append((rid, i, j))
 
@@ -144,6 +146,15 @@ class LLM:
     def collective_rpc(self, method: str, args: tuple = (),
                        kwargs: dict | None = None) -> list[Any]:
         return self.llm_engine.collective_rpc(method, args, kwargs)
+
+    def add_lora(self, lora_request) -> bool:
+        return self.llm_engine.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        return self.llm_engine.remove_lora(lora_id)
+
+    def list_loras(self) -> set[int]:
+        return self.llm_engine.list_loras()
 
     def start_profile(self) -> None:
         self.llm_engine.start_profile()

@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import inspect
+import itertools
 import json
 import logging
 from typing import Optional
@@ -68,8 +69,11 @@ def build_app(engine: AsyncLLM, served_model_name: str,
               max_model_len: int) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app[ENGINE_KEY] = engine
-    completion = OpenAIServingCompletion(engine, served_model_name)
-    chat = OpenAIServingChat(engine, served_model_name)
+    lora_registry: dict = {}  # adapter name -> LoRARequest
+    lora_counter = itertools.count(1)
+    completion = OpenAIServingCompletion(engine, served_model_name,
+                                         lora_registry)
+    chat = OpenAIServingChat(engine, served_model_name, lora_registry)
 
     async def health(request: web.Request) -> web.Response:
         try:
@@ -82,9 +86,51 @@ def build_app(engine: AsyncLLM, served_model_name: str,
         return web.json_response({"version": vllm_tpu.__version__})
 
     async def models(request: web.Request) -> web.Response:
-        card = ModelCard(id=served_model_name,
-                         max_model_len=max_model_len)
-        return await _respond(ModelList(data=[card]))
+        cards = [ModelCard(id=served_model_name,
+                           max_model_len=max_model_len)]
+        cards += [
+            ModelCard(id=name, root=lr.lora_path,
+                      parent=served_model_name,
+                      max_model_len=max_model_len)
+            for name, lr in lora_registry.items()
+        ]
+        return await _respond(ModelList(data=cards))
+
+    async def load_lora_adapter(request: web.Request) -> web.Response:
+        """POST {lora_name, lora_path} (reference: api_server.py:1193)."""
+        from vllm_tpu.lora.request import LoRARequest
+
+        try:
+            body = await request.json()
+            name, path = body["lora_name"], body["lora_path"]
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        if name in lora_registry:
+            return _json_error(f"adapter '{name}' is already loaded")
+        lr = LoRARequest(lora_name=name, lora_int_id=next(lora_counter),
+                         lora_path=path)
+        try:
+            ok = await engine.add_lora(lr)
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"failed to load adapter: {e}", 400)
+        if not ok:
+            return _json_error("failed to load adapter", 400)
+        lora_registry[name] = lr
+        return web.Response(
+            text=f"Success: LoRA adapter '{name}' added successfully.")
+
+    async def unload_lora_adapter(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            name = body["lora_name"]
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        lr = lora_registry.pop(name, None)
+        if lr is None:
+            return _json_error(f"adapter '{name}' is not loaded", 404)
+        await engine.remove_lora(lr.lora_int_id)
+        return web.Response(
+            text=f"Success: LoRA adapter '{name}' removed successfully.")
 
     async def completions(request: web.Request) -> web.StreamResponse:
         try:
@@ -189,6 +235,8 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     app.router.add_get("/is_sleeping", is_sleeping)
     app.router.add_post("/start_profile", start_profile)
     app.router.add_post("/stop_profile", stop_profile)
+    app.router.add_post("/v1/load_lora_adapter", load_lora_adapter)
+    app.router.add_post("/v1/unload_lora_adapter", unload_lora_adapter)
     app.router.add_post("/invocations", completions)
     return app
 

@@ -36,6 +36,8 @@ class ModelCard(BaseModel):
     created: int = Field(default_factory=lambda: int(time.time()))
     owned_by: str = "vllm-tpu"
     max_model_len: Optional[int] = None
+    root: Optional[str] = None
+    parent: Optional[str] = None
 
 
 class ModelList(BaseModel):

@@ -20,9 +20,20 @@ from vllm_tpu.sampling_params import SamplingParams
 
 class OpenAIServing:
 
-    def __init__(self, engine: AsyncLLM, served_model_name: str) -> None:
+    def __init__(self, engine: AsyncLLM, served_model_name: str,
+                 lora_registry: Optional[dict] = None) -> None:
         self.engine = engine
         self.model_name = served_model_name
+        # adapter name -> LoRARequest; shared across handlers so runtime
+        # load/unload is visible everywhere (reference:
+        # api_server.py:1193-1205 load/unload_lora_adapter)
+        self.lora_registry = lora_registry if lora_registry is not None \
+            else {}
+
+    def _lora_for(self, model_name: Optional[str]):
+        if model_name and model_name in self.lora_registry:
+            return self.lora_registry[model_name]
+        return None
 
     def _default_max_tokens(self) -> Optional[int]:
         return None  # processor caps to context window
@@ -77,9 +88,10 @@ class OpenAIServingCompletion(OpenAIServing):
                     child.seed += j
                 gens.append(
                     ((i * request.n + j),
-                     self.engine.generate(p, child,
-                                          f"{request_id}-{i}-{j}",
-                                          priority=request.priority)))
+                     self.engine.generate(
+                         p, child, f"{request_id}-{i}-{j}",
+                         lora_request=self._lora_for(request.model),
+                         priority=request.priority)))
 
         if request.stream:
             return self._stream_completion(request, request_id, gens)
@@ -160,8 +172,10 @@ class OpenAIServingChat(OpenAIServing):
             if request.n > 1 and child.seed is not None:
                 child.seed += j
             gens.append(
-                self.engine.generate(prompt, child, f"{request_id}-{j}",
-                                     priority=request.priority))
+                self.engine.generate(
+                    prompt, child, f"{request_id}-{j}",
+                    lora_request=self._lora_for(request.model),
+                    priority=request.priority))
         results = await asyncio.gather(*[self._collect(g) for g in gens])
         choices = []
         usage = UsageInfo()
@@ -195,8 +209,10 @@ class OpenAIServingChat(OpenAIServing):
                                               role="assistant", content=""))
             ])
         yield f"data: {first.model_dump_json()}\n\n"
-        async for out in self.engine.generate(prompt, params, request_id,
-                                              priority=request.priority):
+        async for out in self.engine.generate(
+                prompt, params, request_id,
+                lora_request=self._lora_for(request.model),
+                priority=request.priority):
             c = out.outputs[0]
             chunk = ChatCompletionChunk(
                 id=request_id, model=model,

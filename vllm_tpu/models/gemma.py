@@ -98,7 +98,10 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         return m
 
     def _decoder_layer(self, lp, x, kv, metadata,
-                       sliding_window="default", inv_freq=None):
+                       sliding_window="default", inv_freq=None,
+                       lora_ctx=None):
+        from vllm_tpu.lora.ops import apply_lora
+
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
@@ -108,7 +111,7 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             inv_freq = self.inv_freq
 
         h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = linear(h, lp["qkv"])
+        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
@@ -122,14 +125,17 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=sliding_window,
                              logits_soft_cap=args.attn_soft_cap)
-        attn_out = linear(attn_out.reshape(T, nq * d), lp["o"])
+        attn_flat = attn_out.reshape(T, nq * d)
+        attn_out = apply_lora(attn_flat, linear(attn_flat, lp["o"]),
+                              lora_ctx, "o")
         # Gemma2: post-attention norm applies to the BRANCH output.
         x = x + rms_norm(attn_out, lp["post_ln"], args.rms_eps)
 
         h = rms_norm(x, lp["pre_ffw_ln"], args.rms_eps)
-        gate_up = linear(h, lp["gate_up"])
+        gate_up = apply_lora(h, linear(h, lp["gate_up"]), lora_ctx,
+                             "gate_up")
         act = GATED_ACTIVATIONS[args.act](gate_up)
-        ffw = linear(act, lp["down"])
+        ffw = apply_lora(act, linear(act, lp["down"]), lora_ctx, "down")
         x = x + rms_norm(ffw, lp["post_ffw_ln"], args.rms_eps)
         return x, kv
 

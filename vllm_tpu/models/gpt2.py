@@ -50,7 +50,8 @@ class GPT2LMHeadModel:
 
         self.args = _Args()
 
-    def forward(self, params, input_ids, kv_caches, metadata):
+    def forward(self, params, input_ids, kv_caches, metadata,
+                lora=None):
         x = embedding_lookup(input_ids, params["embed"]["w"])
         x = x + embedding_lookup(metadata.positions, params["pos_embed"])
 

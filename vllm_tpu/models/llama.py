@@ -143,6 +143,7 @@ class LlamaForCausalLM:
         input_ids: jnp.ndarray,  # i32[T]
         kv_caches: list[jnp.ndarray],  # [ [L, N, P, 2K, D] ]
         metadata: AttentionMetadata,
+        lora=None,  # None | (lora_params {tgt: {a,b}[L,S,..]}, token_lora)
     ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
         args = self.args
         x = self.embed(params, input_ids)
@@ -155,18 +156,27 @@ class LlamaForCausalLM:
 
         layers = jax.tree.map(regroup, params["layers"])
         kv = regroup(kv_caches[0])
+        if lora is not None:
+            lora_params, token_lora = lora
+            lora_layers = jax.tree.map(regroup, lora_params)
+        else:
+            lora_layers, token_lora = None, None
 
         def body(h, scanned):
-            lp, kv_g = scanned
+            lp, kv_g, lora_g = scanned
             new_kvs = []
             for i, cfg in enumerate(pattern):
                 lp_i = jax.tree.map(lambda leaf: leaf[i], lp)
+                lora_ctx = None
+                if lora_g is not None:
+                    lora_ctx = (jax.tree.map(lambda leaf: leaf[i], lora_g),
+                                token_lora)
                 h, kv_i = self._decoder_layer(lp_i, h, kv_g[i], metadata,
-                                              **cfg)
+                                              lora_ctx=lora_ctx, **cfg)
                 new_kvs.append(kv_i)
             return h, jnp.stack(new_kvs)
 
-        x, new_kv = jax.lax.scan(body, x, (layers, kv))
+        x, new_kv = jax.lax.scan(body, x, (layers, kv, lora_layers))
         new_kv = new_kv.reshape(args.num_layers, *new_kv.shape[2:])
         x = rms_norm(x, params["final_ln"], args.rms_eps)
         return x, [new_kv]
@@ -174,8 +184,10 @@ class LlamaForCausalLM:
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
                        metadata: AttentionMetadata,
                        sliding_window: Optional[int] = "default",
-                       inv_freq=None,
+                       inv_freq=None, lora_ctx=None,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        from vllm_tpu.lora.ops import apply_lora
+
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
@@ -185,7 +197,7 @@ class LlamaForCausalLM:
             inv_freq = self.inv_freq
 
         h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = linear(h, lp["qkv"])  # [T, (nq+2nk)*d]
+        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
@@ -199,13 +211,15 @@ class LlamaForCausalLM:
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=sliding_window,
                              logits_soft_cap=args.attn_soft_cap)
-        attn_out = linear(attn_out.reshape(T, nq * d), lp["o"])
-        x = x + attn_out
+        attn_flat = attn_out.reshape(T, nq * d)
+        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
+                           lora_ctx, "o")
 
         h = rms_norm(x, lp["post_ln"], args.rms_eps)
-        gate_up = linear(h, lp["gate_up"])
+        gate_up = apply_lora(h, linear(h, lp["gate_up"]), lora_ctx,
+                             "gate_up")
         act = GATED_ACTIVATIONS[args.act](gate_up)
-        x = x + linear(act, lp["down"])
+        x = x + apply_lora(act, linear(act, lp["down"]), lora_ctx, "down")
         return x, kv
 
     def compute_logits(self, params: dict,

@@ -31,17 +31,18 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # ---- forward: override the MLP half of the decoder layer
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
-                       metadata: AttentionMetadata,
+                       metadata: AttentionMetadata, lora_ctx=None,
                        **_cfg) -> tuple[jnp.ndarray, jnp.ndarray]:
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
 
+        from vllm_tpu.lora.ops import apply_lora
         from vllm_tpu.ops.attention import attention, write_kv_cache
         from vllm_tpu.ops.rotary import apply_rope
 
         h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = linear(h, lp["qkv"])
+        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
@@ -51,7 +52,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=args.sliding_window)
-        x = x + linear(attn_out.reshape(T, nq * d), lp["o"])
+        attn_flat = attn_out.reshape(T, nq * d)
+        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
+                           lora_ctx, "o")
 
         h = rms_norm(x, lp["post_ln"], args.rms_eps)
         router_logits = linear(h, lp["router"])
@@ -197,17 +200,18 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
         layers["k_norm"] = np.empty((a.num_layers, a.head_dim), np_dtype)
         return layers
 
-    def _decoder_layer(self, lp, x, kv, metadata, **_cfg):
+    def _decoder_layer(self, lp, x, kv, metadata, lora_ctx=None, **_cfg):
         # qk-norm variant of the Mixtral layer
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
 
+        from vllm_tpu.lora.ops import apply_lora
         from vllm_tpu.ops.attention import attention, write_kv_cache
         from vllm_tpu.ops.rotary import apply_rope
 
         h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = linear(h, lp["qkv"])
+        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = rms_norm(q.reshape(T, nq, d), lp["q_norm"], args.rms_eps)
         k = rms_norm(k.reshape(T, nk, d), lp["k_norm"], args.rms_eps)
@@ -216,7 +220,9 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
                           args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
         attn_out = attention(q, kv, metadata, self.scale)
-        x = x + linear(attn_out.reshape(T, nq * d), lp["o"])
+        attn_flat = attn_out.reshape(T, nq * d)
+        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
+                           lora_ctx, "o")
 
         h = rms_norm(x, lp["post_ln"], args.rms_eps)
         router_logits = linear(h, lp["router"])

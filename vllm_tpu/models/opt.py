@@ -51,7 +51,8 @@ class OPTForCausalLM:
 
         self.args = _Args()
 
-    def forward(self, params, input_ids, kv_caches, metadata):
+    def forward(self, params, input_ids, kv_caches, metadata,
+                lora=None):
         x = embedding_lookup(input_ids, params["embed"]["w"])
         # OPT's learned positions are offset by 2 (padding legacy).
         x = x + embedding_lookup(metadata.positions + 2,

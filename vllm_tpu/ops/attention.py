@@ -165,8 +165,15 @@ def attention(
     v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
-    elsewhere."""
-    if _use_pallas():
+    elsewhere.
+
+    The Pallas kernel requires lane-aligned head_dim (Mosaic tiles the
+    last dim by 128); unaligned heads (tiny test models, 64-dim heads)
+    take the XLA path. TODO(perf): pad 64-dim heads to 128 inside the
+    kernel like the reference backend (v1/attention/backends/pallas.py
+    head pad to 128) instead of falling back.
+    """
+    if _use_pallas() and q.shape[-1] % 128 == 0:
         try:
             from vllm_tpu.ops.pallas.ragged_paged_attention import (
                 ragged_paged_attention)

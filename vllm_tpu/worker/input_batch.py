@@ -11,7 +11,7 @@ a suffix.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Any, Optional
 
 import numpy as np
 
@@ -56,6 +56,8 @@ class PreparedInputs:
     spec_fold_positions: Optional[np.ndarray] = None  # i32[R, 1+S]
     spec_draft_tokens: Optional[np.ndarray] = None  # i32[R, S]
     spec_num_drafts: Optional[np.ndarray] = None  # i32[R]
+    # multi-LoRA: per-token adapter slot (value == num_slots means none)
+    token_lora: Optional[np.ndarray] = None  # i32[T]
 
 
 class InputBatch:
@@ -98,6 +100,7 @@ class InputBatch:
         self.num_logprobs = np.full(max_num_reqs, -1, np.int32)
         self.sampling_params: list[Optional[SamplingParams]] = \
             [None] * max_num_reqs
+        self.lora_requests: list[Optional[Any]] = [None] * max_num_reqs
 
     # ------------------------------------------------------------- mutation
 
@@ -133,6 +136,7 @@ class InputBatch:
         self.frequency_penalty[idx] = sp.frequency_penalty
         self.repetition_penalty[idx] = sp.repetition_penalty
         self.num_logprobs[idx] = -1 if sp.logprobs is None else sp.logprobs
+        self.lora_requests[idx] = data.lora_request
         return idx
 
     def remove_request(self, req_id: str) -> None:
@@ -148,6 +152,7 @@ class InputBatch:
             self.req_id_to_index[moved_id] = idx
         self.req_ids[last] = None
         self.sampling_params[last] = None
+        self.lora_requests[last] = None
         self.num_reqs -= 1
 
     def _copy_slot(self, src: int, dst: int) -> None:
@@ -163,6 +168,7 @@ class InputBatch:
                     self.num_logprobs):
             arr[dst] = arr[src]
         self.sampling_params[dst] = self.sampling_params[src]
+        self.lora_requests[dst] = self.lora_requests[src]
 
     # ---------------------------------------------------------- update/step
 
@@ -212,9 +218,24 @@ class InputBatch:
         self.token_ids[idx, n:n + len(token_ids)] = token_ids
         self.num_tokens[idx] += len(token_ids)
 
+    def scheduled_lora_requests(
+            self, scheduler_output: SchedulerOutput) -> list[Any]:
+        """Distinct LoRA requests among this step's scheduled requests."""
+        num_sched = scheduler_output.num_scheduled_tokens
+        seen: dict[int, Any] = {}
+        for idx, rid in enumerate(self.req_ids):
+            if rid is None or rid not in num_sched:
+                continue
+            lr = self.lora_requests[idx]
+            if lr is not None:
+                seen[lr.lora_int_id] = lr
+        return list(seen.values())
+
     def prepare_inputs(self, scheduler_output: SchedulerOutput,
                        token_bucket: int, req_bucket: int,
-                       num_spec_tokens: int = 0) -> PreparedInputs:
+                       num_spec_tokens: int = 0,
+                       lora_slots: Optional[dict[int, int]] = None,
+                       num_lora_slots: int = 0) -> PreparedInputs:
         """Build padded flat arrays for one device step
         (reference: gpu_model_runner._prepare_inputs:631; ragged-batch
         contract documented in SURVEY.md §3.4)."""
@@ -318,6 +339,19 @@ class InputBatch:
 
         nl = self.num_logprobs[rows] if num_active else \
             np.empty(0, np.int32)
+
+        token_lora = None
+        if num_lora_slots > 0:
+            token_lora = np.full(T, num_lora_slots, np.int32)
+            off = 0
+            for row, (idx, rid) in enumerate(active):
+                n = num_sched[rid]
+                lr = self.lora_requests[idx]
+                if lr is not None:
+                    token_lora[off:off + n] = \
+                        (lora_slots or {}).get(lr.lora_int_id,
+                                               num_lora_slots)
+                off += n
         return PreparedInputs(
             input_ids=input_ids,
             positions=positions,
@@ -340,6 +374,7 @@ class InputBatch:
             frequency_penalty=fp,
             repetition_penalty=rp,
             num_logprobs=nl if np.any(nl >= 0) else None,
+            token_lora=token_lora,
             **spec_kw,
         )
 

@@ -72,6 +72,7 @@ class TPUModelRunner:
         spec_cfg = engine_config.speculative_config
         self.num_spec_tokens = (spec_cfg.num_speculative_tokens
                                 if spec_cfg.enabled else 0)
+        self.lora_manager = None  # created in load_model (needs args)
 
         self._compiled_step = self._build_step_fn()
 
@@ -85,6 +86,14 @@ class TPUModelRunner:
                                         mesh=self.mesh)
         logger.info("model weights loaded in %.1fs",
                     time.perf_counter() - t0)
+        lora_cfg = self.config.lora_config
+        if lora_cfg is not None:
+            from vllm_tpu.lora.manager import LoRAManager
+
+            lora_dtype = (self.model.dtype if lora_cfg.lora_dtype == "auto"
+                          else jnp.dtype(lora_cfg.lora_dtype))
+            self.lora_manager = LoRAManager(self.model.args, lora_cfg,
+                                            lora_dtype, mesh=self.mesh)
 
     # ------------------------------------------------------------- kv cache
 
@@ -130,9 +139,10 @@ class TPUModelRunner:
         model = self.model
 
         def step(params, kv_caches, input_ids, metadata, logits_indices,
-                 sampling: SamplingMetadata, num_logprobs: int, spec):
+                 sampling: SamplingMetadata, num_logprobs: int, spec,
+                 lora=None):
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
-                                              metadata)
+                                              metadata, lora=lora)
             if spec is not None:
                 # Speculative verify: sample at 1+S positions per row and
                 # accept the matching draft prefix on device.
@@ -180,8 +190,16 @@ class TPUModelRunner:
         req_bucket = self._pick_bucket(
             self.req_buckets,
             max(len(scheduler_output.num_scheduled_tokens), 1))
+        lora_slots: Optional[dict[int, int]] = None
+        num_lora_slots = 0
+        if self.lora_manager is not None:
+            lora_slots = self.lora_manager.activate(
+                batch.scheduled_lora_requests(scheduler_output))
+            num_lora_slots = self.lora_manager.num_slots
         prep = batch.prepare_inputs(scheduler_output, token_bucket,
-                                    req_bucket, self.num_spec_tokens)
+                                    req_bucket, self.num_spec_tokens,
+                                    lora_slots=lora_slots,
+                                    num_lora_slots=num_lora_slots)
 
         metadata = AttentionMetadata(
             slot_mapping=jnp.asarray(prep.slot_mapping),
@@ -207,10 +225,15 @@ class TPUModelRunner:
                     jnp.asarray(prep.spec_num_drafts))
             num_logprobs = 0  # logprobs + spec decode: later milestone
 
+        lora = None
+        if self.lora_manager is not None:
+            lora = (self.lora_manager.stacks,
+                    jnp.asarray(prep.token_lora))
+
         self.kv_caches, tokens_dev, lp_dev = self._compiled_step(
             self.params, self.kv_caches, jnp.asarray(prep.input_ids),
             metadata, jnp.asarray(prep.logits_indices), sampling,
-            num_logprobs, spec)
+            num_logprobs, spec, lora)
         self.step_counter += 1
 
         if spec is not None:
@@ -341,23 +364,35 @@ class TPUModelRunner:
         metadata, input_ids, logits_idx, sampling = self._dummy_inputs(T, R)
         _, tokens, _ = self._compiled_step(self.params, dummy_kv, input_ids,
                                            metadata, logits_idx, sampling,
-                                           0, None)
+                                           0, None, self._dummy_lora(T))
         tokens.block_until_ready()
 
     def _dummy_inputs(self, T: int, R: int):
+        from vllm_tpu.ops.pallas.ragged_paged_attention import \
+            build_logical_blocks
         from vllm_tpu.sample.metadata import greedy_metadata
 
+        qsl = np.zeros(R + 1, np.int32)
+        lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
         metadata = AttentionMetadata(
             slot_mapping=jnp.zeros(T, jnp.int32),
             block_tables=jnp.zeros(
                 (R, cdiv(self.scheduler_config.max_model_len,
                          self.cache_config.block_size)), jnp.int32),
-            query_start_loc=jnp.zeros(R + 1, jnp.int32),
+            query_start_loc=jnp.asarray(qsl),
             seq_lens=jnp.zeros(R, jnp.int32),
             positions=jnp.zeros(T, jnp.int32),
+            lb_seq=jnp.asarray(lb_seq),
+            lb_q_start=jnp.asarray(lb_q_start),
         )
         return (metadata, jnp.zeros(T, jnp.int32), jnp.zeros(R, jnp.int32),
                 greedy_metadata(R))
+
+    def _dummy_lora(self, T: int):
+        if self.lora_manager is None:
+            return None
+        return (self.lora_manager.stacks,
+                jnp.full(T, self.lora_manager.none_slot, jnp.int32))
 
     def capture_model(self) -> None:
         """Precompile every (token, req) bucket
@@ -376,7 +411,7 @@ class TPUModelRunner:
                     self._dummy_inputs(T, R)
                 self.kv_caches, tokens, _ = self._compiled_step(
                     self.params, self.kv_caches, input_ids, metadata,
-                    logits_idx, sampling, 0, None)
+                    logits_idx, sampling, 0, None, self._dummy_lora(T))
                 tokens.block_until_ready()
                 n += 1
         logger.info("precompiled %d bucket graphs in %.1fs", n,

@@ -102,3 +102,25 @@ class Worker:
 
     def check_health(self) -> bool:
         return True
+
+    # -- LoRA verbs (reference: gpu_worker add_lora/remove_lora/list_loras)
+
+    def add_lora(self, lora_request: Any) -> bool:
+        if self.runner.lora_manager is None:
+            raise RuntimeError("LoRA is not enabled (--enable-lora)")
+        return self.runner.lora_manager.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        if self.runner.lora_manager is None:
+            return False
+        return self.runner.lora_manager.remove_lora(lora_id)
+
+    def list_loras(self) -> set[int]:
+        if self.runner.lora_manager is None:
+            return set()
+        return self.runner.lora_manager.list_loras()
+
+    def pin_lora(self, lora_id: int) -> bool:
+        if self.runner.lora_manager is None:
+            return False
+        return self.runner.lora_manager.pin_lora(lora_id)
