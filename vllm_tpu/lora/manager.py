@@ -69,16 +69,14 @@ class LoRAManager:
     # ---------------------------------------------------------- sharding
 
     def _shard(self, tname: str, a: jnp.ndarray, b: jnp.ndarray):
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding
 
-        if tname in ("qkv", "gate_up"):  # column-parallel target
-            a_s = P()  # replicated shrink
-            b_s = P(None, None, None, "tp")  # shard expand output
-        else:  # row-parallel target (o, down): input dim is sharded
-            a_s = P(None, None, "tp", None)
-            b_s = P()
-        return (jax.device_put(a, NamedSharding(self.mesh, a_s)),
-                jax.device_put(b, NamedSharding(self.mesh, b_s)))
+        from vllm_tpu.parallel.mesh import lora_shardings
+
+        kind = "col" if tname in ("qkv", "gate_up") else "row"
+        spec = lora_shardings(self.mesh)[kind]
+        return (jax.device_put(a, NamedSharding(self.mesh, spec["a"])),
+                jax.device_put(b, NamedSharding(self.mesh, spec["b"])))
 
     # ------------------------------------------------------------- verbs
 

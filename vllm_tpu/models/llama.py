@@ -145,17 +145,34 @@ class LlamaForCausalLM:
         metadata: AttentionMetadata,
         lora=None,  # None | (lora_params {tgt: {a,b}[L,S,..]}, token_lora)
     ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
-        args = self.args
         x = self.embed(params, input_ids)
+        pp = getattr(self, "pp_size", 1)
+        if pp > 1:
+            from vllm_tpu.parallel.pipeline import pipeline_layers
+
+            x, new_kv = pipeline_layers(self._run_layers,
+                                        params["layers"], kv_caches[0], x,
+                                        metadata, lora, self.mesh, pp)
+        else:
+            x, new_kv = self._run_layers(params["layers"], kv_caches[0],
+                                         x, metadata, lora)
+        x = rms_norm(x, params["final_ln"], self.args.rms_eps)
+        return x, [new_kv]
+
+    def _run_layers(self, layer_params: dict, kv_stack: jnp.ndarray,
+                    x: jnp.ndarray, metadata: AttentionMetadata,
+                    lora=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Scan the (possibly stage-local) stacked decoder layers."""
+        num_layers = kv_stack.shape[0]
         pattern = self.layer_pattern
         p = len(pattern)
-        assert args.num_layers % p == 0
+        assert num_layers % p == 0
 
         def regroup(leaf):
-            return leaf.reshape(args.num_layers // p, p, *leaf.shape[1:])
+            return leaf.reshape(num_layers // p, p, *leaf.shape[1:])
 
-        layers = jax.tree.map(regroup, params["layers"])
-        kv = regroup(kv_caches[0])
+        layers = jax.tree.map(regroup, layer_params)
+        kv = regroup(kv_stack)
         if lora is not None:
             lora_params, token_lora = lora
             lora_layers = jax.tree.map(regroup, lora_params)
@@ -177,9 +194,8 @@ class LlamaForCausalLM:
             return h, jnp.stack(new_kvs)
 
         x, new_kv = jax.lax.scan(body, x, (layers, kv, lora_layers))
-        new_kv = new_kv.reshape(args.num_layers, *new_kv.shape[2:])
-        x = rms_norm(x, params["final_ln"], args.rms_eps)
-        return x, [new_kv]
+        new_kv = new_kv.reshape(num_layers, *new_kv.shape[2:])
+        return x, new_kv
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
                        metadata: AttentionMetadata,

@@ -137,7 +137,10 @@ def load_model_params(model, engine_config: EngineConfig,
     if mesh is not None:
         from vllm_tpu.parallel.mesh import param_shardings
 
-        shardings = param_shardings(params, mesh)
+        shardings = param_shardings(
+            params, mesh,
+            enable_expert_parallel=engine_config.parallel_config
+            .enable_expert_parallel)
         params = jax.tree.map(put, params, shardings)
     else:
         params = jax.tree.map(put, params)

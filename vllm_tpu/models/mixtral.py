@@ -15,7 +15,7 @@ from vllm_tpu.models.llama import LlamaForCausalLM, ModelArgs, \
 from vllm_tpu.ops.attention import AttentionMetadata
 from vllm_tpu.ops.layernorm import rms_norm
 from vllm_tpu.ops.linear import linear
-from vllm_tpu.ops.moe import fused_moe, topk_routing
+from vllm_tpu.ops.moe import fused_moe, fused_moe_ep, topk_routing
 
 
 class MixtralForCausalLM(LlamaForCausalLM):
@@ -60,9 +60,20 @@ class MixtralForCausalLM(LlamaForCausalLM):
         router_logits = linear(h, lp["router"])
         weights, expert_ids = topk_routing(router_logits, self.top_k,
                                            renormalize=True)
-        moe_out = fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
-                            weights, expert_ids, act=args.act)
+        moe_out = self._moe(h, lp, weights, expert_ids, args.act)
         return x + moe_out, kv
+
+
+    def _moe(self, h, lp, weights, expert_ids, act):
+        """EP-sharded when expert parallelism is enabled, else dense
+        grouped GEMM over all resident experts."""
+        if getattr(self, "ep_enabled", False) and \
+                getattr(self, "mesh", None) is not None:
+            return fused_moe_ep(h, lp["experts_gate_up"],
+                                lp["experts_down"], weights, expert_ids,
+                                act=act, mesh=self.mesh)
+        return fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
+                         weights, expert_ids, act=act)
 
     # ---- weights
 
@@ -231,6 +242,5 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
             renormalize=bool(
                 getattr(self.model_config.resolve_hf_config(),
                         "norm_topk_prob", True)))
-        moe_out = fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
-                            weights, expert_ids, act=args.act)
+        moe_out = self._moe(h, lp, weights, expert_ids, args.act)
         return x + moe_out, kv

@@ -88,6 +88,59 @@ def fused_moe(
     return out.astype(x.dtype)
 
 
+def fused_moe_ep(
+    x: jnp.ndarray,  # [T, H]
+    w_gate_up: jnp.ndarray,  # [E, H, 2*I], expert axis sharded over EP
+    w_down: jnp.ndarray,  # [E, I, H]
+    router_weights: jnp.ndarray,  # [T, K]
+    expert_ids: jnp.ndarray,  # [T, K]
+    act: str = "silu",
+    mesh=None,
+) -> jnp.ndarray:
+    """Expert-parallel MoE: experts shard over the flattened ("dp","tp")
+    axes (reference: EP = DP x TP, parallel_state.py:1092-1097; all2all
+    dispatch in device_communicators/all2all.py).
+
+    Each EP shard keeps only its resident experts' weights, computes its
+    local share of the token-expert assignments (non-local assignments
+    are zero-weighted), and the partial outputs psum over the EP axes —
+    the XLA collective rides ICI. Memory scales 1/ep; the grouped GEMM
+    rows are not yet redistributed (TODO: capacity-based all-to-all
+    dispatch for compute scaling at high expert counts).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_tpu.parallel.mesh import EP_AXES
+
+    if mesh is None:
+        return fused_moe(x, w_gate_up, w_down, router_weights, expert_ids,
+                         act=act)
+    ep_size = 1
+    for a in EP_AXES:
+        ep_size *= mesh.shape[a]
+    E = w_gate_up.shape[0]
+    if ep_size <= 1 or E % ep_size != 0:
+        return fused_moe(x, w_gate_up, w_down, router_weights, expert_ids,
+                         act=act)
+    e_local = E // ep_size
+
+    def local_fn(wg, wd, x, rw, ids):
+        shard = jax.lax.axis_index(EP_AXES)
+        lo = shard * e_local
+        local = ids - lo
+        resident = (local >= 0) & (local < e_local)
+        rw_l = jnp.where(resident, rw, 0.0)
+        ids_l = jnp.clip(local, 0, e_local - 1)
+        out = fused_moe(x, wg, wd, rw_l, ids_l, act=act)
+        return jax.lax.psum(out, EP_AXES)
+
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(EP_AXES), P(EP_AXES), P(), P(), P()),
+        out_specs=P(), axis_names=set(EP_AXES), check_vma=False)(
+            w_gate_up, w_down, x, router_weights, expert_ids)
+
+
 def fused_moe_ref(x, w_gate_up, w_down, router_weights, expert_ids,
                   act: str = "silu") -> jnp.ndarray:
     """Dense reference: every expert computes every token (oracle for

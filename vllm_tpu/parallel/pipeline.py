@@ -1,0 +1,84 @@
+"""Pipeline parallelism: stage-sharded layer stack + ppermute ring.
+
+Reference analog: vllm/distributed PP (IntermediateTensors send/recv
+between ranks, gpu_model_runner.py:1497-1556) — re-designed for SPMD TPU.
+The decoder stack's stacked [L, ...] params and KV cache shard their
+leading axis over the "pp" mesh axis (contiguous stages). One serving
+step runs a ring of ``pp`` iterations inside a hybrid ``jax.shard_map``
+(manual over "pp", auto over "dp"/"tp" so tensor parallelism inside a
+stage is still GSPMD-partitioned): every stage applies its resident layer
+chunk and passes activations to the next stage with ``lax.ppermute``
+(ICI neighbor hop). The live batch starts on stage 0 and finishes on
+stage 0 after ``pp`` hops; each stage commits its KV-cache chunk only on
+its live iteration.
+
+Per-step utilization is 1/pp, exactly like non-microbatched GPU PP; the
+engine hides the bubble across steps with the batch queue
+(EngineCore.step_with_batch_queue analog) — and unlike the GPU path there
+is no host round-trip between stages: the whole ring is one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _pvary(x, axis: str):
+    """Mark a value as device-varying over a manual mesh axis."""
+    try:
+        return jax.lax.pcast(x, (axis,), to="varying")
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, (axis,))
+
+
+def pipeline_layers(
+    run_layers,  # fn(layers_chunk, kv_chunk, x, metadata, lora) -> (x, kv)
+    layers: Any,  # stacked [L, ...] pytree, leading axis pp-sharded
+    kv: jnp.ndarray,  # [L, N, page, 2K, D]
+    x: jnp.ndarray,  # [T, H] activations (replicated over pp)
+    metadata: Any,
+    lora,  # None | (lora_params [L, S, ...], token_lora)
+    mesh,
+    pp: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the decoder stack over the pp ring; returns (x, new_kv)."""
+    lora_params, token_lora = lora if lora is not None else (None, None)
+    perm = [(j, (j + 1) % pp) for j in range(pp)]
+
+    def stage_fn(layers_local, kv_local, x, metadata, lora_local,
+                 token_lora):
+        stage = jax.lax.axis_index("pp")
+        lora_ctx_params = lora_local  # local [L/pp, S, ...] chunk or None
+        x = _pvary(x, "pp")
+        kv_cur = kv_local
+        for k in range(pp):
+            lora_k = (None if lora_ctx_params is None else
+                      (lora_ctx_params, token_lora))
+            new_x, new_kv = run_layers(layers_local, kv_cur, x, metadata,
+                                       lora_k)
+            live = (stage == k)
+            # only the live iteration's KV writes are real
+            kv_cur = jnp.where(live, new_kv, kv_cur)
+            x = jax.lax.ppermute(new_x, "pp", perm)
+        # after pp hops the live activations are back on stage 0; emit a
+        # [pp, T, H] stage-major stack and pick stage 0 outside.
+        return x[None], kv_cur
+
+    in_specs = (
+        jax.tree.map(lambda _: P("pp"), layers),
+        P("pp"),
+        P(),
+        jax.tree.map(lambda _: P(), metadata),
+        (None if lora_params is None else
+         jax.tree.map(lambda _: P("pp"), lora_params)),
+        None if token_lora is None else P(),
+    )
+    f = jax.shard_map(stage_fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=(P("pp"), P("pp")),
+                      axis_names={"pp"}, check_vma=False)
+    xs, new_kv = f(layers, kv, x, metadata, lora_params, token_lora)
+    return xs[0], new_kv

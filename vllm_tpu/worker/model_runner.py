@@ -54,6 +54,11 @@ class TPUModelRunner:
         self.mesh = mesh
 
         self.model = get_model(self.model_config)
+        # parallel context for the forward pass (PP ring, EP sharding)
+        pc = engine_config.parallel_config
+        self.model.mesh = mesh
+        self.model.pp_size = pc.pipeline_parallel_size if mesh else 1
+        self.model.ep_enabled = bool(pc.enable_expert_parallel and mesh)
         self.params: Any = None
         self.kv_caches: list[jnp.ndarray] = []
         self.kv_cache_config: Optional[KVCacheConfig] = None

@@ -32,7 +32,8 @@ class Worker:
             from vllm_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(pc.tensor_parallel_size,
-                                  pc.data_parallel_size)
+                                  pc.data_parallel_size,
+                                  pc.pipeline_parallel_size)
         self.runner = TPUModelRunner(self.config, mesh=self.mesh)
 
     def load_model(self) -> None:
