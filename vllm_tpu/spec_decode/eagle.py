@@ -1,0 +1,266 @@
+"""EAGLE speculative decoding — device-side draft proposer.
+
+Reference behavior parity: vllm/v1/spec_decode/eagle.py EagleProposer +
+vllm/model_executor/models/llama_eagle.py (draft = fc([embed(tok);
+target_hidden]) -> llama decoder layer without input_layernorm -> logits;
+token stream shifted left by one with the freshly sampled token at each
+request's end; then an autoregressive loop proposes the remaining drafts
+one token per request).
+
+TPU-native design: the whole proposer is a pure function traced INTO the
+runner's jitted step — catch-up pass over the ragged batch reuses the same
+attention metadata/slot mapping as the target forward (draft KV mirrors
+target token positions in its own paged cache), and the S-1 decode
+iterations are statically unrolled single-token ragged-attention calls.
+Rejected-draft positions are excluded by shrinking per-request seq_lens
+(the reference compacts the batch host-side; static shapes make masking
+the better fit here). Lookahead KV slots come from the scheduler
+(allocate_slots(num_lookahead_tokens), kv_cache_manager.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.core.kv_cache_interface import FullAttentionSpec
+from vllm_tpu.ops.attention import (AttentionMetadata, attention,
+                                    write_kv_cache)
+from vllm_tpu.ops.activation import GATED_ACTIVATIONS
+from vllm_tpu.ops.layernorm import rms_norm
+from vllm_tpu.ops.linear import embedding_lookup, linear, lm_head_logits
+from vllm_tpu.ops.rotary import RopeConfig, apply_rope, compute_inv_freq
+
+logger = logging.getLogger(__name__)
+
+
+class EagleProposer:
+    """Holds the draft layer's static config + weight loading; the
+    ``propose`` method is pure/jittable."""
+
+    def __init__(self, target_model, spec_config, cache_config) -> None:
+        self.target = target_model
+        self.spec_config = spec_config
+        self.block_size = cache_config.block_size
+        self.num_speculative_tokens = spec_config.num_speculative_tokens
+
+        hf = None
+        path = spec_config.model
+        if path and os.path.isdir(path):
+            cfg_file = os.path.join(path, "config.json")
+            if os.path.exists(cfg_file):
+                with open(cfg_file) as f:
+                    raw = json.load(f)
+                hf = raw.get("model", raw)  # eagle ckpts may nest
+        t = target_model.args
+        if hf is None:
+            hf = {}
+        self.hidden = int(hf.get("hidden_size", t.hidden_size))
+        self.num_heads = int(hf.get("num_attention_heads", t.num_heads))
+        self.num_kv_heads = int(
+            hf.get("num_key_value_heads", t.num_kv_heads))
+        self.head_dim = int(
+            hf.get("head_dim",
+                   self.hidden // self.num_heads if self.num_heads else
+                   t.head_dim))
+        self.inter = int(hf.get("intermediate_size", t.intermediate_size))
+        self.rms_eps = float(hf.get("rms_norm_eps", t.rms_eps))
+        self.act = hf.get("hidden_act", t.act)
+        # rope follows the target (eagle drafts share positional scheme)
+        self.inv_freq = target_model.inv_freq
+        self.rope_mscale = target_model.rope_mscale
+        self.is_neox = t.rope.is_neox_style
+        self.scale = 1.0 / (self.head_dim ** 0.5)
+
+    # ------------------------------------------------------------ weights
+
+    def param_shapes(self) -> dict:
+        H, I = self.hidden, self.inter
+        nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+        return {
+            "fc": {"w": (2 * H, H)},
+            "qkv": {"w": (H, (nq + 2 * nk) * d)},
+            "o": {"w": (nq * d, H)},
+            "gate_up": {"w": (H, 2 * I)},
+            "down": {"w": (I, H)},
+            "post_ln": (H,),
+        }
+
+    def init_dummy_params(self, seed: int = 0) -> dict:
+        rng = np.random.default_rng(seed + 7)
+
+        def mk(shape):
+            if len(shape) == 1:
+                return np.ones(shape, np.float32)
+            return (rng.standard_normal(shape).astype(np.float32) *
+                    (0.4 / np.sqrt(shape[0])))
+
+        return jax.tree.map(mk, self.param_shapes(),
+                            is_leaf=lambda x: isinstance(x, tuple))
+
+    def load_weights(self, dtype) -> dict:
+        """Stream the draft checkpoint (fc + one decoder layer); embed and
+        lm_head are shared with the target (llama_eagle.py shares embed
+        when PP is off)."""
+        path = self.spec_config.model
+        if not path or not os.path.isdir(path):
+            logger.warning("eagle: no draft checkpoint at %r, "
+                           "using dummy weights", path)
+            params = self.init_dummy_params()
+        else:
+            from vllm_tpu.models.weight_utils import weights_iterator
+
+            shapes = self.param_shapes()
+            params = jax.tree.map(
+                lambda s: np.zeros(s, np.float32), shapes,
+                is_leaf=lambda x: isinstance(x, tuple))
+            lmap = {
+                "fc.weight": ("fc", True),
+                "layers.0.self_attn.o_proj.weight": ("o", True),
+                "layers.0.mlp.down_proj.weight": ("down", True),
+                "layers.0.post_attention_layernorm.weight":
+                    ("post_ln", False),
+            }
+            nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+            I = self.inter
+            fused = {
+                "layers.0.self_attn.q_proj.weight": ("qkv", 0, nq * d),
+                "layers.0.self_attn.k_proj.weight":
+                    ("qkv", nq * d, nk * d),
+                "layers.0.self_attn.v_proj.weight":
+                    ("qkv", (nq + nk) * d, nk * d),
+                "layers.0.mlp.gate_proj.weight": ("gate_up", 0, I),
+                "layers.0.mlp.up_proj.weight": ("gate_up", I, I),
+            }
+            for name, w in weights_iterator(path):
+                name = name.removeprefix("model.")
+                w = np.asarray(w, np.float32)
+                if name in lmap:
+                    key, transpose = lmap[name]
+                    w = w.T if transpose else w
+                    if key in ("post_ln",):
+                        params[key][...] = w
+                    else:
+                        params[key]["w"][...] = w
+                elif name in fused:
+                    key, start, length = fused[name]
+                    params[key]["w"][:, start:start + length] = w.T
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+    def get_kv_cache_spec(self, cache_dtype: str) -> FullAttentionSpec:
+        return FullAttentionSpec(block_size=self.block_size,
+                                 num_kv_heads=self.num_kv_heads,
+                                 head_size=self.head_dim,
+                                 dtype=cache_dtype)
+
+    # ------------------------------------------------------------ forward
+
+    def _layer(self, dp: dict, x: jnp.ndarray, kv: jnp.ndarray,
+               metadata: AttentionMetadata) -> tuple[jnp.ndarray,
+                                                     jnp.ndarray]:
+        """EAGLE decoder layer: no input_layernorm (llama_eagle.py:38),
+        no final norm — returns hidden + residual."""
+        nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+        T = x.shape[0]
+        qkv = linear(x, dp["qkv"])
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          self.is_neox, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        attn = attention(q, kv, metadata, self.scale)
+        x = x + linear(attn.reshape(T, nq * d), dp["o"])
+        h = rms_norm(x, dp["post_ln"], self.rms_eps)
+        gate_up = linear(h, dp["gate_up"])
+        x = x + linear(GATED_ACTIVATIONS[self.act](gate_up), dp["down"])
+        return x, kv
+
+    def propose(
+        self,
+        draft_params: dict,
+        target_params: dict,
+        draft_kv: jnp.ndarray,  # [1, N, page, 2Kd, Dd]
+        input_ids: jnp.ndarray,  # i32[T] target tokens this step
+        target_hidden: jnp.ndarray,  # [T, H] pre-norm final hidden
+        metadata: AttentionMetadata,
+        emitted: jnp.ndarray,  # i32[R, 1+S] verified tokens
+        num_emitted: jnp.ndarray,  # i32[R]
+        num_drafts: jnp.ndarray,  # i32[R]
+        max_model_len: int,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (draft_tokens i32[R, S], new draft_kv)."""
+        S = self.num_speculative_tokens
+        R = metadata.seq_lens.shape[0]
+        qsl = metadata.query_start_loc
+        rows = jnp.arange(R, dtype=jnp.int32)
+
+        num_rejected = num_drafts + 1 - num_emitted  # [R]
+        accepted_last = jnp.maximum(qsl[1:] - 1 - num_rejected, 0)
+        # Shift tokens left; place each request's last verified token at
+        # its accepted end (eagle.py:103-107).
+        shifted = jnp.concatenate([input_ids[1:], input_ids[-1:]])
+        corr = emitted[rows, jnp.maximum(num_emitted - 1, 0)]
+        shifted = shifted.at[accepted_last].set(corr)
+
+        embed = embedding_lookup(shifted, target_params["embed"]["w"])
+        h = linear(
+            jnp.concatenate([embed, target_hidden.astype(embed.dtype)],
+                            axis=-1), draft_params["fc"])
+
+        # catch-up pass over the full ragged batch: rejected tail tokens
+        # stay in the stream but seq_lens exclude them from attention.
+        seq_acc = jnp.maximum(metadata.seq_lens - num_rejected, 0)
+        md0 = dataclasses.replace(metadata, seq_lens=seq_acc)
+        h_out, kv = self._layer(draft_params, h, draft_kv[0], md0)
+
+        logits = lm_head_logits(h_out[accepted_last],
+                                target_params["lm_head"])
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [R]
+        drafts = [token]
+        h_prev = h_out[accepted_last]  # [R, H]
+
+        if S > 1:
+            # static per-shape decode-loop metadata scaffolding
+            from vllm_tpu.ops.pallas.ragged_paged_attention import \
+                build_logical_blocks
+
+            qsl_dec = np.arange(R + 1, dtype=np.int32)
+            lb_seq, lb_q_start = build_logical_blocks(qsl_dec, R, R)
+            bs = self.block_size
+
+        for j in range(1, S):
+            pos_j = seq_acc + j - 1  # draft token j-1 sits here
+            ok = pos_j < max_model_len
+            posc = jnp.where(ok, pos_j, 0)
+            block_ids = metadata.block_tables[rows, posc // bs]
+            # masked-out rows write into the null block (id 0, slot 0)
+            slots = jnp.where(ok, block_ids * bs + posc % bs, 0)
+            md_j = AttentionMetadata(
+                slot_mapping=slots,
+                block_tables=metadata.block_tables,
+                query_start_loc=jnp.asarray(qsl_dec),
+                seq_lens=jnp.where(ok, seq_acc + j, 1),
+                positions=posc,
+                lb_seq=jnp.asarray(lb_seq),
+                lb_q_start=jnp.asarray(lb_q_start),
+            )
+            embed = embedding_lookup(drafts[-1],
+                                     target_params["embed"]["w"])
+            h_in = linear(
+                jnp.concatenate([embed, h_prev.astype(embed.dtype)],
+                                axis=-1), draft_params["fc"])
+            h_out, kv = self._layer(draft_params, h_in, kv, md_j)
+            logits = lm_head_logits(h_out, target_params["lm_head"])
+            drafts.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+            h_prev = h_out
+
+        return jnp.stack(drafts, axis=1), kv[None]

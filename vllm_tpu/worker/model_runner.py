@@ -77,6 +77,14 @@ class TPUModelRunner:
         spec_cfg = engine_config.speculative_config
         self.num_spec_tokens = (spec_cfg.num_speculative_tokens
                                 if spec_cfg.enabled else 0)
+        self.eagle: Optional[Any] = None
+        if spec_cfg.enabled and spec_cfg.method in ("eagle", "eagle3"):
+            from vllm_tpu.spec_decode.eagle import EagleProposer
+
+            self.eagle = EagleProposer(self.model, spec_cfg,
+                                       self.cache_config)
+        self.draft_params: Any = None
+        self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
 
         self._compiled_step = self._build_step_fn()
@@ -91,6 +99,8 @@ class TPUModelRunner:
                                         mesh=self.mesh)
         logger.info("model weights loaded in %.1fs",
                     time.perf_counter() - t0)
+        if self.eagle is not None:
+            self.draft_params = self.eagle.load_weights(self.model.dtype)
         lora_cfg = self.config.lora_config
         if lora_cfg is not None:
             from vllm_tpu.lora.manager import LoRAManager
@@ -128,6 +138,16 @@ class TPUModelRunner:
                 arr = jax.device_put(arr, kv_cache_sharding(self.mesh))
             self.kv_caches.append(arr)
 
+        if self.eagle is not None:
+            spec = self.eagle.get_kv_cache_spec(
+                self.cache_config.cache_dtype)
+            dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
+            if self.model_config.dtype == "float32":
+                dtype = jnp.float32
+            self.draft_kv = jnp.zeros(
+                (1, kv_cache_config.num_blocks, spec.block_size,
+                 2 * spec.num_kv_heads, spec.head_size), dtype)
+
         max_blocks_per_req = cdiv(self.scheduler_config.max_model_len,
                                   self.cache_config.block_size)
         self.input_batch = InputBatch(
@@ -142,10 +162,12 @@ class TPUModelRunner:
 
     def _build_step_fn(self):
         model = self.model
+        eagle = self.eagle
+        max_model_len = self.scheduler_config.max_model_len
 
-        def step(params, kv_caches, input_ids, metadata, logits_indices,
-                 sampling: SamplingMetadata, num_logprobs: int, spec,
-                 lora=None):
+        def step(params, kv_caches, draft_kv, input_ids, metadata,
+                 logits_indices, sampling: SamplingMetadata,
+                 num_logprobs: int, spec, lora=None, draft_params=None):
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
                                               metadata, lora=lora)
             if spec is not None:
@@ -162,7 +184,14 @@ class TPUModelRunner:
                 sampled = sample_positions(logits, sampling, fold_pos)
                 tokens, num_emitted = verify_drafts(sampled, draft_tokens,
                                                     num_drafts)
-                return kv_caches, (tokens, num_emitted), None
+                next_drafts = None
+                if draft_params is not None:
+                    next_drafts, draft_kv = eagle.propose(
+                        draft_params, params, draft_kv, input_ids, hidden,
+                        metadata, tokens, num_emitted, num_drafts,
+                        max_model_len)
+                return (kv_caches, draft_kv), (tokens, num_emitted,
+                                               next_drafts), None
             sel = hidden[logits_indices]
             logits = model.compute_logits(params, sel)
             tokens = sample(logits, sampling)
@@ -170,10 +199,10 @@ class TPUModelRunner:
                 lp = compute_logprobs(logits, tokens, num_logprobs)
             else:
                 lp = None
-            return kv_caches, tokens, lp
+            return (kv_caches, draft_kv), tokens, lp
 
-        return jax.jit(step, donate_argnums=(1,),
-                       static_argnums=(6,))
+        return jax.jit(step, donate_argnums=(1, 2),
+                       static_argnums=(7,))
 
     def _pick_bucket(self, buckets: list[int], n: int) -> int:
         i = bisect.bisect_left(buckets, n)
@@ -235,25 +264,33 @@ class TPUModelRunner:
             lora = (self.lora_manager.stacks,
                     jnp.asarray(prep.token_lora))
 
-        self.kv_caches, tokens_dev, lp_dev = self._compiled_step(
-            self.params, self.kv_caches, jnp.asarray(prep.input_ids),
-            metadata, jnp.asarray(prep.logits_indices), sampling,
-            num_logprobs, spec, lora)
+        (self.kv_caches, self.draft_kv), tokens_dev, lp_dev = \
+            self._compiled_step(
+                self.params, self.kv_caches, self.draft_kv,
+                jnp.asarray(prep.input_ids), metadata,
+                jnp.asarray(prep.logits_indices), sampling,
+                num_logprobs, spec, lora, self.draft_params)
         self.step_counter += 1
 
         if spec is not None:
             emitted = np.asarray(tokens_dev[0])
             num_emitted = np.asarray(tokens_dev[1])
-            return self._build_spec_output(prep, emitted, num_emitted)
+            next_drafts = (np.asarray(tokens_dev[2])
+                           if tokens_dev[2] is not None else None)
+            return self._build_spec_output(prep, emitted, num_emitted,
+                                           next_drafts)
         tokens = np.asarray(tokens_dev)
         return self._build_output(scheduler_output, prep, tokens, lp_dev,
                                   num_logprobs)
 
-    def _build_spec_output(self, prep: PreparedInputs,
-                           emitted: np.ndarray,
-                           num_emitted: np.ndarray) -> ModelRunnerOutput:
+    def _build_spec_output(
+            self, prep: PreparedInputs, emitted: np.ndarray,
+            num_emitted: np.ndarray,
+            next_drafts: Optional[np.ndarray] = None) -> ModelRunnerOutput:
         req_ids: list[str] = []
         sampled: list[list[int]] = []
+        spec_out: Optional[list[list[int]]] = (
+            [] if next_drafts is not None else None)
         for row, rid in enumerate(prep.req_ids):
             req_ids.append(rid)
             if prep.sample_valid[row]:
@@ -261,10 +298,15 @@ class TPUModelRunner:
                 toks = emitted[row, :n].tolist()
                 sampled.append(toks)
                 self.input_batch.append_sampled(rid, toks)
+                if spec_out is not None:
+                    spec_out.append(next_drafts[row].tolist())
             else:
                 sampled.append([])
+                if spec_out is not None:
+                    spec_out.append([])
         return ModelRunnerOutput(req_ids=req_ids,
-                                 sampled_token_ids=sampled)
+                                 sampled_token_ids=sampled,
+                                 spec_token_ids=spec_out)
 
     def _build_output(self, scheduler_output: SchedulerOutput,
                       prep: PreparedInputs, tokens: np.ndarray, lp_dev,
@@ -367,9 +409,10 @@ class TPUModelRunner:
                       dtype)
         ]
         metadata, input_ids, logits_idx, sampling = self._dummy_inputs(T, R)
-        _, tokens, _ = self._compiled_step(self.params, dummy_kv, input_ids,
-                                           metadata, logits_idx, sampling,
-                                           0, None, self._dummy_lora(T))
+        _, tokens, _ = self._compiled_step(self.params, dummy_kv, (),
+                                           input_ids, metadata, logits_idx,
+                                           sampling, 0, None,
+                                           self._dummy_lora(T), None)
         tokens.block_until_ready()
 
     def _dummy_inputs(self, T: int, R: int):
@@ -414,10 +457,20 @@ class TPUModelRunner:
                     continue
                 metadata, input_ids, logits_idx, sampling = \
                     self._dummy_inputs(T, R)
-                self.kv_caches, tokens, _ = self._compiled_step(
-                    self.params, self.kv_caches, input_ids, metadata,
-                    logits_idx, sampling, 0, None, self._dummy_lora(T))
-                tokens.block_until_ready()
+                spec = None
+                if self.num_spec_tokens > 0:
+                    S1 = self.num_spec_tokens + 1
+                    spec = (jnp.zeros((R, S1), jnp.int32),
+                            jnp.zeros((R, S1), jnp.int32),
+                            jnp.zeros((R, self.num_spec_tokens),
+                                      jnp.int32),
+                            jnp.zeros(R, jnp.int32))
+                (self.kv_caches, self.draft_kv), tokens, _ = \
+                    self._compiled_step(
+                        self.params, self.kv_caches, self.draft_kv,
+                        input_ids, metadata, logits_idx, sampling, 0,
+                        spec, self._dummy_lora(T), self.draft_params)
+                jax.block_until_ready(tokens)
                 n += 1
         logger.info("precompiled %d bucket graphs in %.1fs", n,
                     time.perf_counter() - t0)
