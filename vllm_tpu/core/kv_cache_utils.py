@@ -64,7 +64,22 @@ def hash_request_tokens(
     algo: str = "sha256",
 ) -> list[BlockHash]:
     """Hash all *full* blocks of a token sequence
-    (reference: kv_cache_utils.py:558)."""
+    (reference: kv_cache_utils.py:558).
+
+    The sha256 path uses the native batch hasher (csrc/host_ops.cpp) when
+    available — one C call per request instead of one hashlib round-trip
+    per block — and falls back to pure Python with identical values."""
+    if algo == "sha256":
+        from vllm_tpu import _native
+
+        extra = repr(extra_keys).encode() if extra_keys else b""
+        values = _native.hash_request_tokens_native(
+            token_ids, block_size, NONE_HASH, extra)
+        if values is not None:
+            # token_ids are elided: nothing reads BlockHash.token_ids (the
+            # 64-bit chained sha256 collision risk is the same one the
+            # reference accepts, kv_cache_utils.py:527).
+            return [BlockHash(int(v), (), extra_keys) for v in values]
     hashes: list[BlockHash] = []
     parent: Optional[int] = None
     for start in range(0, len(token_ids) - block_size + 1, block_size):

@@ -27,6 +27,12 @@ class NgramProposer:
         self.max_n = max(prompt_lookup_max, self.min_n)
 
     def propose_for_tokens(self, token_ids: list[int]) -> list[int]:
+        from vllm_tpu import _native
+
+        native = _native.ngram_propose_native(token_ids, self.min_n,
+                                              self.max_n, self.k)
+        if native is not None:
+            return native
         seq = np.asarray(token_ids, dtype=np.int64)
         L = len(seq)
         for n in range(self.max_n, self.min_n - 1, -1):
