@@ -24,6 +24,7 @@ class NewRequestData:
     block_ids: tuple[list[int], ...]  # per KV-cache group
     num_computed_tokens: int  # prefix-cache hit length
     lora_request: Optional[Any] = None
+    pooling_params: Optional[Any] = None
 
 
 @dataclass

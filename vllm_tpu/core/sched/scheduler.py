@@ -214,17 +214,26 @@ class Scheduler:
                         break
 
                 # Prefix-cache lookup only on the very first schedule.
+                # Pooling requests skip it: mean pooling needs the hidden
+                # state of EVERY prompt token computed, so cached blocks
+                # cannot stand in for computation.
                 num_new_computed_tokens = 0
                 new_computed_blocks = None
                 if (request.status == RequestStatus.WAITING
-                        and request.num_computed_tokens == 0):
+                        and request.num_computed_tokens == 0
+                        and request.pooling_params is None):
                     new_computed_blocks, num_new_computed_tokens = (
                         self.kv_cache_manager.get_computed_blocks(request))
 
                 num_new_tokens = (request.num_tokens -
                                   request.num_computed_tokens -
                                   num_new_computed_tokens)
-                if long_cap > 0:
+                if request.pooling_params is not None:
+                    # All-or-nothing: the pooler consumes every prompt
+                    # token's hidden state in one device step.
+                    if num_new_tokens > token_budget:
+                        break
+                elif long_cap > 0:
                     num_new_tokens = min(num_new_tokens, long_cap)
                 if (not self.scheduler_config.enable_chunked_prefill
                         and num_new_tokens > token_budget):
@@ -279,6 +288,7 @@ class Scheduler:
                 block_ids=req_to_new_block_ids[req.request_id],
                 num_computed_tokens=req.num_computed_tokens,
                 lora_request=req.lora_request,
+                pooling_params=req.pooling_params,
             ) for req in scheduled_new_reqs
         ]
         cached_reqs_data = self._make_cached_request_data(
@@ -411,8 +421,9 @@ class Scheduler:
             pooling = None
             if runner_output.pooler_output is not None:
                 pooling = runner_output.pooler_output[i]
-                request.status = RequestStatus.FINISHED_STOPPED
-                stopped = True
+                if pooling is not None:
+                    request.status = RequestStatus.FINISHED_STOPPED
+                    stopped = True
 
             if stopped:
                 stopped_reqs.append(request)

@@ -183,6 +183,43 @@ class AsyncLLM:
             await self.abort(request_id)
             raise
 
+    async def encode(
+        self,
+        prompt: PromptType,
+        pooling_params,
+        request_id: str,
+        lora_request: Optional[Any] = None,
+        priority: int = 0,
+    ):
+        """Pooling pass (reference: AsyncLLM.encode); yields one final
+        PoolingRequestOutput."""
+        if self._errored is not None:
+            raise EngineDeadError(str(self._errored))
+        self.loop = asyncio.get_running_loop()
+        request = self.processor.process_inputs(request_id, prompt,
+                                                pooling_params,
+                                                time.monotonic(),
+                                                lora_request, priority)
+        queue = RequestOutputCollector(aggregate=False)
+        loop = self.loop
+        orig_put = queue.put
+        queue.put = lambda out: loop.call_soon_threadsafe(orig_put, out)
+        prompt_text = prompt if isinstance(prompt, str) else (
+            prompt.get("prompt") if isinstance(prompt, dict) else None)
+        with self._lock:
+            self.output_processor.add_request(request, prompt_text, queue)
+        self._ops.put(("add", request))
+        self._wakeup.set()
+        try:
+            while True:
+                out = await queue.get()
+                yield out
+                if out.finished:
+                    return
+        except (asyncio.CancelledError, GeneratorExit):
+            await self.abort(request_id)
+            raise
+
     async def abort(self, request_id: Union[str, list[str]]) -> None:
         ids = [request_id] if isinstance(request_id, str) else request_id
         with self._lock:

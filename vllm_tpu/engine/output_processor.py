@@ -129,6 +129,23 @@ class OutputProcessor:
             if state is None:
                 continue  # aborted
 
+            if out.pooling_output is not None:
+                from vllm_tpu.outputs import (PoolingOutput,
+                                              PoolingRequestOutput)
+
+                state.finished = True
+                pool_out = PoolingRequestOutput(
+                    request_id=out.request_id,
+                    outputs=PoolingOutput(data=out.pooling_output),
+                    prompt_token_ids=state.prompt_token_ids,
+                    finished=True)
+                if state.queue is not None:
+                    state.queue.put(pool_out)
+                else:
+                    request_outputs.append(pool_out)
+                del self.request_states[out.request_id]
+                continue
+
             new_tokens = out.new_token_ids
             finish_reason = out.finish_reason
             stop_reason = out.stop_reason

@@ -103,6 +103,16 @@ class Processor:
                 raise ValueError(
                     f"logprobs {params.logprobs} > max_logprobs "
                     f"{self.model_config.max_logprobs}")
+        elif isinstance(params, PoolingParams):
+            # pooling prompts must fit one device step (the scheduler
+            # schedules them all-or-nothing so every token's hidden state
+            # is available to the pooler)
+            budget = self.config.scheduler_config.max_num_batched_tokens
+            if len(prompt_token_ids) > budget:
+                raise ValueError(
+                    f"request {request_id}: pooling prompt length "
+                    f"{len(prompt_token_ids)} > max_num_batched_tokens "
+                    f"{budget}")
         vocab = None
         if self.tokenizer is not None:
             vocab = getattr(self.tokenizer, "vocab_size", None)

@@ -70,7 +70,8 @@ class LLM:
         return self._run_engine(request_ids, len(prompts), use_tqdm)
 
     def _run_engine(self, request_ids, num_prompts: int,
-                    use_tqdm: bool) -> list[RequestOutput]:
+                    use_tqdm: bool,
+                    regroup: bool = True) -> list[RequestOutput]:
         id_map = {rid: (i, j) for rid, i, j in request_ids}
         results: dict[str, RequestOutput] = {}
         pbar = _tqdm(total=len(id_map),
@@ -83,6 +84,10 @@ class LLM:
                         pbar.update(1)
         if pbar:
             pbar.close()
+
+        if not regroup:  # pooling: one output per prompt, in order
+            ordered = sorted(id_map.items(), key=lambda kv: kv[1])
+            return [results[rid] for rid, _ in ordered if rid in results]
 
         # Regroup n>1 children under their parent prompt.
         grouped: dict[int, list[tuple[int, RequestOutput]]] = {}
@@ -126,11 +131,38 @@ class LLM:
 
     # -------------------------------------------------------------- pooling
 
+    def encode(self, prompts: Union[str, dict, Sequence[Union[str, dict]]],
+               pooling_params: Optional[PoolingParams] = None
+               ) -> list[PoolingRequestOutput]:
+        """Generic pooling pass (reference: LLM.encode, llm.py).
+
+        Any causal LM serves as an embedding model via last/mean pooling
+        of final hidden states (the reference's as_embedding_model
+        adapter)."""
+        if isinstance(prompts, (str, dict)):
+            prompts = [prompts]
+        pooling_params = pooling_params or PoolingParams()
+        rid_list = []
+        for i, prompt in enumerate(prompts):
+            rid = f"{next(self.request_counter)}"
+            self.llm_engine.add_request(rid, prompt,
+                                        pooling_params.clone())
+            rid_list.append((rid, i, 0))
+        outs = self._run_engine(rid_list, len(prompts), use_tqdm=False,
+                                regroup=False)
+        return outs
+
     def embed(self, prompts: Union[str, Sequence[str]],
               pooling_params: Optional[PoolingParams] = None
               ) -> list[PoolingRequestOutput]:
-        raise NotImplementedError(
-            "pooling models land with the pooling runner milestone")
+        pooling_params = pooling_params or PoolingParams(task="embed")
+        return self.encode(prompts, pooling_params)
+
+    def classify(self, prompts: Union[str, Sequence[str]]
+                 ) -> list[PoolingRequestOutput]:
+        return self.encode(
+            prompts, PoolingParams(task="classify", normalize=False,
+                                   softmax=True))
 
     # -------------------------------------------------------------- control
 

@@ -27,10 +27,12 @@ from vllm_tpu.entrypoints.openai.protocol import (ChatCompletionRequest,
                                                   CompletionRequest,
                                                   DetokenizeRequest,
                                                   DetokenizeResponse,
+                                                  EmbeddingRequest,
                                                   ErrorInfo, ErrorResponse,
                                                   ModelCard, ModelList,
                                                   TokenizeRequest,
-                                                  TokenizeResponse)
+                                                  TokenizeResponse,
+                                                  random_uuid)
 from vllm_tpu.entrypoints.openai.serving import (OpenAIServingChat,
                                                  OpenAIServingCompletion)
 
@@ -191,8 +193,57 @@ def build_app(engine: AsyncLLM, served_model_name: str,
                             charset="utf-8")
 
     async def embeddings(request: web.Request) -> web.Response:
-        return _json_error("embedding models are not yet supported", 501,
-                           "NotImplementedError")
+        """OpenAI-compatible /v1/embeddings
+        (reference: api_server.py:712)."""
+        import base64 as b64mod
+
+        from vllm_tpu.sampling_params import PoolingParams
+
+        try:
+            req = EmbeddingRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        inputs = req.input
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        pp = PoolingParams(task="embed", dimensions=req.dimensions)
+        rid = f"embd-{random_uuid()}"
+        data = []
+        total_tokens = 0
+        try:
+            for i, item in enumerate(inputs):
+                prompt = item if isinstance(item, str) else {
+                    "prompt_token_ids": item
+                }
+                final = None
+                async for out in engine.encode(
+                        prompt, pp.clone(), f"{rid}-{i}",
+                        lora_request=completion._lora_for(req.model)):
+                    final = out
+                vec = [float(x) for x in final.outputs.data]
+                total_tokens += len(final.prompt_token_ids or [])
+                if req.encoding_format == "base64":
+                    import numpy as _np
+
+                    emb = b64mod.b64encode(
+                        _np.asarray(vec, _np.float32).tobytes()).decode()
+                else:
+                    emb = vec
+                data.append({"object": "embedding", "index": i,
+                             "embedding": emb})
+        except ValueError as e:
+            return _json_error(str(e))
+        return web.json_response({
+            "id": rid,
+            "object": "list",
+            "created": int(asyncio.get_event_loop().time()),
+            "model": req.model or served_model_name,
+            "data": data,
+            "usage": {"prompt_tokens": total_tokens,
+                      "total_tokens": total_tokens},
+        })
 
     async def reset_prefix_cache(request: web.Request) -> web.Response:
         ok = await engine.reset_prefix_cache()

@@ -156,6 +156,7 @@ class PoolingParams:
     normalize: bool = True
     softmax: bool = False
     task: str = "embed"
+    pooling_type: str = "last"  # last | mean
 
     def clone(self) -> "PoolingParams":
         import copy

@@ -58,6 +58,10 @@ class PreparedInputs:
     spec_num_drafts: Optional[np.ndarray] = None  # i32[R]
     # multi-LoRA: per-token adapter slot (value == num_slots means none)
     token_lora: Optional[np.ndarray] = None  # i32[T]
+    # pooling: per-active-row PoolingParams (None for generate rows);
+    # token_req maps each token to its row (padding -> req_bucket)
+    pooling_params: Optional[list] = None
+    token_req: Optional[np.ndarray] = None  # i32[T]
 
 
 class InputBatch:
@@ -101,6 +105,7 @@ class InputBatch:
         self.sampling_params: list[Optional[SamplingParams]] = \
             [None] * max_num_reqs
         self.lora_requests: list[Optional[Any]] = [None] * max_num_reqs
+        self.pooling_params: list[Optional[Any]] = [None] * max_num_reqs
 
     # ------------------------------------------------------------- mutation
 
@@ -137,6 +142,7 @@ class InputBatch:
         self.repetition_penalty[idx] = sp.repetition_penalty
         self.num_logprobs[idx] = -1 if sp.logprobs is None else sp.logprobs
         self.lora_requests[idx] = data.lora_request
+        self.pooling_params[idx] = data.pooling_params
         return idx
 
     def remove_request(self, req_id: str) -> None:
@@ -153,6 +159,7 @@ class InputBatch:
         self.req_ids[last] = None
         self.sampling_params[last] = None
         self.lora_requests[last] = None
+        self.pooling_params[last] = None
         self.num_reqs -= 1
 
     def _copy_slot(self, src: int, dst: int) -> None:
@@ -169,6 +176,7 @@ class InputBatch:
             arr[dst] = arr[src]
         self.sampling_params[dst] = self.sampling_params[src]
         self.lora_requests[dst] = self.lora_requests[src]
+        self.pooling_params[dst] = self.pooling_params[src]
 
     # ---------------------------------------------------------- update/step
 
@@ -340,6 +348,18 @@ class InputBatch:
         nl = self.num_logprobs[rows] if num_active else \
             np.empty(0, np.int32)
 
+        pooling = [self.pooling_params[idx] for idx, _ in active]
+        token_req = None
+        if any(p is not None for p in pooling):
+            token_req = np.full(T, R, np.int32)
+            off = 0
+            for row, (idx, rid) in enumerate(active):
+                n = num_sched[rid]
+                token_req[off:off + n] = row
+                off += n
+        else:
+            pooling = None
+
         token_lora = None
         if num_lora_slots > 0:
             token_lora = np.full(T, num_lora_slots, np.int32)
@@ -375,6 +395,8 @@ class InputBatch:
             repetition_penalty=rp,
             num_logprobs=nl if np.any(nl >= 0) else None,
             token_lora=token_lora,
+            pooling_params=pooling,
+            token_req=token_req,
             **spec_kw,
         )
 

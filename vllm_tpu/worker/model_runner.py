@@ -167,9 +167,21 @@ class TPUModelRunner:
 
         def step(params, kv_caches, draft_kv, input_ids, metadata,
                  logits_indices, sampling: SamplingMetadata,
-                 num_logprobs: int, spec, lora=None, draft_params=None):
+                 num_logprobs: int, spec, lora=None, draft_params=None,
+                 token_req=None):
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
                                               metadata, lora=lora)
+            pooled = None
+            if token_req is not None:
+                # mean + last pooling over each row's token span
+                # (reference: model_executor/layers/pooler.py)
+                R = logits_indices.shape[0]
+                sums = jax.ops.segment_sum(hidden.astype(jnp.float32),
+                                           token_req, num_segments=R + 1)
+                qsl = metadata.query_start_loc
+                counts = jnp.maximum(qsl[1:] - qsl[:-1], 1)
+                mean = sums[:R] / counts[:, None]
+                pooled = (mean, hidden[logits_indices])
             if spec is not None:
                 # Speculative verify: sample at 1+S positions per row and
                 # accept the matching draft prefix on device.
@@ -199,7 +211,7 @@ class TPUModelRunner:
                 lp = compute_logprobs(logits, tokens, num_logprobs)
             else:
                 lp = None
-            return (kv_caches, draft_kv), tokens, lp
+            return (kv_caches, draft_kv), (tokens, pooled), lp
 
         return jax.jit(step, donate_argnums=(1, 2),
                        static_argnums=(7,))
@@ -263,13 +275,15 @@ class TPUModelRunner:
         if self.lora_manager is not None:
             lora = (self.lora_manager.stacks,
                     jnp.asarray(prep.token_lora))
+        token_req = (jnp.asarray(prep.token_req)
+                     if prep.token_req is not None else None)
 
         (self.kv_caches, self.draft_kv), tokens_dev, lp_dev = \
             self._compiled_step(
                 self.params, self.kv_caches, self.draft_kv,
                 jnp.asarray(prep.input_ids), metadata,
                 jnp.asarray(prep.logits_indices), sampling,
-                num_logprobs, spec, lora, self.draft_params)
+                num_logprobs, spec, lora, self.draft_params, token_req)
         self.step_counter += 1
 
         if spec is not None:
@@ -279,9 +293,37 @@ class TPUModelRunner:
                            if tokens_dev[2] is not None else None)
             return self._build_spec_output(prep, emitted, num_emitted,
                                            next_drafts)
-        tokens = np.asarray(tokens_dev)
-        return self._build_output(scheduler_output, prep, tokens, lp_dev,
-                                  num_logprobs)
+        tokens = np.asarray(tokens_dev[0])
+        out = self._build_output(scheduler_output, prep, tokens, lp_dev,
+                                 num_logprobs)
+        if tokens_dev[1] is not None:
+            out.pooler_output = self._build_pooler_output(
+                prep, tokens_dev[1])
+        return out
+
+    def _build_pooler_output(self, prep: PreparedInputs,
+                             pooled) -> list[Optional[np.ndarray]]:
+        """Per-row pooled vectors: mean or last per PoolingParams, with
+        matryoshka truncation and L2 normalization
+        (reference: model_executor/layers/pooler.py)."""
+        mean = np.asarray(pooled[0], np.float32)
+        last = np.asarray(pooled[1], np.float32)
+        out: list[Optional[np.ndarray]] = []
+        for row, pp in enumerate(prep.pooling_params):
+            if pp is None or not prep.sample_valid[row]:
+                out.append(None)
+                continue
+            vec = mean[row] if getattr(pp, "pooling_type",
+                                       "last") == "mean" else last[row]
+            if pp.dimensions:
+                vec = vec[:pp.dimensions]
+            if pp.normalize:
+                vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+            if pp.softmax:
+                e = np.exp(vec - vec.max())
+                vec = e / e.sum()
+            out.append(vec)
+        return out
 
     def _build_spec_output(
             self, prep: PreparedInputs, emitted: np.ndarray,
@@ -320,8 +362,15 @@ class TPUModelRunner:
             sampled_info = np.asarray(lp_dev[2])
             logprobs_out = []
 
+        pooling = prep.pooling_params
         for row, rid in enumerate(prep.req_ids):
             req_ids.append(rid)
+            if pooling is not None and pooling[row] is not None:
+                # pooling rows never emit tokens
+                sampled.append([])
+                if logprobs_out is not None:
+                    logprobs_out.append(None)
+                continue
             if prep.sample_valid[row]:
                 token = int(tokens[row])
                 sampled.append([token])
@@ -413,7 +462,7 @@ class TPUModelRunner:
                                            input_ids, metadata, logits_idx,
                                            sampling, 0, None,
                                            self._dummy_lora(T), None)
-        tokens.block_until_ready()
+        jax.block_until_ready(tokens)
 
     def _dummy_inputs(self, T: int, R: int):
         from vllm_tpu.ops.pallas.ragged_paged_attention import \
