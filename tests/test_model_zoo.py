@@ -77,12 +77,76 @@ def make_hf_model(arch):
 
         return Phi3ForCausalLM(
             Phi3Config(num_key_value_heads=2, pad_token_id=0, **common))
+    if arch == "gpt_neox":
+        from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+        return GPTNeoXForCausalLM(
+            GPTNeoXConfig(rotary_pct=0.25, use_parallel_residual=True,
+                          **common))
+    if arch == "gpt_neox_seq":
+        from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+        return GPTNeoXForCausalLM(
+            GPTNeoXConfig(rotary_pct=1.0, use_parallel_residual=False,
+                          **common))
+    if arch == "phi":
+        from transformers import PhiConfig, PhiForCausalLM
+
+        return PhiForCausalLM(
+            PhiConfig(partial_rotary_factor=0.5, **common))
+    if arch == "stablelm":
+        from transformers import StableLmConfig, StableLmForCausalLM
+
+        return StableLmForCausalLM(
+            StableLmConfig(num_key_value_heads=2,
+                           partial_rotary_factor=0.25, **common))
+    if arch == "starcoder2":
+        from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+        return Starcoder2ForCausalLM(
+            Starcoder2Config(num_key_value_heads=2, **common))
+    if arch == "cohere":
+        from transformers import CohereConfig, CohereForCausalLM
+
+        return CohereForCausalLM(
+            CohereConfig(num_key_value_heads=2, logit_scale=0.5,
+                         pad_token_id=0, **common))
+    if arch == "deepseek_v2":
+        from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+        return DeepseekV2ForCausalLM(
+            DeepseekV2Config(moe_intermediate_size=32,
+                             n_routed_experts=8, n_shared_experts=1,
+                             num_experts_per_tok=2,
+                             first_k_dense_replace=1,
+                             norm_topk_prob=False,
+                             routed_scaling_factor=1.0,
+                             qk_nope_head_dim=16, qk_rope_head_dim=8,
+                             v_head_dim=16, kv_lora_rank=32,
+                             q_lora_rank=None, num_key_value_heads=4,
+                             pad_token_id=0, **common))
+    if arch == "deepseek_v3":
+        from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+        return DeepseekV3ForCausalLM(
+            DeepseekV3Config(moe_intermediate_size=32,
+                             n_routed_experts=8, n_shared_experts=1,
+                             num_experts_per_tok=2,
+                             first_k_dense_replace=1,
+                             norm_topk_prob=True,
+                             routed_scaling_factor=2.5,
+                             n_group=4, topk_group=2,
+                             qk_nope_head_dim=16, qk_rope_head_dim=8,
+                             v_head_dim=16, kv_lora_rank=32,
+                             q_lora_rank=24, num_key_value_heads=4,
+                             pad_token_id=0, **common))
     raise ValueError(arch)
 
 
 @pytest.mark.parametrize("arch", [
     "qwen2", "qwen3", "mistral_sw", "gemma", "gemma2", "gpt2", "opt",
-    "mixtral", "phi3"
+    "mixtral", "phi3", "deepseek_v2", "deepseek_v3", "gpt_neox",
+    "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch
@@ -111,13 +175,16 @@ def test_arch_logits_match_hf(arch, tmp_path):
                                             max_blocks=8, total_pad=16,
                                             req_pad=4)
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, block_size, 2 * a.num_kv_heads,
-                    a.head_dim), jnp.float32)
+    spec = next(iter(model.get_kv_cache_specs(block_size,
+                                              "float32").values()))
+    kv = jnp.zeros((a.num_layers, 32, block_size, 2 * spec.num_kv_heads,
+                    spec.head_size), jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     logits = np.asarray(model.compute_logits(params, hidden))
 
     # MoE routing amplifies tiny fp differences; loosen slightly.
-    tol = 2e-3 if arch == "mixtral" else 5e-4
+    tol = 2e-3 if arch in ("mixtral", "deepseek_v2",
+                           "deepseek_v3") else 5e-4
     offset = 0
     for r, toks in enumerate(TOKENS):
         ours = logits[offset:offset + len(toks)]

@@ -29,6 +29,18 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("vllm_tpu.models.mixtral",
                             "Qwen3MoeForCausalLM"),
     "Phi3ForCausalLM": ("vllm_tpu.models.phi3", "Phi3ForCausalLM"),
+    "GPTNeoXForCausalLM": ("vllm_tpu.models.neox", "GPTNeoXForCausalLM"),
+    "PhiForCausalLM": ("vllm_tpu.models.neox", "PhiForCausalLM"),
+    "StableLmForCausalLM": ("vllm_tpu.models.neox",
+                            "StableLmForCausalLM"),
+    "Starcoder2ForCausalLM": ("vllm_tpu.models.neox",
+                              "Starcoder2ForCausalLM"),
+    "CohereForCausalLM": ("vllm_tpu.models.neox", "CohereForCausalLM"),
+    "Cohere2ForCausalLM": ("vllm_tpu.models.neox", "CohereForCausalLM"),
+    "DeepseekV2ForCausalLM": ("vllm_tpu.models.deepseek",
+                              "DeepseekV2ForCausalLM"),
+    "DeepseekV3ForCausalLM": ("vllm_tpu.models.deepseek",
+                              "DeepseekV3ForCausalLM"),
     "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
