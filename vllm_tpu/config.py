@@ -280,6 +280,29 @@ class StructuredOutputConfig:
     disable_any_whitespace: bool = False
 
 
+@dataclass
+class KVTransferConfig:
+    """Disaggregated prefill/decode connector config (reference:
+    vllm/config.py KVTransferConfig)."""
+
+    kv_connector: Optional[str] = None  # e.g. "SharedStorageConnector"
+    kv_role: str = "kv_both"  # kv_producer | kv_consumer | kv_both
+    kv_connector_extra_config: dict = field(default_factory=dict)
+
+
+@dataclass
+class KVEventsConfig:
+    """KV-cache event publishing (reference: vllm/config.py
+    KVEventsConfig; events defined in distributed/kv_events.py)."""
+
+    enable_kv_cache_events: bool = False
+    publisher: str = "zmq"
+    endpoint: str = "tcp://*:5557"
+    replay_endpoint: Optional[str] = None
+    buffer_steps: int = 10_000
+    topic: str = ""
+
+
 # ---------------------------------------------------------------------------
 # Root
 
@@ -303,6 +326,8 @@ class EngineConfig:
         default_factory=ObservabilityConfig)
     structured_output_config: StructuredOutputConfig = field(
         default_factory=StructuredOutputConfig)
+    kv_events_config: Optional[KVEventsConfig] = None
+    kv_transfer_config: Optional[KVTransferConfig] = None
 
     def __post_init__(self) -> None:
         # Cross-validation: keep scheduler's view of max_model_len in sync.

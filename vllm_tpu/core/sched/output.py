@@ -67,6 +67,8 @@ class SchedulerOutput:
     finished_req_ids: set[str] = field(default_factory=set)
     free_encoder_mm_hashes: list[str] = field(default_factory=list)
     # Structured-output: req_id -> row into the grammar bitmask array.
+    # disagg-P/D connector loads for this step (base.KVConnectorMetadata)
+    kv_connector_metadata: Optional[Any] = None
     structured_output_request_ids: dict[str, int] = field(
         default_factory=dict)
     grammar_bitmask: Optional[Any] = None  # np.ndarray [num_reqs, ceil(V/32)]

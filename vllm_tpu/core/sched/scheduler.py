@@ -59,6 +59,7 @@ class Scheduler:
         speculative_config: Optional[SpeculativeConfig] = None,
         structured_output_manager=None,
         log_stats: bool = True,
+        kv_connector=None,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
@@ -83,6 +84,13 @@ class Scheduler:
             hash_algo=cache_config.prefix_caching_hash_algo,
         )
         self.block_size = self.kv_cache_manager.block_size
+        # Disaggregated-P/D connector, scheduler role (reference:
+        # KVConnectorBase_V1 scheduler-side hooks).
+        self.kv_connector = kv_connector
+        if kv_connector is not None and hasattr(kv_connector,
+                                                "set_block_size"):
+            kv_connector.set_block_size(self.block_size)
+        self._pending_kv_saves: list = []
 
         self.requests: dict[str, Request] = {}
         self.waiting = create_request_queue(scheduler_config.policy)
@@ -225,9 +233,21 @@ class Scheduler:
                     new_computed_blocks, num_new_computed_tokens = (
                         self.kv_cache_manager.get_computed_blocks(request))
 
+                # External KV lookup (disagg P/D): tokens whose KV can be
+                # pulled from the connector instead of recomputed.
+                num_external_tokens = 0
+                if (self.kv_connector is not None
+                        and request.status == RequestStatus.WAITING
+                        and request.num_computed_tokens == 0
+                        and request.pooling_params is None):
+                    num_external_tokens, _ = \
+                        self.kv_connector.get_num_new_matched_tokens(
+                            request, num_new_computed_tokens)
+
                 num_new_tokens = (request.num_tokens -
                                   request.num_computed_tokens -
-                                  num_new_computed_tokens)
+                                  num_new_computed_tokens -
+                                  num_external_tokens)
                 if request.pooling_params is not None:
                     # All-or-nothing: the pooler consumes every prompt
                     # token's hidden state in one device step.
@@ -243,12 +263,18 @@ class Scheduler:
 
                 new_blocks = self.kv_cache_manager.allocate_slots(
                     request,
-                    num_new_tokens,
+                    num_new_tokens + num_external_tokens,
                     num_new_computed_tokens=num_new_computed_tokens,
                     new_computed_blocks=new_computed_blocks,
                     num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is None:
                     break  # out of KV space; keep FIFO order
+
+                if num_external_tokens:
+                    self.kv_connector.update_state_after_alloc(
+                        request,
+                        self.kv_cache_manager.get_block_ids(
+                            request.request_id)[0], num_external_tokens)
 
                 self.waiting.pop_request()
                 was_preempted = request.status == RequestStatus.PREEMPTED
@@ -259,9 +285,13 @@ class Scheduler:
                     scheduled_resumed_reqs.append(request)
                 else:
                     scheduled_new_reqs.append(request)
-                    if num_new_computed_tokens:
-                        request.num_computed_tokens = num_new_computed_tokens
-                    request.num_cached_tokens = num_new_computed_tokens
+                    # externally-loaded tokens count as computed: the
+                    # worker pulls their KV before the forward pass
+                    total_hit = (num_new_computed_tokens +
+                                 num_external_tokens)
+                    if total_hit:
+                        request.num_computed_tokens = total_hit
+                    request.num_cached_tokens = total_hit
 
                 # New requests carry their FULL block list (hit + new).
                 req_to_new_block_ids[request.request_id] = (
@@ -303,6 +333,8 @@ class Scheduler:
             scheduled_spec_decode_tokens=scheduled_spec_decode_tokens,
             num_common_prefix_blocks=num_common_prefix_blocks,
             finished_req_ids=self.finished_req_ids,
+            kv_connector_metadata=(self.kv_connector.build_connector_meta()
+                                   if self.kv_connector else None),
         )
         self.finished_req_ids = set()
 
@@ -467,10 +499,22 @@ class Scheduler:
         }
 
     def _free_request(self, request: Request) -> None:
+        if self.kv_connector is not None:
+            block_ids = self.kv_cache_manager.get_block_ids(
+                request.request_id)[0]
+            save = self.kv_connector.request_finished(request, block_ids)
+            if save is not None:
+                # drained by EngineCore.step BEFORE the freed blocks can
+                # be reallocated (next schedule() call)
+                self._pending_kv_saves.append(save)
         self.kv_cache_manager.free(request)
         self.kv_cache_manager.free_block_hashes(request)
         self.finished_req_ids.add(request.request_id)
         del self.requests[request.request_id]
+
+    def take_pending_kv_saves(self) -> list:
+        saves, self._pending_kv_saves = self._pending_kv_saves, []
+        return saves
 
     # ---------------------------------------------------------------- stats
 

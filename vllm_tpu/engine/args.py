@@ -8,7 +8,8 @@ from dataclasses import dataclass, field, fields
 from typing import Optional
 
 from vllm_tpu.config import (CacheConfig, CompilationConfig, DeviceConfig,
-                             EngineConfig, LoadConfig, LoRAConfig,
+                             EngineConfig, KVEventsConfig,
+                             KVTransferConfig, LoadConfig, LoRAConfig,
                              ModelConfig, ObservabilityConfig,
                              ParallelConfig, SchedulerConfig,
                              SpeculativeConfig, StructuredOutputConfig)
@@ -62,6 +63,9 @@ class EngineArgs:
 
     otlp_traces_endpoint: Optional[str] = None
     guided_decoding_backend: str = "auto"
+    # JSON string (reference: --kv-transfer-config / --kv-events-config)
+    kv_transfer_config: Optional[str] = None
+    kv_events_config: Optional[str] = None
     # Programmatic-only: inject a transformers config instead of reading
     # one from the model path (dummy-weight benchmarks, tests).
     hf_config: Optional[object] = None
@@ -133,7 +137,22 @@ class EngineArgs:
                 max_cpu_loras=self.max_cpu_loras,
                 lora_dtype=self.lora_dtype,
             ) if self.enable_lora else None),
+            kv_transfer_config=self._parse_json_config(
+                self.kv_transfer_config, KVTransferConfig),
+            kv_events_config=self._parse_json_config(
+                self.kv_events_config, KVEventsConfig),
         )
+
+    @staticmethod
+    def _parse_json_config(raw, cls):
+        if raw is None:
+            return None
+        if isinstance(raw, cls):
+            return raw
+        import json
+
+        data = json.loads(raw) if isinstance(raw, str) else dict(raw)
+        return cls(**data)
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser

@@ -39,6 +39,15 @@ class EngineCore:
         structured_output_manager = StructuredOutputManager(engine_config)
         self.structured_output_manager = structured_output_manager
 
+        kv_connector = None
+        if engine_config.kv_transfer_config is not None:
+            from vllm_tpu.distributed.kv_transfer import (KVConnectorRole,
+                                                          create_connector)
+
+            kv_connector = create_connector(
+                engine_config.kv_transfer_config,
+                KVConnectorRole.SCHEDULER)
+
         self.scheduler = Scheduler(
             scheduler_config=engine_config.scheduler_config,
             cache_config=engine_config.cache_config,
@@ -46,7 +55,43 @@ class EngineCore:
             speculative_config=engine_config.speculative_config,
             structured_output_manager=structured_output_manager,
             log_stats=log_stats,
+            kv_connector=kv_connector,
         )
+
+        # KV-cache event publishing for external prefix-aware routers
+        # (reference: kv_events.py wired via block_pool listener)
+        from vllm_tpu.distributed.kv_events import EventPublisherFactory
+
+        self.kv_event_publisher = EventPublisherFactory.create(
+            engine_config.kv_events_config)
+        if engine_config.kv_events_config and \
+                engine_config.kv_events_config.enable_kv_cache_events:
+            import time as _time
+
+            from vllm_tpu.distributed.kv_events import (AllBlocksCleared,
+                                                        BlockRemoved,
+                                                        BlockStored,
+                                                        EventBatch)
+
+            block_size = engine_config.cache_config.block_size
+
+            def _on_event(kind: str, payload: dict) -> None:
+                if kind == "block_stored":
+                    ev = BlockStored(
+                        block_hashes=payload.get("block_hashes", []),
+                        parent_block_hash=payload.get("parent"),
+                        token_ids=payload.get("token_ids", []),
+                        block_size=block_size)
+                elif kind == "block_removed":
+                    ev = BlockRemoved(
+                        block_hashes=payload.get("block_hashes", []))
+                else:
+                    ev = AllBlocksCleared()
+                self.kv_event_publisher.publish(
+                    EventBatch(ts=_time.time(), events=[ev]))
+
+            self.scheduler.kv_cache_manager.block_pool.event_listener = \
+                _on_event
 
         # ngram speculative proposer runs host-side in the core
         self.spec_proposer = None
@@ -113,8 +158,15 @@ class EngineCore:
         if self.spec_proposer is not None and runner_output.req_ids:
             runner_output.spec_token_ids = self.spec_proposer.propose(
                 self.scheduler.requests, runner_output)
-        return self.scheduler.update_from_output(scheduler_output,
-                                                 runner_output)
+        outputs = self.scheduler.update_from_output(scheduler_output,
+                                                    runner_output)
+        if self.scheduler.kv_connector is not None:
+            # persist finished requests' KV before their freed blocks can
+            # be reallocated (that happens in the next schedule() call)
+            saves = self.scheduler.take_pending_kv_saves()
+            if saves:
+                self.collective_rpc("kv_save_blocks", (saves,))
+        return outputs
 
     # ------------------------------------------------------------- control
 

@@ -32,7 +32,15 @@ class LLMEngine:
         self.config = engine_config
         self.tokenizer = build_tokenizer(engine_config.model_config)
         self.processor = Processor(engine_config, self.tokenizer)
-        self.output_processor = OutputProcessor(self.tokenizer, log_stats)
+        from vllm_tpu.tracing import init_tracer
+
+        self.tracer = init_tracer(
+            "vllm_tpu",
+            engine_config.observability_config.otlp_traces_endpoint
+            if engine_config.observability_config else None)
+        self.output_processor = OutputProcessor(
+            self.tokenizer, log_stats, tracer=self.tracer,
+            model_name=engine_config.model_config.served_model_name)
         self.engine_core = EngineCore(engine_config, log_stats=log_stats)
         if self.engine_core.structured_output_manager is not None:
             self.engine_core.structured_output_manager.attach_tokenizer(

@@ -83,10 +83,38 @@ class OutputProcessorResult:
 
 class OutputProcessor:
 
-    def __init__(self, tokenizer, log_stats: bool = False) -> None:
+    def __init__(self, tokenizer, log_stats: bool = False,
+                 tracer=None, model_name: str = "") -> None:
         self.tokenizer = tokenizer
         self.log_stats = log_stats
         self.request_states: dict[str, RequestState] = {}
+        # OTel-style span emission per finished request
+        # (reference: tracing via v1 OutputProcessor path, SURVEY §5.1)
+        self.tracer = tracer
+        self.model_name = model_name
+
+    def _emit_span(self, state: "RequestState") -> None:
+        if self.tracer is None:
+            return
+        from vllm_tpu.tracing import request_span_attributes
+
+        now = time.monotonic()
+        wall_now = time.time()
+        offset = wall_now - now  # monotonic -> wall clock
+        self.tracer.span(
+            "llm_request",
+            start_time=state.arrival_time + offset,
+            end_time=wall_now,
+            attributes=request_span_attributes(
+                request_id=state.request_id,
+                model=self.model_name,
+                num_prompt_tokens=len(state.prompt_token_ids),
+                num_completion_tokens=len(state.output_token_ids),
+                arrival_time=state.arrival_time,
+                first_token_time=state.first_token_time,
+                finished_time=now,
+                sampling_params=state.sampling_params,
+            ))
 
     def get_num_unfinished_requests(self) -> int:
         return len(self.request_states)
@@ -192,6 +220,7 @@ class OutputProcessor:
                 else:
                     request_outputs.append(req_out)
             if finished:
+                self._emit_span(state)
                 del self.request_states[out.request_id]
         return OutputProcessorResult(request_outputs, reqs_to_abort)
 

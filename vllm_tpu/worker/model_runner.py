@@ -86,6 +86,16 @@ class TPUModelRunner:
         self.draft_params: Any = None
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
+        self.kv_connector = None
+        if engine_config.kv_transfer_config is not None:
+            from vllm_tpu.distributed.kv_transfer import (KVConnectorRole,
+                                                          create_connector)
+
+            self.kv_connector = create_connector(
+                engine_config.kv_transfer_config, KVConnectorRole.WORKER)
+            if hasattr(self.kv_connector, "set_block_size"):
+                self.kv_connector.set_block_size(
+                    self.cache_config.block_size)
 
         self._compiled_step = self._build_step_fn()
 
@@ -228,6 +238,15 @@ class TPUModelRunner:
             self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
         batch = self.input_batch
         batch.update_states(scheduler_output, self.rng)
+
+        # Pull externally-matched KV into the paged cache BEFORE the
+        # forward pass (disagg P/D; reference: maybe_setup_kv_connector)
+        meta = scheduler_output.kv_connector_metadata
+        if meta is not None and self.kv_connector is not None:
+            for load in meta.loads:
+                self.kv_caches = self.kv_connector.load_blocks(
+                    self.kv_caches, load)
+
         if scheduler_output.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
 

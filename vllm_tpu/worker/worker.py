@@ -104,6 +104,15 @@ class Worker:
     def check_health(self) -> bool:
         return True
 
+    # -- KV transfer (disagg P/D; reference: worker-side connector hooks)
+
+    def kv_save_blocks(self, saves: list) -> None:
+        connector = self.runner.kv_connector
+        if connector is None:
+            return
+        for spec in saves:
+            connector.save_blocks(self.runner.kv_caches, spec)
+
     # -- LoRA verbs (reference: gpu_worker add_lora/remove_lora/list_loras)
 
     def add_lora(self, lora_request: Any) -> bool:
