@@ -68,14 +68,18 @@ async def _stream_response(request: web.Request,
 
 
 def build_app(engine: AsyncLLM, served_model_name: str,
-              max_model_len: int) -> web.Application:
+              max_model_len: int,
+              tool_call_parser: Optional[str] = None,
+              reasoning_parser: Optional[str] = None) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app[ENGINE_KEY] = engine
     lora_registry: dict = {}  # adapter name -> LoRARequest
     lora_counter = itertools.count(1)
     completion = OpenAIServingCompletion(engine, served_model_name,
                                          lora_registry)
-    chat = OpenAIServingChat(engine, served_model_name, lora_registry)
+    chat = OpenAIServingChat(engine, served_model_name, lora_registry,
+                             tool_call_parser=tool_call_parser,
+                             reasoning_parser=reasoning_parser)
 
     async def health(request: web.Request) -> web.Response:
         try:
@@ -297,7 +301,11 @@ def run_server(args: argparse.Namespace) -> None:
     config = engine_args.create_engine_config()
     engine = AsyncLLM(config)
     app = build_app(engine, config.model_config.served_model_name,
-                    config.scheduler_config.max_model_len)
+                    config.scheduler_config.max_model_len,
+                    tool_call_parser=getattr(args, "tool_call_parser",
+                                             None),
+                    reasoning_parser=getattr(args, "reasoning_parser",
+                                             None))
     logger.info("vllm-tpu API server on %s:%d", args.host, args.port)
     try:
         web.run_app(app, host=args.host, port=args.port,
@@ -310,6 +318,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="vllm-tpu OpenAI server")
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--tool-call-parser", type=str, default=None,
+                        help="hermes | llama3_json | mistral | pythonic")
+    parser.add_argument("--enable-auto-tool-choice", action="store_true")
+    parser.add_argument("--reasoning-parser", type=str, default=None,
+                        help="deepseek_r1 | qwen3 | glm45")
     EngineArgs.add_cli_args(parser)
     return parser
 

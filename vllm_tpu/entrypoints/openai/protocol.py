@@ -188,6 +188,7 @@ class ChatMessage(BaseModel):
     role: str = "assistant"
     content: Optional[str] = None
     tool_calls: Optional[list[dict]] = None
+    reasoning_content: Optional[str] = None
 
 
 class ChatCompletionChoice(BaseModel):

@@ -6,7 +6,7 @@ from __future__ import annotations
 import asyncio
 import json
 import time
-from typing import AsyncGenerator, Optional, Union
+from typing import Any, AsyncGenerator, Optional, Union
 
 from vllm_tpu.engine.async_llm import AsyncLLM
 from vllm_tpu.entrypoints.openai.protocol import (
@@ -146,6 +146,44 @@ class OpenAIServingCompletion(OpenAIServing):
 
 class OpenAIServingChat(OpenAIServing):
 
+    def __init__(self, engine: AsyncLLM, served_model_name: str,
+                 lora_registry: Optional[dict] = None,
+                 tool_call_parser: Optional[str] = None,
+                 reasoning_parser: Optional[str] = None) -> None:
+        super().__init__(engine, served_model_name, lora_registry)
+        self.tool_parser = None
+        if tool_call_parser:
+            from vllm_tpu.entrypoints.openai.tool_parsers import \
+                get_tool_parser
+
+            self.tool_parser = get_tool_parser(tool_call_parser)
+        self.reasoning_parser = None
+        if reasoning_parser:
+            from vllm_tpu.reasoning import get_reasoning_parser
+
+            self.reasoning_parser = get_reasoning_parser(reasoning_parser)
+
+    def _postprocess_message(self, request: ChatCompletionRequest,
+                             text: str,
+                             finish_reason) -> tuple[ChatMessage, Any]:
+        """Apply reasoning extraction + tool-call parsing
+        (reference: serving_chat.py full-generation path)."""
+        reasoning = None
+        if self.reasoning_parser is not None:
+            r = self.reasoning_parser.extract(text)
+            reasoning, text = r.reasoning_content, r.content or ""
+        tool_calls = None
+        if (self.tool_parser is not None and request.tools
+                and request.tool_choice != "none"):
+            extracted = self.tool_parser.extract(text)
+            if extracted.tools_called:
+                tool_calls = extracted.tool_calls
+                text = extracted.content
+                finish_reason = "tool_calls"
+        return ChatMessage(role="assistant", content=text,
+                           tool_calls=tool_calls,
+                           reasoning_content=reasoning), finish_reason
+
     def _render(self, request: ChatCompletionRequest) -> str:
         tokenizer = self.engine.tokenizer
         return tokenizer.apply_chat_template(
@@ -181,11 +219,13 @@ class OpenAIServingChat(OpenAIServing):
         usage = UsageInfo()
         for j, out in enumerate(results):
             c = out.outputs[0]
+            message, finish_reason = self._postprocess_message(
+                request, c.text, c.finish_reason)
             choices.append(
                 ChatCompletionChoice(
                     index=j,
-                    message=ChatMessage(role="assistant", content=c.text),
-                    finish_reason=c.finish_reason,
+                    message=message,
+                    finish_reason=finish_reason,
                     stop_reason=c.stop_reason,
                 ))
             usage.prompt_tokens = len(out.prompt_token_ids or [])
