@@ -29,6 +29,15 @@ def cmd_bench(argv: list[str]) -> None:
     bench_main(argv)
 
 
+def cmd_run_batch(argv: list[str]) -> None:
+    from vllm_tpu.entrypoints.run_batch import main as rb_main
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    rb_main(argv)
+
+
 def cmd_collect_env(argv: list[str]) -> None:
     import platform
 
@@ -46,17 +55,20 @@ def cmd_collect_env(argv: list[str]) -> None:
 def main() -> None:
     argv = sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: vllm_tpu {serve,bench,collect-env} ...")
+        print("usage: vllm_tpu {serve,bench,run-batch,collect-env} ...")
         return
     cmd, rest = argv[0], argv[1:]
     if cmd == "serve":
         cmd_serve(rest)
     elif cmd == "bench":
         cmd_bench(rest)
+    elif cmd == "run-batch":
+        cmd_run_batch(rest)
     elif cmd == "collect-env":
         cmd_collect_env(rest)
     else:
-        print(f"unknown command {cmd!r}; expected serve|bench|collect-env")
+        print(f"unknown command {cmd!r}; expected "
+              "serve|bench|run-batch|collect-env")
         sys.exit(2)
 
 

@@ -483,9 +483,18 @@ class LlamaForCausalLM:
         rng = np.random.default_rng(rng_seed)
         np_dtype = np.float32
 
+        # One random block tiled across each tensor: dummy weights only
+        # need plausible magnitudes, and tiling fills at memcpy speed
+        # instead of RNG speed (an 8B model is ~30 GB of f32 — the RNG
+        # alone would take minutes).
+        block = rng.standard_normal(1 << 22, dtype=np.float32) * \
+            np.float32(0.02)
+
         def rand(*shape):
-            return rng.standard_normal(shape, dtype=np.float32) * \
-                np.float32(0.02)
+            n = int(np.prod(shape))
+            reps = -(-n // block.size)
+            out = np.tile(block, reps)[:n]
+            return out.reshape(shape)
 
         layers = self._alloc_layer_stack(np_dtype)
 

@@ -26,19 +26,23 @@ _QUANT_LAYER_KEYS = ("qkv", "o", "gate_up", "down")
 
 
 def _quantize_stacked(w: np.ndarray, bits: int, group_size: int) -> dict:
-    """Symmetric grouped quantization of a stacked weight [L, in, out]."""
+    """Symmetric grouped quantization of a stacked weight [L, in, out],
+    processed layer-by-layer to bound f32 temporaries (an 8B model's
+    gate_up stack alone is 15 GB in f32)."""
     L, in_dim, out_dim = w.shape
     if group_size <= 0 or in_dim % group_size:
         group_size = in_dim
     G = in_dim // group_size
     qmax = 7.0 if bits == 4 else 127.0
-    wf = np.asarray(w, np.float32).reshape(L, G, group_size, out_dim)
-    scale = np.maximum(np.abs(wf).max(axis=2) / qmax, 1e-10)  # [L, G, out]
-    q = np.clip(np.round(wf / scale[:, :, None, :]), -qmax - 1, qmax)
-    return {
-        "w_q": q.reshape(L, in_dim, out_dim).astype(np.int8),
-        "scale": scale.astype(np.float32),
-    }
+    w_q = np.empty((L, in_dim, out_dim), np.int8)
+    scale = np.empty((L, G, out_dim), np.float32)
+    for li in range(L):
+        wf = np.asarray(w[li], np.float32).reshape(G, group_size, out_dim)
+        s = np.maximum(np.abs(wf).max(axis=1) / qmax, 1e-10)  # [G, out]
+        q = np.clip(np.round(wf / s[:, None, :]), -qmax - 1, qmax)
+        w_q[li] = q.reshape(in_dim, out_dim).astype(np.int8)
+        scale[li] = s
+    return {"w_q": w_q, "scale": scale}
 
 
 def _quantize_fp8_stacked(w: np.ndarray) -> dict:
