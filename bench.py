@@ -73,7 +73,15 @@ def main() -> None:
         # ~30 min of compile time for nothing here.
         enforce_eager=True,
     )
-    engine = LLMEngine(engine_args.create_engine_config())
+    config = engine_args.create_engine_config()
+    if on_tpu:
+        # Coarse buckets: each (token, req) bucket is one ~15-60s XLA
+        # compile through the remote-compile tunnel; bound the count to
+        # the handful this workload actually needs.
+        config.compilation_config.min_token_bucket = 256
+        config.compilation_config.token_bucket_linear_step = max_tokens
+        config.compilation_config.min_req_bucket = max_seqs
+    engine = LLMEngine(config)
 
     import numpy as np
 

@@ -68,8 +68,13 @@ class ModelConfig:
             for k, v in self.hf_overrides.items():
                 setattr(self.hf_config, k, v)
         if self.max_model_len is None:
+            cfg = self.hf_config
+            # multimodal configs nest the LM under text_config
+            if not hasattr(cfg, "max_position_embeddings") and \
+                    getattr(cfg, "text_config", None) is not None:
+                cfg = cfg.text_config
             self.max_model_len = int(
-                getattr(self.hf_config, "max_position_embeddings", 2048))
+                getattr(cfg, "max_position_embeddings", 2048))
         return self.hf_config
 
     @property

@@ -25,6 +25,7 @@ class NewRequestData:
     num_computed_tokens: int  # prefix-cache hit length
     lora_request: Optional[Any] = None
     pooling_params: Optional[Any] = None
+    mm_inputs: Optional[dict] = None
 
 
 @dataclass

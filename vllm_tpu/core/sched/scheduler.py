@@ -229,7 +229,8 @@ class Scheduler:
                 new_computed_blocks = None
                 if (request.status == RequestStatus.WAITING
                         and request.num_computed_tokens == 0
-                        and request.pooling_params is None):
+                        and request.pooling_params is None
+                        and request.mm_inputs is None):
                     new_computed_blocks, num_new_computed_tokens = (
                         self.kv_cache_manager.get_computed_blocks(request))
 
@@ -319,6 +320,7 @@ class Scheduler:
                 num_computed_tokens=req.num_computed_tokens,
                 lora_request=req.lora_request,
                 pooling_params=req.pooling_params,
+                mm_inputs=req.mm_inputs,
             ) for req in scheduled_new_reqs
         ]
         cached_reqs_data = self._make_cached_request_data(

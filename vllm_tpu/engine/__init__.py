@@ -46,6 +46,8 @@ class EngineCoreRequest:
     priority: int = 0
     client_index: int = 0
     current_wave: int = 0
+    # multimodal inputs, e.g. {"pixel_values": np[B, C, H, W]}
+    mm_inputs: Optional[dict] = None
 
 
 class FinishReason(enum.IntEnum):

@@ -134,6 +134,7 @@ class EngineCore:
             arrival_time=request.arrival_time,
             lora_request=request.lora_request,
             cache_salt=request.cache_salt,
+            mm_inputs=request.mm_inputs,
             priority=request.priority,
             client_index=request.client_index,
         )

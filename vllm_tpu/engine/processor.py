@@ -40,12 +40,14 @@ class Processor:
             arrival_time = time.monotonic()
 
         cache_salt = None
+        mm_inputs = None
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError("text prompts require a tokenizer")
             prompt_token_ids = self.tokenizer.encode(prompt)
         elif isinstance(prompt, dict):
             cache_salt = prompt.get("cache_salt")
+            mm_inputs = prompt.get("multi_modal_data")
             if "prompt_token_ids" in prompt:
                 prompt_token_ids = list(prompt["prompt_token_ids"])
             elif "prompt" in prompt:
@@ -56,7 +58,8 @@ class Processor:
         else:
             raise TypeError(f"unsupported prompt type {type(prompt)}")
 
-        self._validate(request_id, prompt_token_ids, params)
+        self._validate(request_id, prompt_token_ids, params,
+                       has_mm=mm_inputs is not None)
 
         sampling_params = None
         pooling_params = None
@@ -85,11 +88,12 @@ class Processor:
             arrival_time=arrival_time,
             lora_request=lora_request,
             cache_salt=cache_salt,
+            mm_inputs=mm_inputs,
             priority=priority,
         )
 
     def _validate(self, request_id: str, prompt_token_ids: list[int],
-                  params) -> None:
+                  params, has_mm: bool = False) -> None:
         if not prompt_token_ids:
             raise ValueError(f"request {request_id}: empty prompt")
         if len(prompt_token_ids) >= self.max_model_len:
@@ -114,6 +118,8 @@ class Processor:
                     f"{len(prompt_token_ids)} > max_num_batched_tokens "
                     f"{budget}")
         vocab = None
+        if has_mm:
+            return  # placeholder ids may exceed the tokenizer vocab
         if self.tokenizer is not None:
             vocab = getattr(self.tokenizer, "vocab_size", None)
         if vocab:

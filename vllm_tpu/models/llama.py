@@ -144,8 +144,16 @@ class LlamaForCausalLM:
         kv_caches: list[jnp.ndarray],  # [ [L, N, P, 2K, D] ]
         metadata: AttentionMetadata,
         lora=None,  # None | (lora_params {tgt: {a,b}[L,S,..]}, token_lora)
+        embed_override=None,  # None | (idx i32[M], vecs [M, H]):
+        # replace token embeddings at positions idx (multimodal image
+        # placeholders); padding entries use idx == T (scratch row)
     ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
         x = self.embed(params, input_ids)
+        if embed_override is not None:
+            idx, vecs = embed_override
+            ext = jnp.concatenate(
+                [x, jnp.zeros((1, x.shape[1]), x.dtype)])
+            x = ext.at[idx].set(vecs.astype(x.dtype))[:x.shape[0]]
         pp = getattr(self, "pp_size", 1)
         if pp > 1:
             from vllm_tpu.parallel.pipeline import pipeline_layers

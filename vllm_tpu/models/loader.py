@@ -83,6 +83,82 @@ def apply_load_time_quantization(params: dict, method: str,
     return params
 
 
+def _device_dummy_params(model, model_config, quant: Optional[str],
+                         group_size: int = 128,
+                         mesh=None) -> Optional[Any]:
+    """Dummy weights generated ON DEVICE with jax.random — the host path
+    first-touches tens of GB of pages and ships them through the device
+    tunnel (~6 min for an 8B model in this environment); on-device
+    generation takes seconds. Quantized layouts are emitted directly
+    (int8/int4 w_q + constant scales) without any f32 staging."""
+    if not hasattr(model, "_alloc_layer_stack"):
+        return None
+    if quant is not None and quant not in ("int8", "tpu_int8", "int4"):
+        return None  # fp8 dummy keeps the host path
+    import jax
+    import jax.numpy as jnp
+
+    a = model.args
+    np_struct = model._alloc_layer_stack(np.float32)  # np.empty: no touch
+    target = jnp.bfloat16 if model_config.dtype == "bfloat16" \
+        else jnp.float32
+    qbits = {"int8": 8, "tpu_int8": 8, "int4": 4}.get(quant or "")
+
+    def build(key):
+        counter = [0]
+
+        def next_key():
+            counter[0] += 1
+            return jax.random.fold_in(key, counter[0])
+
+        def gen_normal(shape, scale=0.02):
+            return (jax.random.normal(next_key(), shape, target) *
+                    jnp.asarray(scale, target))
+
+        def gen_quant(shape):
+            L, in_dim, out_dim = shape
+            g = group_size if group_size > 0 and in_dim % group_size == 0 \
+                else in_dim
+            qmax = 127 if qbits == 8 else 7
+            w_q = jax.random.randint(next_key(), shape, -qmax, qmax + 1,
+                                     jnp.int8)
+            # scale so dequantized magnitude ~ N(0, 0.02)-ish
+            scale = jnp.full((L, in_dim // g, out_dim),
+                             0.02 / (qmax * 0.58), jnp.float32)
+            return {"w_q": w_q, "scale": scale}
+
+        layers: dict[str, Any] = {}
+        for k, v in np_struct.items():
+            if isinstance(v, dict):
+                if qbits is not None and k in _QUANT_LAYER_KEYS:
+                    sub = gen_quant(v["w"].shape)
+                    if "b" in v:
+                        sub["b"] = jnp.zeros(v["b"].shape, target)
+                    layers[k] = sub
+                else:
+                    layers[k] = {
+                        kk: (gen_normal(vv.shape) if kk in ("w", "w_q")
+                             else jnp.zeros(vv.shape, target))
+                        for kk, vv in v.items()
+                    }
+            elif "ln" in k or "norm" in k:
+                layers[k] = jnp.ones(v.shape, target)
+            else:
+                layers[k] = gen_normal(v.shape)
+
+        return {
+            "embed": {"w": gen_normal((a.vocab_size, a.hidden_size))},
+            "layers": layers,
+            "final_ln": jnp.ones((a.hidden_size,), target),
+            "lm_head": {"w": gen_normal((a.hidden_size, a.vocab_size))},
+        }
+
+    # one jitted program: a single device launch + compile round-trip
+    params = jax.jit(build)(jax.random.PRNGKey(model_config.seed))
+    jax.block_until_ready(params)
+    return params
+
+
 def resolve_model_dir(model: str) -> str:
     if os.path.isdir(model):
         return model
@@ -105,9 +181,12 @@ def load_model_params(model, engine_config: EngineConfig,
 
     quant = model_config.quantization
     if load_format == "dummy":
-        params = model.init_dummy_params(model_config.seed)
-        if quant is not None:
-            params = apply_load_time_quantization(params, quant)
+        params = _device_dummy_params(model, model_config, quant,
+                                      mesh=mesh)
+        if params is None:  # model family without stacked-layer alloc
+            params = model.init_dummy_params(model_config.seed)
+            if quant is not None:
+                params = apply_load_time_quantization(params, quant)
     else:
         from vllm_tpu.models.quant_checkpoints import \
             detect_checkpoint_quantization

@@ -44,6 +44,9 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    # multimodal
+    "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
+                                      "LlavaForConditionalGeneration"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}

@@ -315,7 +315,12 @@ def _ragged_paged_attention_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T + bq, nq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # operands are HBM-resident (memory_space=ANY) but XLA stages
+            # the padded q through scoped vmem at large token buckets;
+            # raise the scoped limit (v5e has 128M vmem) so T=4096-class
+            # buckets compile (default 16M trips at ~1k tokens x 32 heads)
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(lb_seq, lb_q_start, query_start_loc, seq_lens, block_tables, q_pad,
       kv_cache)

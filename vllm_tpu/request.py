@@ -51,6 +51,7 @@ class Request:
         arrival_time: Optional[float] = None,
         lora_request: Optional[Any] = None,
         cache_salt: Optional[str] = None,
+        mm_inputs: Optional[dict] = None,
         priority: int = 0,
         client_index: int = 0,
     ) -> None:
@@ -64,6 +65,7 @@ class Request:
                              if arrival_time is None else arrival_time)
         self.lora_request = lora_request
         self.cache_salt = cache_salt
+        self.mm_inputs = mm_inputs
         self.priority = priority
         self.client_index = client_index
 

@@ -62,6 +62,10 @@ class PreparedInputs:
     # token_req maps each token to its row (padding -> req_bucket)
     pooling_params: Optional[list] = None
     token_req: Optional[np.ndarray] = None  # i32[T]
+    # multimodal: token-embedding overrides at image-placeholder slots
+    # (idx == T means "no override"; see llama.forward embed_override)
+    embed_idx: Optional[np.ndarray] = None  # i32[T]
+    embed_vecs: Optional[np.ndarray] = None  # f32[T, H]
 
 
 class InputBatch:
@@ -73,7 +77,9 @@ class InputBatch:
         max_blocks_per_req: int,
         block_size: int,
         num_kv_groups: int = 1,
+        image_token_index: Optional[int] = None,
     ) -> None:
+        self.image_token_index = image_token_index
         self.max_num_reqs = max_num_reqs
         self.max_model_len = max_model_len
         self.max_blocks_per_req = max_blocks_per_req
@@ -106,6 +112,11 @@ class InputBatch:
             [None] * max_num_reqs
         self.lora_requests: list[Optional[Any]] = [None] * max_num_reqs
         self.pooling_params: list[Optional[Any]] = [None] * max_num_reqs
+        # multimodal: raw inputs, placeholder positions, encoded embeds
+        self.mm_inputs: list[Optional[dict]] = [None] * max_num_reqs
+        self.mm_positions: list[Optional[np.ndarray]] = \
+            [None] * max_num_reqs
+        self.mm_embeds: list[Optional[np.ndarray]] = [None] * max_num_reqs
 
     # ------------------------------------------------------------- mutation
 
@@ -143,6 +154,13 @@ class InputBatch:
         self.num_logprobs[idx] = -1 if sp.logprobs is None else sp.logprobs
         self.lora_requests[idx] = data.lora_request
         self.pooling_params[idx] = data.pooling_params
+        self.mm_inputs[idx] = data.mm_inputs
+        self.mm_embeds[idx] = None
+        self.mm_positions[idx] = None
+        if data.mm_inputs is not None and self.image_token_index is not None:
+            self.mm_positions[idx] = np.nonzero(
+                np.asarray(data.prompt_token_ids) ==
+                self.image_token_index)[0].astype(np.int32)
         return idx
 
     def remove_request(self, req_id: str) -> None:
@@ -160,6 +178,9 @@ class InputBatch:
         self.sampling_params[last] = None
         self.lora_requests[last] = None
         self.pooling_params[last] = None
+        self.mm_inputs[last] = None
+        self.mm_positions[last] = None
+        self.mm_embeds[last] = None
         self.num_reqs -= 1
 
     def _copy_slot(self, src: int, dst: int) -> None:
@@ -177,6 +198,9 @@ class InputBatch:
         self.sampling_params[dst] = self.sampling_params[src]
         self.lora_requests[dst] = self.lora_requests[src]
         self.pooling_params[dst] = self.pooling_params[src]
+        self.mm_inputs[dst] = self.mm_inputs[src]
+        self.mm_positions[dst] = self.mm_positions[src]
+        self.mm_embeds[dst] = self.mm_embeds[src]
 
     # ---------------------------------------------------------- update/step
 
@@ -348,6 +372,30 @@ class InputBatch:
         nl = self.num_logprobs[rows] if num_active else \
             np.empty(0, np.int32)
 
+        # multimodal embedding overrides for scheduled image-placeholder
+        # tokens (encoded by the runner before prepare; see mm_embeds)
+        embed_idx = embed_vecs = None
+        if self.image_token_index is not None and any(
+                self.mm_embeds[idx] is not None for idx, _ in active):
+            H = next(e.shape[-1] for e in self.mm_embeds if e is not None)
+            embed_idx = np.full(T, T, np.int32)
+            embed_vecs = np.zeros((T, H), np.float32)
+            off = 0
+            for row, (idx, rid) in enumerate(active):
+                n = num_sched[rid]
+                emb = self.mm_embeds[idx]
+                pos = self.mm_positions[idx]
+                if emb is not None and pos is not None and len(pos):
+                    start = self.num_computed_tokens[idx]
+                    toks = self.token_ids[idx, start:start + n]
+                    local = np.nonzero(
+                        toks == self.image_token_index)[0]
+                    if len(local):
+                        j = np.searchsorted(pos, start + local)
+                        embed_idx[off + local] = off + local
+                        embed_vecs[off + local] = emb[j]
+                off += n
+
         pooling = [self.pooling_params[idx] for idx, _ in active]
         token_req = None
         if any(p is not None for p in pooling):
@@ -397,6 +445,8 @@ class InputBatch:
             token_lora=token_lora,
             pooling_params=pooling,
             token_req=token_req,
+            embed_idx=embed_idx,
+            embed_vecs=embed_vecs,
             **spec_kw,
         )
 

@@ -67,10 +67,10 @@ class TPUModelRunner:
         self.step_counter = 0
         self._num_compilations = 0
 
-        max_len = self.scheduler_config.max_model_len
+        # A step batches tokens across MANY requests: the bucket ceiling
+        # is the scheduler token budget, not max_model_len.
         self.token_buckets = self.comp_config.token_buckets(
-            min(self.scheduler_config.max_num_batched_tokens,
-                max(max_len, 16)))
+            max(self.scheduler_config.max_num_batched_tokens, 16))
         self.req_buckets = self.comp_config.req_buckets(
             self.scheduler_config.max_num_seqs)
         self.max_logprobs = self.model_config.max_logprobs
@@ -86,6 +86,7 @@ class TPUModelRunner:
         self.draft_params: Any = None
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
+        self._encode_image_fn = None  # lazy jit of the vision tower
         self.kv_connector = None
         if engine_config.kv_transfer_config is not None:
             from vllm_tpu.distributed.kv_transfer import (KVConnectorRole,
@@ -166,6 +167,8 @@ class TPUModelRunner:
             max_blocks_per_req=max_blocks_per_req,
             block_size=self.cache_config.block_size,
             num_kv_groups=len(kv_cache_config.kv_cache_groups),
+            image_token_index=getattr(self.model, "image_token_index",
+                                      None),
         )
 
     # ------------------------------------------------------------- step fn
@@ -178,9 +181,11 @@ class TPUModelRunner:
         def step(params, kv_caches, draft_kv, input_ids, metadata,
                  logits_indices, sampling: SamplingMetadata,
                  num_logprobs: int, spec, lora=None, draft_params=None,
-                 token_req=None):
+                 token_req=None, embed_override=None):
+            kw = ({"embed_override": embed_override}
+                  if embed_override is not None else {})
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
-                                              metadata, lora=lora)
+                                              metadata, lora=lora, **kw)
             pooled = None
             if token_req is not None:
                 # mean + last pooling over each row's token span
@@ -250,6 +255,12 @@ class TPUModelRunner:
         if scheduler_output.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
 
+        # run the vision encoder for newly-scheduled image requests
+        # (reference: encoder budget / EncoderCacheManager — here the
+        # encoder output caches host-side per request)
+        if getattr(self.model, "image_token_index", None) is not None:
+            self._encode_pending_mm(scheduler_output)
+
         token_bucket = self._pick_bucket(
             self.token_buckets, scheduler_output.total_num_scheduled_tokens)
         req_bucket = self._pick_bucket(
@@ -296,13 +307,18 @@ class TPUModelRunner:
                     jnp.asarray(prep.token_lora))
         token_req = (jnp.asarray(prep.token_req)
                      if prep.token_req is not None else None)
+        embed_override = None
+        if prep.embed_idx is not None:
+            embed_override = (jnp.asarray(prep.embed_idx),
+                              jnp.asarray(prep.embed_vecs))
 
         (self.kv_caches, self.draft_kv), tokens_dev, lp_dev = \
             self._compiled_step(
                 self.params, self.kv_caches, self.draft_kv,
                 jnp.asarray(prep.input_ids), metadata,
                 jnp.asarray(prep.logits_indices), sampling,
-                num_logprobs, spec, lora, self.draft_params, token_req)
+                num_logprobs, spec, lora, self.draft_params, token_req,
+                embed_override)
         self.step_counter += 1
 
         if spec is not None:
@@ -343,6 +359,27 @@ class TPUModelRunner:
                 vec = e / e.sum()
             out.append(vec)
         return out
+
+    def _encode_pending_mm(self, scheduler_output: SchedulerOutput) -> None:
+        batch = self.input_batch
+        num_sched = scheduler_output.num_scheduled_tokens
+        for idx, rid in enumerate(batch.req_ids):
+            if rid is None or rid not in num_sched:
+                continue
+            if (batch.mm_inputs[idx] is None
+                    or batch.mm_embeds[idx] is not None):
+                continue
+            pv = np.asarray(batch.mm_inputs[idx]["pixel_values"],
+                            np.float32)
+            if pv.ndim == 3:
+                pv = pv[None]
+            if self._encode_image_fn is None:
+                self._encode_image_fn = jax.jit(self.model.encode_image)
+            emb = np.asarray(
+                self._encode_image_fn(self.params,
+                                      jnp.asarray(pv, self.model.dtype)),
+                np.float32)
+            batch.mm_embeds[idx] = emb.reshape(-1, emb.shape[-1])
 
     def _build_spec_output(
             self, prep: PreparedInputs, emitted: np.ndarray,
