@@ -81,7 +81,10 @@ def main() -> None:
         config.compilation_config.min_token_bucket = 256
         config.compilation_config.token_bucket_linear_step = max_tokens
         config.compilation_config.min_req_bucket = max_seqs
+    t_build = time.perf_counter()
     engine = LLMEngine(config)
+    print(f"# engine built in {time.perf_counter() - t_build:.1f}s",
+          file=sys.stderr, flush=True)
 
     import numpy as np
 
@@ -98,9 +101,17 @@ def main() -> None:
     # Warmup round (compile all buckets touched by this workload).
     t_warm = time.perf_counter()
     add_all()
+    steps = 0
     while engine.has_unfinished_requests():
         engine.step()
+        steps += 1
+        if steps % 20 == 0:
+            print(f"# warmup step {steps} at "
+                  f"{time.perf_counter() - t_warm:.1f}s",
+                  file=sys.stderr, flush=True)
     warm_s = time.perf_counter() - t_warm
+    print(f"# warmup: {steps} steps in {warm_s:.1f}s", file=sys.stderr,
+          flush=True)
 
     # Timed round.
     t0 = time.perf_counter()

@@ -223,3 +223,27 @@ def test_long_prompt_chunked_prefill(tiny_model_dir):
         SamplingParams(temperature=0.0, max_tokens=4,
                        ignore_eos=True))[0].outputs[0]
     assert out.token_ids == out2.token_ids
+
+
+def test_beam_search(llm, tiny_model_dir):
+    """Beam search: width-k beams ranked by cumulative logprob; best beam
+    must score at least as high as greedy (reference: LLM.beam_search)."""
+    from vllm_tpu.sampling_params import BeamSearchParams, SamplingParams
+
+    prompt = "the quick brown"
+    out = llm.beam_search(prompt, BeamSearchParams(beam_width=3,
+                                                   max_tokens=6,
+                                                   ignore_eos=True))[0]
+    assert len(out.sequences) == 3
+    scores = [s.cum_logprob for s in out.sequences]
+    assert scores == sorted(scores, reverse=True)
+    prompt_len = len(llm.get_tokenizer().encode(prompt))
+    for s in out.sequences:
+        assert len(s.tokens) == prompt_len + 6
+
+    # greedy is a valid beam: the best beam must not score below it
+    greedy = llm.generate(prompt,
+                          SamplingParams(temperature=0.0, max_tokens=6,
+                                         logprobs=1, ignore_eos=True))[0]
+    greedy_lp = greedy.outputs[0].cumulative_logprob
+    assert out.sequences[0].cum_logprob >= greedy_lp - 1e-3

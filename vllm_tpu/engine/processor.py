@@ -117,14 +117,20 @@ class Processor:
                     f"request {request_id}: pooling prompt length "
                     f"{len(prompt_token_ids)} > max_num_batched_tokens "
                     f"{budget}")
-        vocab = None
         if has_mm:
             return  # placeholder ids may exceed the tokenizer vocab
-        if self.tokenizer is not None:
-            vocab = getattr(self.tokenizer, "vocab_size", None)
+        # validate against the MODEL vocab (embeddings width) — sampled
+        # ids from the padded vocab region are legal inputs even when the
+        # tokenizer has no string for them
+        vocab = None
+        hf = getattr(self.model_config, "hf_config", None)
+        if hf is not None:
+            vocab = getattr(hf, "vocab_size", None)
+        if not vocab and self.tokenizer is not None:
+            vocab = max(getattr(self.tokenizer, "vocab_size", 0),
+                        len(self.tokenizer))
         if vocab:
-            bad = [t for t in prompt_token_ids
-                   if t < 0 or t >= max(vocab, len(self.tokenizer))]
+            bad = [t for t in prompt_token_ids if t < 0 or t >= vocab]
             if bad:
                 raise ValueError(
                     f"request {request_id}: token ids out of vocab: "

@@ -9,9 +9,20 @@ from tqdm import tqdm as _tqdm
 
 from vllm_tpu.engine.args import EngineArgs
 from vllm_tpu.engine.llm_engine import LLMEngine
-from vllm_tpu.outputs import PoolingRequestOutput, RequestOutput
-from vllm_tpu.sampling_params import PoolingParams, SamplingParams
+from vllm_tpu.outputs import (BeamSearchOutput, BeamSearchSequence,
+                              PoolingRequestOutput, RequestOutput)
+from vllm_tpu.sampling_params import (BeamSearchParams, PoolingParams,
+                                      SamplingParams)
 from vllm_tpu.utils import Counter
+
+
+class _Beam:
+    __slots__ = ("tokens", "cum_logprob", "finished")
+
+    def __init__(self, tokens: list[int], cum_logprob: float) -> None:
+        self.tokens = tokens
+        self.cum_logprob = cum_logprob
+        self.finished = False
 
 
 class LLM:
@@ -128,6 +139,82 @@ class LLM:
                 chat_template=chat_template) for conv in messages
         ]
         return self.generate(prompts, sampling_params, use_tqdm=use_tqdm)
+
+    # ---------------------------------------------------------- beam search
+
+    def beam_search(self, prompts: Union[str, dict,
+                                         Sequence[Union[str, dict]]],
+                    params: "BeamSearchParams") -> list["BeamSearchOutput"]:
+        """Iterative beam search on top of the engine (reference:
+        vllm/entrypoints/llm.py beam_search — one engine step per beam
+        token with top-2*width logprobs, expand, keep best beams)."""
+        if isinstance(prompts, (str, dict)):
+            prompts = [prompts]
+        tokenizer = self.get_tokenizer()
+
+        def encode(p):
+            if isinstance(p, dict):
+                return list(p["prompt_token_ids"]) if "prompt_token_ids" \
+                    in p else tokenizer.encode(p["prompt"])
+            return tokenizer.encode(p)
+
+        width = params.beam_width
+        eos = tokenizer.eos_token_id if tokenizer is not None else None
+        all_outputs = []
+        for prompt in prompts:
+            prompt_ids = encode(prompt)
+            beams = [_Beam(list(prompt_ids), 0.0)]
+            completed: list[_Beam] = []
+            for _ in range(params.max_tokens):
+                active = [b for b in beams if not b.finished]
+                if not active:
+                    break
+                sp = SamplingParams(temperature=0.0, max_tokens=1,
+                                    logprobs=2 * width, ignore_eos=True)
+                rids = []
+                for j, beam in enumerate(active):
+                    rid = f"beam-{next(self.request_counter)}"
+                    self.llm_engine.add_request(
+                        rid, {"prompt_token_ids": list(beam.tokens)},
+                        sp.clone())
+                    rids.append(rid)
+                results: dict[str, Any] = {}
+                while self.llm_engine.has_unfinished_requests():
+                    for out in self.llm_engine.step():
+                        if out.finished:
+                            results[out.request_id] = out
+                candidates: list[_Beam] = [b for b in beams if b.finished]
+                for rid, beam in zip(rids, active):
+                    out = results[rid]
+                    lp_dict = (out.outputs[0].logprobs or [{}])[0]
+                    for tid, lp in lp_dict.items():
+                        nb = _Beam(beam.tokens + [tid],
+                                   beam.cum_logprob + lp.logprob)
+                        if (eos is not None and tid == eos
+                                and not params.ignore_eos):
+                            nb.finished = True
+                        candidates.append(nb)
+                lp_pen = params.length_penalty
+
+                def score(b: _Beam) -> float:
+                    gen = max(len(b.tokens) - len(prompt_ids), 1)
+                    return b.cum_logprob / (gen ** lp_pen)
+
+                candidates.sort(key=score, reverse=True)
+                beams = candidates[:width]
+            completed = sorted(beams, key=lambda b: b.cum_logprob,
+                               reverse=True)
+            seqs = []
+            for b in completed:
+                gen_ids = b.tokens[len(prompt_ids):]
+                seqs.append(
+                    BeamSearchSequence(
+                        tokens=b.tokens,
+                        text=(tokenizer.decode(gen_ids)
+                              if tokenizer is not None else ""),
+                        cum_logprob=b.cum_logprob))
+            all_outputs.append(BeamSearchOutput(sequences=seqs))
+        return all_outputs
 
     # -------------------------------------------------------------- pooling
 

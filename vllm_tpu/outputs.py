@@ -105,3 +105,17 @@ class PoolingRequestOutput:
 @dataclass
 class EmbeddingRequestOutput(PoolingRequestOutput):
     pass
+
+
+@dataclass
+class BeamSearchSequence:
+    """(reference: vllm/beam_search.py BeamSearchSequence)"""
+
+    tokens: list[int]
+    text: str = ""
+    cum_logprob: float = 0.0
+
+
+@dataclass
+class BeamSearchOutput:
+    sequences: list[BeamSearchSequence] = field(default_factory=list)

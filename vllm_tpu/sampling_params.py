@@ -149,6 +149,17 @@ class SamplingParams:
 
 
 @dataclass
+class BeamSearchParams:
+    """(reference: vllm/sampling_params.py BeamSearchParams)"""
+
+    beam_width: int = 4
+    max_tokens: int = 16
+    ignore_eos: bool = False
+    temperature: float = 0.0
+    length_penalty: float = 1.0
+
+
+@dataclass
 class PoolingParams:
     """Parameters for pooling (embedding/classify/score) requests."""
 
