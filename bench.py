@@ -3,7 +3,7 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config: Llama-3-8B-class architecture (32 layers, 4096 hidden, GQA 32/8,
-head 128) with dummy weights, INT8 weight-only quantization, bf16 KV,
+head 128) with dummy weights, INT8 weight-only quantization, int8 KV,
 continuous batching at high concurrency. Baseline anchor: the reference's
 MI300X Llama-3.1-70B FP8 TP8 number normalized per GPU (1580 tok/s/GPU,
 BASELINE.md) — the calibration anchor BASELINE.json names for tok/s/chip.
@@ -33,6 +33,7 @@ def main() -> None:
         max_model_len = 256
         quant = None
         dtype = "float32"
+        kv_dtype = "auto"
     else:
         model_kwargs = dict(hidden_size=4096, intermediate_size=14336,
                             num_hidden_layers=32, num_attention_heads=32,
@@ -42,6 +43,11 @@ def main() -> None:
         max_model_len = 1024
         quant = "int8"
         dtype = "bfloat16"
+        # int8 KV: bf16 KV for 256 concurrent 256-token seqs is ~17 GB
+        # (128 KB/token at 32 layers x 8 KV heads x 128) — beyond one
+        # v5e chip next to 8 GB of int8 weights; int8 KV halves it and
+        # matches the FP8-KV baseline config in spirit (BASELINE.md)
+        kv_dtype = "int8"
 
     from transformers import LlamaConfig
 
@@ -60,6 +66,7 @@ def main() -> None:
         model="llama3-8b-dummy",
         dtype=dtype,
         quantization=quant,
+        kv_cache_dtype=kv_dtype,
         load_format="dummy",
         skip_tokenizer_init=True,
         max_model_len=max_model_len,
