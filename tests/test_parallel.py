@@ -89,7 +89,10 @@ def test_pipeline_forward_matches_single_device(pp, tp):
                 params_s, kv_s, ids, md)
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
                                    rtol=2e-4, atol=2e-5)
-        np.testing.assert_allclose(np.asarray(kv1[0]), np.asarray(kv0[0]),
+        # block 0 is the null block: the pp ring's non-live iterations
+        # park their writes there by design — exclude it
+        np.testing.assert_allclose(np.asarray(kv1[0])[:, 1:],
+                                   np.asarray(kv0[0])[:, 1:],
                                    rtol=2e-4, atol=2e-5)
     finally:
         model.mesh = None

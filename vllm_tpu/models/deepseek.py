@@ -145,34 +145,34 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         x = self.embed(params, input_ids)
         kv = kv_caches[0]
         kd = self.first_k_dense
-        new_kv_parts = []
         if kd > 0:
-            x, nk = self._scan_stack(params["dense_layers"], kv[:kd], x,
-                                     metadata, moe=False)
-            new_kv_parts.append(nk)
+            x, kv = self._scan_stack(params["dense_layers"], kv, x,
+                                     metadata, moe=False, offset=0)
         if kd < self.args.num_layers:
-            x, nk = self._scan_stack(params["layers"], kv[kd:], x,
-                                     metadata, moe=self.n_experts
-                                     is not None)
-            new_kv_parts.append(nk)
-        new_kv = (jnp.concatenate(new_kv_parts)
-                  if len(new_kv_parts) > 1 else new_kv_parts[0])
+            x, kv = self._scan_stack(params["layers"], kv, x, metadata,
+                                     moe=self.n_experts is not None,
+                                     offset=kd)
         x = rms_norm(x, params["final_ln"], self.args.rms_eps)
-        return x, [new_kv]
+        return x, [kv]
 
-    def _scan_stack(self, layers, kv_stack, x, metadata, moe: bool):
-        def body(h, scanned):
-            lp, kv_l = scanned
-            h, kv_l = self._layer(lp, h, kv_l, metadata, moe)
-            return h, kv_l
+    def _scan_stack(self, layers, kv_full, x, metadata, moe: bool,
+                    offset: int):
+        stack_len = jax.tree.leaves(layers)[0].shape[0]
+        idxs = jnp.arange(stack_len, dtype=jnp.int32) + offset
 
-        x, new_kv = jax.lax.scan(body, x, (layers, kv_stack))
-        return x, new_kv
+        def body(carry, scanned):
+            h, kv = carry
+            lp, li = scanned
+            h, kv = self._layer(lp, h, kv, li, metadata, moe)
+            return (h, kv), None
 
-    def _layer(self, lp, x, kv, metadata, moe: bool):
+        (x, kv_full), _ = jax.lax.scan(body, (x, kv_full), (layers, idxs))
+        return x, kv_full
+
+    def _layer(self, lp, x, kv, li, metadata, moe: bool):
         args = self.args
         h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        attn_out, kv = self._mla(lp, h, kv, metadata)
+        attn_out, kv = self._mla(lp, h, kv, li, metadata)
         x = x + attn_out
         h = rms_norm(x, lp["post_ln"], args.rms_eps)
         if moe:
@@ -182,7 +182,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             ffw = linear(GATED_ACTIVATIONS[args.act](gate_up), lp["down"])
         return x + ffw, kv
 
-    def _mla(self, lp, h, kv, metadata):
+    def _mla(self, lp, h, kv, li, metadata):
         args = self.args
         T = h.shape[0]
         nh = args.num_heads
@@ -215,9 +215,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_cat = jnp.concatenate(
             [c.reshape(T, 1, self.kv_lora),
              jnp.zeros((T, 1, rope), c.dtype)], axis=-1)
-        kv = write_kv_cache(kv, k_cat, v_cat, metadata.slot_mapping)
+        kv = write_kv_cache(kv, k_cat, v_cat, metadata.slot_mapping,
+                            layer=li)
 
-        attn = attention(q_eff, kv, metadata, self.scale)  # [T, nh, D]
+        attn = attention(q_eff, kv, metadata, self.scale,
+                         layer=li)  # [T, nh, D]
         latent = attn[..., :self.kv_lora]
         out = jnp.einsum("thk,hkv->thv", latent,
                          lp["wv"].astype(latent.dtype))

@@ -97,7 +97,7 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         m["post_feedforward_layernorm.weight"] = ("post_ffw_ln", "", False)
         return m
 
-    def _decoder_layer(self, lp, x, kv, metadata,
+    def _decoder_layer(self, lp, x, kv, li, metadata,
                        sliding_window="default", inv_freq=None,
                        lora_ctx=None):
         from vllm_tpu.lora.ops import apply_lora
@@ -121,10 +121,11 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             k = rms_norm(k, lp["k_norm"], args.rms_eps)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=sliding_window,
-                             logits_soft_cap=args.attn_soft_cap)
+                             logits_soft_cap=args.attn_soft_cap,
+                             layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
         attn_out = apply_lora(attn_flat, linear(attn_flat, lp["o"]),
                               lora_ctx, "o")

@@ -55,8 +55,9 @@ class GPT2LMHeadModel:
         x = embedding_lookup(input_ids, params["embed"]["w"])
         x = x + embedding_lookup(metadata.positions, params["pos_embed"])
 
-        def body(h, scanned):
-            lp, kv = scanned
+        def body(carry, scanned):
+            h, kv = carry
+            lp, li = scanned
             nh, hd = self.num_heads, self.head_dim
             T = h.shape[0]
             a = layer_norm(h, lp["ln1_w"], lp["ln1_b"], self.ln_eps)
@@ -65,14 +66,17 @@ class GPT2LMHeadModel:
             q = q.reshape(T, nh, hd)
             k = k.reshape(T, nh, hd)
             v = v.reshape(T, nh, hd)
-            kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
-            attn = attention(q, kv, metadata, self.scale)
+            kv = write_kv_cache(kv, k, v, metadata.slot_mapping,
+                                layer=li)
+            attn = attention(q, kv, metadata, self.scale, layer=li)
             h = h + linear(attn.reshape(T, nh * hd), lp["o"])
             a = layer_norm(h, lp["ln2_w"], lp["ln2_b"], self.ln_eps)
             mlp = linear(gelu_new(linear(a, lp["fc"])), lp["proj"])
-            return h + mlp, kv
+            return (h + mlp, kv), None
 
-        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches[0]))
+        idxs = jnp.arange(self.args.num_layers, dtype=jnp.int32)
+        (x, new_kv), _ = jax.lax.scan(body, (x, kv_caches[0]),
+                                      (params["layers"], idxs))
         x = layer_norm(x, params["final_ln_w"], params["final_ln_b"],
                        self.ln_eps)
         return x, [new_kv]

@@ -170,7 +170,13 @@ class LlamaForCausalLM:
     def _run_layers(self, layer_params: dict, kv_stack: jnp.ndarray,
                     x: jnp.ndarray, metadata: AttentionMetadata,
                     lora=None) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Scan the (possibly stage-local) stacked decoder layers."""
+        """Scan the (possibly stage-local) stacked decoder layers.
+
+        The FULL stacked KV cache rides the scan carry; each layer
+        scatters its new rows in place at its layer index (never
+        materializing per-layer copies or a fresh stacked buffer — a
+        decode step touches only the written slots, which is the whole
+        point of paged attention)."""
         num_layers = kv_stack.shape[0]
         pattern = self.layer_pattern
         p = len(pattern)
@@ -180,33 +186,33 @@ class LlamaForCausalLM:
             return leaf.reshape(num_layers // p, p, *leaf.shape[1:])
 
         layers = jax.tree.map(regroup, layer_params)
-        kv = regroup(kv_stack)
+        group_idx = jnp.arange(num_layers // p, dtype=jnp.int32)
         if lora is not None:
             lora_params, token_lora = lora
             lora_layers = jax.tree.map(regroup, lora_params)
         else:
             lora_layers, token_lora = None, None
 
-        def body(h, scanned):
-            lp, kv_g, lora_g = scanned
-            new_kvs = []
+        def body(carry, scanned):
+            h, kv = carry
+            lp, gi, lora_g = scanned
             for i, cfg in enumerate(pattern):
                 lp_i = jax.tree.map(lambda leaf: leaf[i], lp)
                 lora_ctx = None
                 if lora_g is not None:
                     lora_ctx = (jax.tree.map(lambda leaf: leaf[i], lora_g),
                                 token_lora)
-                h, kv_i = self._decoder_layer(lp_i, h, kv_g[i], metadata,
-                                              lora_ctx=lora_ctx, **cfg)
-                new_kvs.append(kv_i)
-            return h, jnp.stack(new_kvs)
+                h, kv = self._decoder_layer(lp_i, h, kv, gi * p + i,
+                                            metadata, lora_ctx=lora_ctx,
+                                            **cfg)
+            return (h, kv), None
 
-        x, new_kv = jax.lax.scan(body, x, (layers, kv, lora_layers))
-        new_kv = new_kv.reshape(num_layers, *new_kv.shape[2:])
-        return x, new_kv
+        (x, kv_stack), _ = jax.lax.scan(
+            body, (x, kv_stack), (layers, group_idx, lora_layers))
+        return x, kv_stack
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
-                       metadata: AttentionMetadata,
+                       li, metadata: AttentionMetadata,
                        sliding_window: Optional[int] = "default",
                        inv_freq=None, lora_ctx=None,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -231,10 +237,11 @@ class LlamaForCausalLM:
             k = rms_norm(k, lp["k_norm"], args.rms_eps)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=sliding_window,
-                             logits_soft_cap=args.attn_soft_cap)
+                             logits_soft_cap=args.attn_soft_cap,
+                             layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
         x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
                            lora_ctx, "o")

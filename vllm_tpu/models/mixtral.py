@@ -31,7 +31,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # ---- forward: override the MLP half of the decoder layer
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
-                       metadata: AttentionMetadata, lora_ctx=None,
+                       li, metadata: AttentionMetadata, lora_ctx=None,
                        **_cfg) -> tuple[jnp.ndarray, jnp.ndarray]:
         args = self.args
         T = x.shape[0]
@@ -49,9 +49,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
         attn_out = attention(q, kv, metadata, self.scale,
-                             sliding_window=args.sliding_window)
+                             sliding_window=args.sliding_window, layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
         x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
                            lora_ctx, "o")
@@ -211,7 +211,8 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
         layers["k_norm"] = np.empty((a.num_layers, a.head_dim), np_dtype)
         return layers
 
-    def _decoder_layer(self, lp, x, kv, metadata, lora_ctx=None, **_cfg):
+    def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
+                       **_cfg):
         # qk-norm variant of the Mixtral layer
         args = self.args
         T = x.shape[0]
@@ -229,8 +230,8 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
-        attn_out = attention(q, kv, metadata, self.scale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+        attn_out = attention(q, kv, metadata, self.scale, layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
         x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
                            lora_ctx, "o")

@@ -124,17 +124,21 @@ class GPTNeoXForCausalLM:
         args = self.args
         x = embedding_lookup(input_ids, params["embed"]["w"])
 
-        def body(h, scanned):
-            lp, kv_l = scanned
-            h, kv_l = self._decoder_layer(lp, h, kv_l, metadata)
-            return h, kv_l
+        kv = kv_caches[0]
+        idxs = jnp.arange(args.num_layers, dtype=jnp.int32)
 
-        x, new_kv = jax.lax.scan(body, x,
-                                 (params["layers"], kv_caches[0]))
+        def body(carry, scanned):
+            h, kv = carry
+            lp, li = scanned
+            h, kv = self._decoder_layer(lp, h, kv, li, metadata)
+            return (h, kv), None
+
+        (x, kv), _ = jax.lax.scan(body, (x, kv),
+                                  (params["layers"], idxs))
         x = self._norm(x, params, "final_ln")
-        return x, [new_kv]
+        return x, [kv]
 
-    def _decoder_layer(self, lp, x, kv, metadata):
+    def _decoder_layer(self, lp, x, kv, li, metadata):
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
@@ -151,8 +155,8 @@ class GPTNeoXForCausalLM:
         if args.rope.rotary_dim > 0:
             q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                               args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
-        attn_out = attention(q, kv, metadata, self.scale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+        attn_out = attention(q, kv, metadata, self.scale, layer=li)
         attn_out = linear(attn_out.reshape(T, nq * d), lp["o"])
 
         if args.parallel_residual:

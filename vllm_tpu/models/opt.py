@@ -58,8 +58,9 @@ class OPTForCausalLM:
         x = x + embedding_lookup(metadata.positions + 2,
                                  params["pos_embed"])
 
-        def body(h, scanned):
-            lp, kv = scanned
+        def body(carry, scanned):
+            h, kv = carry
+            lp, li = scanned
             nh, hd = self.num_heads, self.head_dim
             T = h.shape[0]
             residual = h
@@ -70,8 +71,9 @@ class OPTForCausalLM:
             q = q.reshape(T, nh, hd)
             k = k.reshape(T, nh, hd)
             v = v.reshape(T, nh, hd)
-            kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
-            attn = attention(q, kv, metadata, self.scale)
+            kv = write_kv_cache(kv, k, v, metadata.slot_mapping,
+                                layer=li)
+            attn = attention(q, kv, metadata, self.scale, layer=li)
             h = residual + linear(attn.reshape(T, nh * hd), lp["o"])
             if not self.do_ln_before:
                 h = layer_norm(h, lp["ln1_w"], lp["ln1_b"])
@@ -82,9 +84,11 @@ class OPTForCausalLM:
             h = residual + mlp
             if not self.do_ln_before:
                 h = layer_norm(h, lp["ln2_w"], lp["ln2_b"])
-            return h, kv
+            return (h, kv), None
 
-        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches[0]))
+        idxs = jnp.arange(self.args.num_layers, dtype=jnp.int32)
+        (x, new_kv), _ = jax.lax.scan(body, (x, kv_caches[0]),
+                                      (params["layers"], idxs))
         if self.do_ln_before:
             x = layer_norm(x, params["final_ln_w"], params["final_ln_b"])
         return x, [new_kv]

@@ -53,15 +53,20 @@ def write_kv_cache(
     slot_mapping: jnp.ndarray,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    layer=None,
 ) -> jnp.ndarray:
     """Scatter new K/V rows into the paged cache
     (reference csrc analog: cache_kernels.cu reshape_and_cache).
 
-    kv_cache: [num_blocks, page, 2*K, D]; k, v: [T, K, D];
-    slot_mapping: i32[T] (padding slots point at block 0, the null block).
-    Optional scales quantize into a low-precision cache dtype.
+    kv_cache: [num_blocks, page, 2*K, D], or the full stacked
+    [L, num_blocks, page, 2*K, D] when ``layer`` (a traced i32 scalar) is
+    given — the layered form scatters in place on the loop-carried stack
+    so a decode step writes only the new rows, never a fresh KV buffer.
+    k, v: [T, K, D]; slot_mapping: i32[T] (padding slots point at block
+    0, the null block). Optional scales quantize into a low-precision
+    cache dtype.
     """
-    num_blocks, page, _, _ = kv_cache.shape
+    page = kv_cache.shape[-3]
     kv = jnp.concatenate([k, v], axis=1)  # [T, 2K, D]
     if kv_cache.dtype != kv.dtype:
         if k_scale is not None:
@@ -77,7 +82,9 @@ def write_kv_cache(
         kv = kv.astype(kv_cache.dtype)
     block_ids = slot_mapping // page
     offsets = slot_mapping % page
-    return kv_cache.at[block_ids, offsets].set(kv)
+    if layer is None:
+        return kv_cache.at[block_ids, offsets].set(kv)
+    return kv_cache.at[layer, block_ids, offsets].set(kv)
 
 
 def ragged_paged_attention_ref(
@@ -89,10 +96,15 @@ def ragged_paged_attention_ref(
     logits_soft_cap: Optional[float] = None,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    layer=None,
 ) -> jnp.ndarray:
     """Reference jnp implementation (gathers all pages per request; O(T *
     max_ctx) memory — the numerics oracle for the Pallas kernel and the
-    CPU-backend path)."""
+    CPU-backend path). kv_cache may be the stacked [L, ...] form with a
+    traced ``layer`` index."""
+    if layer is not None:
+        kv_cache = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0,
+                                                keepdims=False)
     T, num_q_heads, head = q.shape
     num_blocks, page, two_k, _ = kv_cache.shape
     num_kv_heads = two_k // 2
@@ -163,6 +175,7 @@ def attention(
     logits_soft_cap: Optional[float] = None,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    layer=None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
     elsewhere.
@@ -184,9 +197,9 @@ def attention(
                 q, kv_cache, metadata, scale,
                 sliding_window=sliding_window,
                 logits_soft_cap=logits_soft_cap,
-                k_scale=k_scale, v_scale=v_scale)
+                k_scale=k_scale, v_scale=v_scale, layer=layer)
     return ragged_paged_attention_ref(
         q, kv_cache, metadata, scale,
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
-        k_scale=k_scale, v_scale=v_scale)
+        k_scale=k_scale, v_scale=v_scale, layer=layer)

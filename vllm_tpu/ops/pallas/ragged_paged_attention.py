@@ -92,9 +92,10 @@ def _kernel(
     cu_q_lens_ref,  # i32[R+1]
     seq_lens_ref,  # i32[R]
     block_tables_ref,  # i32[R, MAXP]
+    layer_ref,  # i32[1] — which layer of the stacked cache to read/DMA
     # tensors (HBM)
     q_hbm,  # [T + BQ, nq, d]
-    kv_hbm,  # [N, ps, 2*nk, d]
+    kv_hbm,  # [L, N, ps, 2*nk, d]
     out_hbm,  # [T + BQ, nq, d]
     # scratch
     q_buf,  # VMEM [BQ, nq, d]
@@ -150,7 +151,7 @@ def _kernel(
                 page_id = block_tables_ref[s, safe_pos]
                 copies.append(
                     pltpu.make_async_copy(
-                        kv_hbm.at[page_id],
+                        kv_hbm.at[layer_ref[0], page_id],
                         kv_buf.at[slot, pl.ds(p * page_size, page_size)],
                         kv_sems.at[slot, p]))
             return copies
@@ -248,7 +249,8 @@ def _kernel(
                      "sliding_window", "logits_soft_cap", "chunk_pages"))
 def _ragged_paged_attention_impl(
     q: jnp.ndarray,
-    kv_cache: jnp.ndarray,
+    kv_cache: jnp.ndarray,  # [L, N, ps, 2nk, d]
+    layer: jnp.ndarray,  # i32[1]
     lb_seq: jnp.ndarray,
     lb_q_start: jnp.ndarray,
     query_start_loc: jnp.ndarray,
@@ -262,7 +264,7 @@ def _ragged_paged_attention_impl(
     chunk_pages: int,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
-    N, ps, two_nk, _ = kv_cache.shape
+    _, N, ps, two_nk, _ = kv_cache.shape
     nk = two_nk // 2
     group = nq // nk
     R = seq_lens.shape[0]
@@ -294,7 +296,7 @@ def _ragged_paged_attention_impl(
         v_scale=v_scale,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(maxlb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q
@@ -322,8 +324,8 @@ def _ragged_paged_attention_impl(
             # buckets compile (default 16M trips at ~1k tokens x 32 heads)
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(lb_seq, lb_q_start, query_start_loc, seq_lens, block_tables, q_pad,
-      kv_cache)
+    )(lb_seq, lb_q_start, query_start_loc, seq_lens, block_tables, layer,
+      q_pad, kv_cache)
     return out_pad[:T]
 
 
@@ -337,13 +339,18 @@ def ragged_paged_attention(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     chunk_pages: int = 8,
+    layer=None,
 ) -> jnp.ndarray:
     if metadata.lb_seq is None:
         raise ValueError(
             "AttentionMetadata.lb_seq/lb_q_start must be populated for the "
             "Pallas path (InputBatch.prepare_inputs builds them)")
+    if kv_cache.ndim == 4:
+        kv_cache = kv_cache[None]
+        layer = 0
+    layer_arr = jnp.asarray([layer if layer is not None else 0], jnp.int32)
     return _ragged_paged_attention_impl(
-        q, kv_cache, metadata.lb_seq, metadata.lb_q_start,
+        q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
         k_scale, v_scale, scale, sliding_window, logits_soft_cap,
         chunk_pages)

@@ -58,11 +58,16 @@ def pipeline_layers(
         for k in range(pp):
             lora_k = (None if lora_ctx_params is None else
                       (lora_ctx_params, token_lora))
-            new_x, new_kv = run_layers(layers_local, kv_cur, x, metadata,
-                                       lora_k)
+            # non-live iterations write into the null block (slot 0)
+            # instead of copying/selecting the whole KV chunk afterwards
             live = (stage == k)
-            # only the live iteration's KV writes are real
-            kv_cur = jnp.where(live, new_kv, kv_cur)
+            import dataclasses as _dc
+
+            md_k = _dc.replace(
+                metadata,
+                slot_mapping=jnp.where(live, metadata.slot_mapping, 0))
+            new_x, kv_cur = run_layers(layers_local, kv_cur, x, md_k,
+                                       lora_k)
             x = jax.lax.ppermute(new_x, "pp", perm)
         # after pp hops the live activations are back on stage 0; emit a
         # [pp, T, H] stage-major stack and pick stage 0 outside.

@@ -165,6 +165,7 @@ class EagleProposer:
     def _layer(self, dp: dict, x: jnp.ndarray, kv: jnp.ndarray,
                metadata: AttentionMetadata) -> tuple[jnp.ndarray,
                                                      jnp.ndarray]:
+        # kv is the full [1, N, page, 2K, D] draft stack (layer 0)
         """EAGLE decoder layer: no input_layernorm (llama_eagle.py:38),
         no final norm — returns hidden + residual."""
         nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
@@ -176,8 +177,8 @@ class EagleProposer:
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           self.is_neox, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping)
-        attn = attention(q, kv, metadata, self.scale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=0)
+        attn = attention(q, kv, metadata, self.scale, layer=0)
         x = x + linear(attn.reshape(T, nq * d), dp["o"])
         h = rms_norm(x, dp["post_ln"], self.rms_eps)
         gate_up = linear(h, dp["gate_up"])
@@ -220,7 +221,7 @@ class EagleProposer:
         # stay in the stream but seq_lens exclude them from attention.
         seq_acc = jnp.maximum(metadata.seq_lens - num_rejected, 0)
         md0 = dataclasses.replace(metadata, seq_lens=seq_acc)
-        h_out, kv = self._layer(draft_params, h, draft_kv[0], md0)
+        h_out, kv = self._layer(draft_params, h, draft_kv, md0)
 
         logits = lm_head_logits(h_out[accepted_last],
                                 target_params["lm_head"])
@@ -263,4 +264,4 @@ class EagleProposer:
             drafts.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
             h_prev = h_out
 
-        return jnp.stack(drafts, axis=1), kv[None]
+        return jnp.stack(drafts, axis=1), kv

@@ -53,8 +53,52 @@ class Worker:
         in_use = stats.get("bytes_in_use", stats.get("peak_bytes_in_use", 0))
         if limit:
             return max(int(limit * util) - int(in_use), 0)
+        if device.platform == "tpu":
+            return self._estimate_tpu_budget(util)
         # CPU backend: no HBM accounting — use a fixed test budget.
         return 256 * 1024 * 1024
+
+    def _estimate_tpu_budget(self, util: float) -> int:
+        """Some TPU runtimes (the axon tunnel here) expose no
+        memory_stats; budget = chip HBM x util - resident weights -
+        an activation-peak reserve sized from the largest compiled
+        bucket. Override chip HBM with VLLM_TPU_HBM_GB."""
+        import os
+
+        device = jax.local_devices()[0]
+        kind = getattr(device, "device_kind", "")
+        hbm_gb = float(os.environ.get("VLLM_TPU_HBM_GB", 0))
+        if not hbm_gb:
+            table = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v5p": 95,
+                     "TPU v4": 32, "TPU v6 lite": 32, "TPU v6e": 32,
+                     "TPU v3": 16, "TPU v2": 8}
+            hbm_gb = table.get(kind, 16)
+
+        def tree_bytes(tree) -> int:
+            total = 0
+            for leaf in jax.tree.leaves(tree):
+                total += getattr(leaf, "nbytes", 0)
+            return total
+
+        runner = self.runner
+        used = tree_bytes(runner.params)
+        used += tree_bytes(runner.draft_params)
+        if runner.lora_manager is not None:
+            used += tree_bytes(runner.lora_manager.stacks)
+
+        # activation peak: logits (+sampling temps) dominate, plus the
+        # forward's live hidden/FFN slices at the largest token bucket
+        a = runner.model.args
+        T = runner.token_buckets[-1]
+        R = runner.req_buckets[-1]
+        vocab = getattr(a, "vocab_size", 131072)
+        inter = getattr(a, "intermediate_size", 4 * a.hidden_size)
+        logits_bytes = max(R, 1) * vocab * 4 * 3
+        fwd_bytes = T * (a.hidden_size * 6 + inter * 2) * 2
+        reserve = max(logits_bytes + fwd_bytes, 1 << 30)
+
+        budget = int(hbm_gb * (1 << 30) * util) - used - reserve
+        return max(budget, 256 * 1024 * 1024)
 
     def initialize_from_config(self,
                                kv_cache_config: KVCacheConfig) -> None:
