@@ -157,48 +157,51 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def _scan_stack(self, layers, kv_full, x, metadata, moe: bool,
                     offset: int):
+        layers = jax.tree.map(jnp.asarray, layers)
         stack_len = jax.tree.leaves(layers)[0].shape[0]
-        idxs = jnp.arange(stack_len, dtype=jnp.int32) + offset
+        idxs = jnp.arange(stack_len, dtype=jnp.int32)
 
-        def body(carry, scanned):
+        def body(carry, lidx):
             h, kv = carry
-            lp, li = scanned
-            h, kv = self._layer(lp, h, kv, li, metadata, moe)
+            h, kv = self._layer(layers, h, kv, lidx, lidx + offset,
+                                metadata, moe)
             return (h, kv), None
 
-        (x, kv_full), _ = jax.lax.scan(body, (x, kv_full), (layers, idxs))
+        (x, kv_full), _ = jax.lax.scan(body, (x, kv_full), idxs)
         return x, kv_full
 
-    def _layer(self, lp, x, kv, li, metadata, moe: bool):
+    def _layer(self, lp, x, kv, li, li_kv, metadata, moe: bool):
         args = self.args
-        h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        attn_out, kv = self._mla(lp, h, kv, li, metadata)
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        attn_out, kv = self._mla(lp, h, kv, li, li_kv, metadata)
         x = x + attn_out
-        h = rms_norm(x, lp["post_ln"], args.rms_eps)
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
         if moe:
-            ffw = self._moe_ffw(lp, h)
+            ffw = self._moe_ffw(lp, h, li)
         else:
-            gate_up = linear(h, lp["gate_up"])
-            ffw = linear(GATED_ACTIVATIONS[args.act](gate_up), lp["down"])
+            gate_up = linear(h, lp["gate_up"], layer=li)
+            ffw = linear(GATED_ACTIVATIONS[args.act](gate_up), lp["down"],
+                         layer=li)
         return x + ffw, kv
 
-    def _mla(self, lp, h, kv, li, metadata):
+    def _mla(self, lp, h, kv, li, li_kv, metadata):
         args = self.args
         T = h.shape[0]
         nh = args.num_heads
         nope, rope, v_h = self.qk_nope, self.qk_rope, self.v_head
 
         if self.q_lora:
-            q_c = rms_norm(linear(h, lp["q_a"]), lp["q_a_ln"],
-                           args.rms_eps)
-            q = linear(q_c, lp["q_b"])
+            q_c = rms_norm(linear(h, lp["q_a"], layer=li),
+                           lp["q_a_ln"][li], args.rms_eps)
+            q = linear(q_c, lp["q_b"], layer=li)
         else:
-            q = linear(h, lp["q"])
+            q = linear(h, lp["q"], layer=li)
         q = q.reshape(T, nh, nope + rope)
         q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-        kv_a = linear(h, lp["kv_a"])  # [T, kv_lora + rope]
-        c = rms_norm(kv_a[:, :self.kv_lora], lp["kv_a_ln"], args.rms_eps)
+        kv_a = linear(h, lp["kv_a"], layer=li)  # [T, kv_lora + rope]
+        c = rms_norm(kv_a[:, :self.kv_lora], lp["kv_a_ln"][li],
+                     args.rms_eps)
         k_pe = kv_a[:, self.kv_lora:].reshape(T, 1, rope)
 
         q_pe, k_pe = apply_rope(q_pe, k_pe, metadata.positions,
@@ -206,7 +209,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
         # latent-space queries: q_abs = q_nope @ W_UK  [T, nh, kv_lora]
         q_abs = jnp.einsum("thn,hnk->thk", q_nope,
-                           lp["wk_t"].astype(q_nope.dtype))
+                           lp["wk_t"][li].astype(q_nope.dtype))
         q_eff = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, nh, D]
 
         D = self.latent_dim
@@ -216,26 +219,29 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             [c.reshape(T, 1, self.kv_lora),
              jnp.zeros((T, 1, rope), c.dtype)], axis=-1)
         kv = write_kv_cache(kv, k_cat, v_cat, metadata.slot_mapping,
-                            layer=li)
+                            layer=li_kv)
 
         attn = attention(q_eff, kv, metadata, self.scale,
-                         layer=li)  # [T, nh, D]
+                         layer=li_kv)  # [T, nh, D]
         latent = attn[..., :self.kv_lora]
         out = jnp.einsum("thk,hkv->thv", latent,
-                         lp["wv"].astype(latent.dtype))
-        return linear(out.reshape(T, nh * v_h), lp["o"]), kv
+                         lp["wv"][li].astype(latent.dtype))
+        return linear(out.reshape(T, nh * v_h), lp["o"], layer=li), kv
 
-    def _moe_ffw(self, lp, h):
+    def _moe_ffw(self, lp, h, li):
+        e_bias = lp.get("e_bias")
         weights, ids = deepseek_routing(
-            linear(h, lp["router"]), self.moe_top_k, self.scoring,
-            lp.get("e_bias"), self.n_group, self.topk_group,
-            self.topk_method, self.norm_topk_prob, self.routed_scaling)
-        out = fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
-                        weights, ids, act=self.args.act)
+            linear(h, lp["router"], layer=li), self.moe_top_k,
+            self.scoring, e_bias[li] if e_bias is not None else None,
+            self.n_group, self.topk_group, self.topk_method,
+            self.norm_topk_prob, self.routed_scaling)
+        out = fused_moe(h, lp["experts_gate_up"][li],
+                        lp["experts_down"][li], weights, ids,
+                        act=self.args.act)
         if self.n_shared:
-            gate_up = linear(h, lp["shared_gate_up"])
+            gate_up = linear(h, lp["shared_gate_up"], layer=li)
             out = out + linear(GATED_ACTIVATIONS[self.args.act](gate_up),
-                               lp["shared_down"])
+                               lp["shared_down"], layer=li)
         return out
 
     # ------------------------------------------------------------ kv spec

@@ -110,15 +110,16 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         if inv_freq is None:
             inv_freq = self.inv_freq
 
-        h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
+                         "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
         v = v.reshape(T, nk, d)
         if args.qk_norm:
-            q = rms_norm(q, lp["q_norm"], args.rms_eps)
-            k = rms_norm(k, lp["k_norm"], args.rms_eps)
+            q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
+            k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
@@ -127,17 +128,18 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
                              logits_soft_cap=args.attn_soft_cap,
                              layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
-        attn_out = apply_lora(attn_flat, linear(attn_flat, lp["o"]),
-                              lora_ctx, "o")
+        attn_out = apply_lora(attn_flat, linear(attn_flat, lp["o"],
+                                                layer=li), lora_ctx, "o")
         # Gemma2: post-attention norm applies to the BRANCH output.
-        x = x + rms_norm(attn_out, lp["post_ln"], args.rms_eps)
+        x = x + rms_norm(attn_out, lp["post_ln"][li], args.rms_eps)
 
-        h = rms_norm(x, lp["pre_ffw_ln"], args.rms_eps)
-        gate_up = apply_lora(h, linear(h, lp["gate_up"]), lora_ctx,
-                             "gate_up")
+        h = rms_norm(x, lp["pre_ffw_ln"][li], args.rms_eps)
+        gate_up = apply_lora(h, linear(h, lp["gate_up"], layer=li),
+                             lora_ctx, "gate_up")
         act = GATED_ACTIVATIONS[args.act](gate_up)
-        ffw = apply_lora(act, linear(act, lp["down"]), lora_ctx, "down")
-        x = x + rms_norm(ffw, lp["post_ffw_ln"], args.rms_eps)
+        ffw = apply_lora(act, linear(act, lp["down"], layer=li),
+                         lora_ctx, "down")
+        x = x + rms_norm(ffw, lp["post_ffw_ln"][li], args.rms_eps)
         return x, kv
 
 

@@ -178,6 +178,8 @@ class LlamaForCausalLM:
         decode step touches only the written slots, which is the whole
         point of paged attention)."""
         num_layers = kv_stack.shape[0]
+        # tolerate host-numpy params (tests): traced-index needs jnp
+        layer_params = jax.tree.map(jnp.asarray, layer_params)
         pattern = self.layer_pattern
         p = len(pattern)
         assert num_layers % p == 0
@@ -185,7 +187,6 @@ class LlamaForCausalLM:
         def regroup(leaf):
             return leaf.reshape(num_layers // p, p, *leaf.shape[1:])
 
-        layers = jax.tree.map(regroup, layer_params)
         group_idx = jnp.arange(num_layers // p, dtype=jnp.int32)
         if lora is not None:
             lora_params, token_lora = lora
@@ -193,22 +194,26 @@ class LlamaForCausalLM:
         else:
             lora_layers, token_lora = None, None
 
+        # Layer weights are NOT scanned over: the body indexes the
+        # stacked params with the layer id, which the quantized-matmul
+        # and attention kernels consume directly from HBM via scalar
+        # prefetch — scanning the weights as xs would materialize a
+        # full per-layer copy of every weight each step.
         def body(carry, scanned):
             h, kv = carry
-            lp, gi, lora_g = scanned
+            gi, lora_g = scanned
             for i, cfg in enumerate(pattern):
-                lp_i = jax.tree.map(lambda leaf: leaf[i], lp)
                 lora_ctx = None
                 if lora_g is not None:
                     lora_ctx = (jax.tree.map(lambda leaf: leaf[i], lora_g),
                                 token_lora)
-                h, kv = self._decoder_layer(lp_i, h, kv, gi * p + i,
-                                            metadata, lora_ctx=lora_ctx,
-                                            **cfg)
+                h, kv = self._decoder_layer(layer_params, h, kv,
+                                            gi * p + i, metadata,
+                                            lora_ctx=lora_ctx, **cfg)
             return (h, kv), None
 
         (x, kv_stack), _ = jax.lax.scan(
-            body, (x, kv_stack), (layers, group_idx, lora_layers))
+            body, (x, kv_stack), (group_idx, lora_layers))
         return x, kv_stack
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
@@ -226,15 +231,16 @@ class LlamaForCausalLM:
         if inv_freq is None:
             inv_freq = self.inv_freq
 
-        h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
+                         "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
         v = v.reshape(T, nk, d)
         if args.qk_norm:
-            q = rms_norm(q, lp["q_norm"], args.rms_eps)
-            k = rms_norm(k, lp["k_norm"], args.rms_eps)
+            q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
+            k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
@@ -243,14 +249,15 @@ class LlamaForCausalLM:
                              logits_soft_cap=args.attn_soft_cap,
                              layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
-        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
-                           lora_ctx, "o")
+        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
+                                             layer=li), lora_ctx, "o")
 
-        h = rms_norm(x, lp["post_ln"], args.rms_eps)
-        gate_up = apply_lora(h, linear(h, lp["gate_up"]), lora_ctx,
-                             "gate_up")
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        gate_up = apply_lora(h, linear(h, lp["gate_up"], layer=li),
+                             lora_ctx, "gate_up")
         act = GATED_ACTIVATIONS[args.act](gate_up)
-        x = x + apply_lora(act, linear(act, lp["down"]), lora_ctx, "down")
+        x = x + apply_lora(act, linear(act, lp["down"], layer=li),
+                           lora_ctx, "down")
         return x, kv
 
     def compute_logits(self, params: dict,

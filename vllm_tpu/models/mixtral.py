@@ -41,8 +41,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
         from vllm_tpu.ops.attention import attention, write_kv_cache
         from vllm_tpu.ops.rotary import apply_rope
 
-        h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
+                         "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
@@ -53,14 +54,17 @@ class MixtralForCausalLM(LlamaForCausalLM):
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=args.sliding_window, layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
-        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
-                           lora_ctx, "o")
+        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
+                                             layer=li), lora_ctx, "o")
 
-        h = rms_norm(x, lp["post_ln"], args.rms_eps)
-        router_logits = linear(h, lp["router"])
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        router_logits = linear(h, lp["router"], layer=li)
         weights, expert_ids = topk_routing(router_logits, self.top_k,
                                            renormalize=True)
-        moe_out = self._moe(h, lp, weights, expert_ids, args.act)
+        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
+                for k2, v2 in lp.items()
+                if k2.startswith("experts")}
+        moe_out = self._moe(h, lp_l, weights, expert_ids, args.act)
         return x + moe_out, kv
 
 
@@ -222,26 +226,29 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
         from vllm_tpu.ops.attention import attention, write_kv_cache
         from vllm_tpu.ops.rotary import apply_rope
 
-        h = rms_norm(x, lp["input_ln"], args.rms_eps)
-        qkv = apply_lora(h, linear(h, lp["qkv"]), lora_ctx, "qkv")
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
+                         "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
-        q = rms_norm(q.reshape(T, nq, d), lp["q_norm"], args.rms_eps)
-        k = rms_norm(k.reshape(T, nk, d), lp["k_norm"], args.rms_eps)
+        q = rms_norm(q.reshape(T, nq, d), lp["q_norm"][li], args.rms_eps)
+        k = rms_norm(k.reshape(T, nk, d), lp["k_norm"][li], args.rms_eps)
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
         attn_out = attention(q, kv, metadata, self.scale, layer=li)
         attn_flat = attn_out.reshape(T, nq * d)
-        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"]),
-                           lora_ctx, "o")
+        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
+                                             layer=li), lora_ctx, "o")
 
-        h = rms_norm(x, lp["post_ln"], args.rms_eps)
-        router_logits = linear(h, lp["router"])
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        router_logits = linear(h, lp["router"], layer=li)
         weights, expert_ids = topk_routing(
             router_logits, self.top_k,
             renormalize=bool(
                 getattr(self.model_config.resolve_hf_config(),
                         "norm_topk_prob", True)))
-        moe_out = self._moe(h, lp, weights, expert_ids, args.act)
+        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
+                for k2, v2 in lp.items() if k2.startswith("experts")}
+        moe_out = self._moe(h, lp_l, weights, expert_ids, args.act)
         return x + moe_out, kv

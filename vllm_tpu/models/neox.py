@@ -113,9 +113,12 @@ class GPTNeoXForCausalLM:
 
     # ----------------------------------------------------------- forward
 
-    def _norm(self, x, lp, name):
+    def _norm(self, x, lp, name, li=None):
         w = lp[f"{name}_w"]
         b = lp.get(f"{name}_b")
+        if li is not None:
+            w = w[li]
+            b = b[li] if b is not None else None
         if self.args.norm_type == "rms":
             return rms_norm(x, w, self.args.ln_eps)
         return layer_norm(x, w, b, self.args.ln_eps)
@@ -126,15 +129,14 @@ class GPTNeoXForCausalLM:
 
         kv = kv_caches[0]
         idxs = jnp.arange(args.num_layers, dtype=jnp.int32)
+        layers = jax.tree.map(jnp.asarray, params["layers"])
 
-        def body(carry, scanned):
+        def body(carry, li):
             h, kv = carry
-            lp, li = scanned
-            h, kv = self._decoder_layer(lp, h, kv, li, metadata)
+            h, kv = self._decoder_layer(layers, h, kv, li, metadata)
             return (h, kv), None
 
-        (x, kv), _ = jax.lax.scan(body, (x, kv),
-                                  (params["layers"], idxs))
+        (x, kv), _ = jax.lax.scan(body, (x, kv), idxs)
         x = self._norm(x, params, "final_ln")
         return x, [kv]
 
@@ -143,38 +145,38 @@ class GPTNeoXForCausalLM:
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
 
-        h1 = self._norm(x, lp, "input_ln")
-        qkv = linear(h1, lp["qkv"])
+        h1 = self._norm(x, lp, "input_ln", li)
+        qkv = linear(h1, lp["qkv"], layer=li)
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
         v = v.reshape(T, nk, d)
         if args.qk_norm:
-            q = layer_norm(q, lp["q_norm"], None, args.ln_eps)
-            k = layer_norm(k, lp["k_norm"], None, args.ln_eps)
+            q = layer_norm(q, lp["q_norm"][li], None, args.ln_eps)
+            k = layer_norm(k, lp["k_norm"][li], None, args.ln_eps)
         if args.rope.rotary_dim > 0:
             q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                               args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
         attn_out = attention(q, kv, metadata, self.scale, layer=li)
-        attn_out = linear(attn_out.reshape(T, nq * d), lp["o"])
+        attn_out = linear(attn_out.reshape(T, nq * d), lp["o"], layer=li)
 
         if args.parallel_residual:
             h2 = h1 if args.shared_input_ln else self._norm(x, lp,
-                                                            "post_ln")
-            x = x + attn_out + self._mlp(lp, h2)
+                                                            "post_ln", li)
+            x = x + attn_out + self._mlp(lp, h2, li)
         else:
             x = x + attn_out
-            x = x + self._mlp(lp, self._norm(x, lp, "post_ln"))
+            x = x + self._mlp(lp, self._norm(x, lp, "post_ln", li), li)
         return x, kv
 
-    def _mlp(self, lp, h):
+    def _mlp(self, lp, h, li=None):
         args = self.args
         if args.gated_mlp:
-            gate_up = linear(h, lp["gate_up"])
+            gate_up = linear(h, lp["gate_up"], layer=li)
             return linear(GATED_ACTIVATIONS[args.act](gate_up),
-                          lp["down"])
-        up = linear(h, lp["up"])
+                          lp["down"], layer=li)
+        up = linear(h, lp["up"], layer=li)
         if args.act in ("gelu", "gelu_new", "gelu_pytorch_tanh",
                         "gelu_fast"):
             up = jax.nn.gelu(up.astype(jnp.float32),
@@ -186,7 +188,7 @@ class GPTNeoXForCausalLM:
             up = jnp.square(jax.nn.relu(up))
         else:
             up = jax.nn.gelu(up.astype(jnp.float32)).astype(up.dtype)
-        return linear(up, lp["down"])
+        return linear(up, lp["down"], layer=li)
 
     def compute_logits(self, params, hidden):
         logits = lm_head_logits(hidden, params["lm_head"])

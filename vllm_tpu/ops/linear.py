@@ -38,27 +38,41 @@ def _dequant_grouped(w_q: jnp.ndarray, scale: jnp.ndarray,
     return w.reshape(in_dim, out_dim).astype(dtype)
 
 
-def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Apply a (possibly quantized) linear layer; x: [..., in]."""
+def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
+    """Apply a (possibly quantized) linear layer; x: [..., in].
+
+    ``layer`` selects a layer from layer-STACKED params ([L, ...]) —
+    quantized weights stay in HBM and the Pallas kernel indexes the
+    stack directly; other formats dynamic-slice (XLA fuses the slice
+    into the consumer for plain dots)."""
     if "w" in p:
-        out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+        w = p["w"] if layer is None else jax.lax.dynamic_index_in_dim(
+            p["w"], layer, 0, keepdims=False)
+        out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     elif "w_q" in p and p["w_q"].dtype == jnp.int8 and "scale" in p:
         # Weight-only int8/int4: dequant then matmul. On TPU the Pallas
         # fused dequant-matmul kernel replaces this (same contract).
         from vllm_tpu.ops.quant import quant_matmul
 
-        out = quant_matmul(x, p)
+        out = quant_matmul(x, p, layer=layer)
     elif "w_q" in p and "w_scale" in p:
         # fp8 W8A8: quantize activations (static or dynamic scale), use the
         # native fp8 MXU path, rescale the fp32 accumulator.
         from vllm_tpu.ops.quant import fp8_linear
 
+        if layer is not None:
+            p = jax.tree.map(
+                lambda leaf: jax.lax.dynamic_index_in_dim(
+                    leaf, layer, 0, keepdims=False), p)
         out = fp8_linear(x, p)
     else:
         raise ValueError(f"unrecognized linear param struct: {list(p)}")
     out = out.astype(x.dtype)
-    if p.get("b") is not None:
-        out = out + p["b"]
+    b = p.get("b")
+    if b is not None:
+        if layer is not None and b.ndim > 1:
+            b = jax.lax.dynamic_index_in_dim(b, layer, 0, keepdims=False)
+        out = out + b
     return out
 
 

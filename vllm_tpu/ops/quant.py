@@ -26,12 +26,14 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def quant_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+def quant_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     """Weight-only quantized matmul: x [..., in] @ dequant(w_q) -> f32.
 
     p: {"w_q": int8 [in, out], "scale": [num_groups, out],
         "zero"?: [num_groups, out]}. int4 weights are stored as int8
-    values in [-8, 7] (symmetric) or [0, 15] with zero points.
+    values in [-8, 7] (symmetric) or [0, 15] with zero points. With
+    ``layer`` the params are layer-stacked ([L, ...]) and the Pallas
+    kernel addresses the stack in place (no per-layer weight copies).
     """
     w_q, scale = p["w_q"], p["scale"]
     zero = p.get("zero")
@@ -41,7 +43,14 @@ def quant_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
         except ImportError:
             pass
         else:
-            return fused_quant_matmul(x, w_q, scale, zero)
+            return fused_quant_matmul(x, w_q, scale, zero, layer=layer)
+    if layer is not None:  # reference path: slice the stack
+        w_q = jax.lax.dynamic_index_in_dim(w_q, layer, 0, keepdims=False)
+        scale = jax.lax.dynamic_index_in_dim(scale, layer, 0,
+                                             keepdims=False)
+        if zero is not None:
+            zero = jax.lax.dynamic_index_in_dim(zero, layer, 0,
+                                                keepdims=False)
     in_dim, out_dim = w_q.shape
     num_groups = scale.shape[0]
     group = in_dim // num_groups

@@ -174,49 +174,110 @@ class TPUModelRunner:
     # ------------------------------------------------------------- step fn
 
     def _build_step_fn(self):
+        """One jitted step taking TWO packed host blobs (i32 + f32)
+        instead of ~15 small arrays — each host->device transfer is a
+        separate RPC on remote-tunnel runtimes, so packing cuts per-step
+        host overhead by an order of magnitude. ``layout`` (static)
+        describes the slices; optional feature tensors (LoRA stacks,
+        penalty count matrices, grammar bitmasks, image embeddings) stay
+        separate since they're off the common path."""
         model = self.model
         eagle = self.eagle
         max_model_len = self.scheduler_config.max_model_len
 
-        def step(params, kv_caches, draft_kv, input_ids, metadata,
-                 logits_indices, sampling: SamplingMetadata,
-                 num_logprobs: int, spec, lora=None, draft_params=None,
-                 token_req=None, embed_override=None):
-            kw = ({"embed_override": embed_override}
-                  if embed_override is not None else {})
+        def step(params, kv_caches, draft_kv, i32_blob, f32_blob,
+                 layout: tuple, num_logprobs: int, lora_stacks=None,
+                 draft_params=None, penalties_extra=None,
+                 grammar_bitmask=None, embed_vecs=None):
+            arrs: dict[str, jnp.ndarray] = {}
+            off = 0
+            for name, shape in layout:
+                size = 1
+                for s in shape:
+                    size *= s
+                arrs[name] = i32_blob[off:off + size].reshape(shape)
+                off += size
+            R = arrs["seq_lens"].shape[0]
+            f32 = {}
+            foff = 0
+            for name in ("temperature", "top_p", "min_p",
+                         "presence_penalty", "frequency_penalty",
+                         "repetition_penalty"):
+                f32[name] = f32_blob[foff:foff + R]
+                foff += R
+
+            metadata = AttentionMetadata(
+                slot_mapping=arrs["slot_mapping"],
+                block_tables=arrs["block_tables"],
+                query_start_loc=arrs["query_start_loc"],
+                seq_lens=arrs["seq_lens"],
+                positions=arrs["positions"],
+                lb_seq=arrs["lb_seq"],
+                lb_q_start=arrs["lb_q_start"],
+            )
+            skw: dict[str, Any] = {}
+            if penalties_extra is not None:
+                counts, prompt_mask = penalties_extra
+                skw.update(presence_penalty=f32["presence_penalty"],
+                           frequency_penalty=f32["frequency_penalty"],
+                           repetition_penalty=f32["repetition_penalty"],
+                           output_counts=counts, prompt_mask=prompt_mask)
+            if grammar_bitmask is not None:
+                skw["grammar_bitmask"] = grammar_bitmask
+            sampling = SamplingMetadata(
+                temperature=f32["temperature"],
+                top_k=arrs["top_k"],
+                top_p=f32["top_p"],
+                min_p=f32["min_p"],
+                seeds=jax.lax.bitcast_convert_type(arrs["seeds"],
+                                                   jnp.uint32),
+                step=arrs["seq_lens"],
+                **skw,
+            )
+
+            lora = None
+            if lora_stacks is not None:
+                lora = (lora_stacks, arrs["token_lora"])
+            kw = {}
+            if "embed_idx" in arrs:
+                kw["embed_override"] = (arrs["embed_idx"], embed_vecs)
+
+            input_ids = arrs["input_ids"]
+            logits_indices = arrs["logits_indices"]
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
                                               metadata, lora=lora, **kw)
             pooled = None
-            if token_req is not None:
+            if "token_req" in arrs:
                 # mean + last pooling over each row's token span
                 # (reference: model_executor/layers/pooler.py)
-                R = logits_indices.shape[0]
                 sums = jax.ops.segment_sum(hidden.astype(jnp.float32),
-                                           token_req, num_segments=R + 1)
+                                           arrs["token_req"],
+                                           num_segments=R + 1)
                 qsl = metadata.query_start_loc
                 counts = jnp.maximum(qsl[1:] - qsl[:-1], 1)
                 mean = sums[:R] / counts[:, None]
                 pooled = (mean, hidden[logits_indices])
-            if spec is not None:
+            if "spec_sli" in arrs:
                 # Speculative verify: sample at 1+S positions per row and
                 # accept the matching draft prefix on device.
                 from vllm_tpu.sample.rejection_sampler import (
                     sample_positions, verify_drafts)
 
-                sli, fold_pos, draft_tokens, num_drafts = spec
+                sli = arrs["spec_sli"]
                 sel = hidden[sli]  # [R, 1+S, H]
                 logits = model.compute_logits(
                     params, sel.reshape(-1, sel.shape[-1]))
                 logits = logits.reshape(*sli.shape, -1)
-                sampled = sample_positions(logits, sampling, fold_pos)
-                tokens, num_emitted = verify_drafts(sampled, draft_tokens,
-                                                    num_drafts)
+                sampled = sample_positions(logits, sampling,
+                                           arrs["spec_fold"])
+                tokens, num_emitted = verify_drafts(
+                    sampled, arrs["spec_drafts"], arrs["spec_num_drafts"])
                 next_drafts = None
                 if draft_params is not None:
                     next_drafts, draft_kv = eagle.propose(
                         draft_params, params, draft_kv, input_ids, hidden,
-                        metadata, tokens, num_emitted, num_drafts,
-                        max_model_len)
+                        metadata, tokens, num_emitted,
+                        arrs["spec_num_drafts"], max_model_len)
                 return (kv_caches, draft_kv), (tokens, num_emitted,
                                                next_drafts), None
             sel = hidden[logits_indices]
@@ -229,7 +290,7 @@ class TPUModelRunner:
             return (kv_caches, draft_kv), (tokens, pooled), lp
 
         return jax.jit(step, donate_argnums=(1, 2),
-                       static_argnums=(7,))
+                       static_argnums=(5, 6))
 
     def _pick_bucket(self, buckets: list[int], n: int) -> int:
         i = bisect.bisect_left(buckets, n)
@@ -277,51 +338,39 @@ class TPUModelRunner:
                                     lora_slots=lora_slots,
                                     num_lora_slots=num_lora_slots)
 
-        metadata = AttentionMetadata(
-            slot_mapping=jnp.asarray(prep.slot_mapping),
-            block_tables=jnp.asarray(prep.block_tables),
-            query_start_loc=jnp.asarray(prep.query_start_loc),
-            seq_lens=jnp.asarray(prep.seq_lens),
-            positions=jnp.asarray(prep.positions),
-            lb_seq=jnp.asarray(prep.lb_seq),
-            lb_q_start=jnp.asarray(prep.lb_q_start),
-        )
-        sampling = self._make_sampling_metadata(prep, scheduler_output)
         num_logprobs = 0
         if prep.num_logprobs is not None:
             num_logprobs = int(
                 min(max(prep.num_logprobs.max() + 1, 1),
                     self.max_logprobs))
-
-        spec = None
-        if prep.spec_logits_indices is not None:
-            spec = (jnp.asarray(prep.spec_logits_indices),
-                    jnp.asarray(prep.spec_fold_positions),
-                    jnp.asarray(prep.spec_draft_tokens),
-                    jnp.asarray(prep.spec_num_drafts))
+        spec = prep.spec_logits_indices is not None
+        if spec:
             num_logprobs = 0  # logprobs + spec decode: later milestone
 
-        lora = None
-        if self.lora_manager is not None:
-            lora = (self.lora_manager.stacks,
-                    jnp.asarray(prep.token_lora))
-        token_req = (jnp.asarray(prep.token_req)
-                     if prep.token_req is not None else None)
-        embed_override = None
-        if prep.embed_idx is not None:
-            embed_override = (jnp.asarray(prep.embed_idx),
-                              jnp.asarray(prep.embed_vecs))
+        i32_blob, f32_blob, layout = self._pack_blobs(prep)
+
+        penalties_extra = None
+        if prep.presence_penalty is not None:
+            vocab = self.model.args.vocab_size
+            counts, prompt_mask = self.input_batch.make_penalty_arrays(
+                prep.req_ids, len(prep.temperature), vocab)
+            penalties_extra = (jnp.asarray(counts),
+                               jnp.asarray(prompt_mask))
+        grammar = self._grammar_bitmask(prep, scheduler_output)
+        lora_stacks = (self.lora_manager.stacks
+                       if self.lora_manager is not None else None)
+        embed_vecs = (jnp.asarray(prep.embed_vecs)
+                      if prep.embed_vecs is not None else None)
 
         (self.kv_caches, self.draft_kv), tokens_dev, lp_dev = \
             self._compiled_step(
                 self.params, self.kv_caches, self.draft_kv,
-                jnp.asarray(prep.input_ids), metadata,
-                jnp.asarray(prep.logits_indices), sampling,
-                num_logprobs, spec, lora, self.draft_params, token_req,
-                embed_override)
+                jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout,
+                num_logprobs, lora_stacks, self.draft_params,
+                penalties_extra, grammar, embed_vecs)
         self.step_counter += 1
 
-        if spec is not None:
+        if spec:
             emitted = np.asarray(tokens_dev[0])
             num_emitted = np.asarray(tokens_dev[1])
             next_drafts = (np.asarray(tokens_dev[2])
@@ -454,50 +503,121 @@ class TPUModelRunner:
             logprobs=logprobs_out,
         )
 
-    def _make_sampling_metadata(
-            self, prep: PreparedInputs,
-            scheduler_output: SchedulerOutput) -> SamplingMetadata:
-        kw: dict[str, Any] = {}
-        if prep.presence_penalty is not None:
-            vocab = self.model.args.vocab_size
-            counts, prompt_mask = self.input_batch.make_penalty_arrays(
-                prep.req_ids, len(prep.temperature), vocab)
-            kw.update(
-                presence_penalty=jnp.asarray(prep.presence_penalty),
-                frequency_penalty=jnp.asarray(prep.frequency_penalty),
-                repetition_penalty=jnp.asarray(prep.repetition_penalty),
-                output_counts=jnp.asarray(counts),
-                prompt_mask=jnp.asarray(prompt_mask),
-            )
-        if scheduler_output.grammar_bitmask is not None:
-            R = len(prep.temperature)
-            V = self.model.args.vocab_size
-            words = cdiv(V, 32)
-            bitmask = np.full((R, words), 0xFFFFFFFF, np.uint32)
-            grammar = scheduler_output.grammar_bitmask
-            # The model vocab may be padded wider than the tokenizer vocab
-            # the grammar was compiled against; out-of-tokenizer ids are
-            # never grammar-legal, so the tail words are zeroed.
-            gwords = grammar.shape[1]
-            for req_id, src_row in (
-                    scheduler_output.structured_output_request_ids.items()):
-                if req_id in prep.req_ids:
-                    row = prep.req_ids.index(req_id)
-                    n = min(words, gwords)
-                    bitmask[row, :n] = grammar[src_row][:n]
-                    bitmask[row, n:] = 0
-            kw["grammar_bitmask"] = jnp.asarray(bitmask)
-        return SamplingMetadata(
-            temperature=jnp.asarray(prep.temperature),
-            top_k=jnp.asarray(prep.top_k),
-            top_p=jnp.asarray(prep.top_p),
-            min_p=jnp.asarray(prep.min_p),
-            seeds=jnp.asarray(prep.seeds),
-            step=jnp.asarray(prep.seq_lens),
-            **kw,
-        )
+    def _pack_blobs(self, prep: PreparedInputs):
+        """Concatenate the step's small host arrays into one i32 blob and
+        one f32 blob (single H2D transfer each); returns
+        (i32_blob, f32_blob, layout) where layout is the static
+        (name, shape) slice table the jitted step unpacks with."""
+        i32_parts: list[tuple[str, np.ndarray]] = [
+            ("input_ids", prep.input_ids),
+            ("positions", prep.positions),
+            ("slot_mapping", prep.slot_mapping),
+            ("query_start_loc", prep.query_start_loc),
+            ("seq_lens", prep.seq_lens),
+            ("logits_indices", prep.logits_indices),
+            ("lb_seq", prep.lb_seq),
+            ("lb_q_start", prep.lb_q_start),
+            ("top_k", prep.top_k),
+            ("seeds", prep.seeds.view(np.int32)),
+            ("block_tables", prep.block_tables),
+        ]
+        if prep.token_lora is not None:
+            i32_parts.append(("token_lora", prep.token_lora))
+        if prep.token_req is not None:
+            i32_parts.append(("token_req", prep.token_req))
+        if prep.embed_idx is not None:
+            i32_parts.append(("embed_idx", prep.embed_idx))
+        if prep.spec_logits_indices is not None:
+            i32_parts += [
+                ("spec_sli", prep.spec_logits_indices),
+                ("spec_fold", prep.spec_fold_positions),
+                ("spec_drafts", prep.spec_draft_tokens),
+                ("spec_num_drafts", prep.spec_num_drafts),
+            ]
+        layout = tuple((name, arr.shape) for name, arr in i32_parts)
+        i32_blob = np.concatenate(
+            [np.ascontiguousarray(a).ravel() for _, a in i32_parts])
+        R = len(prep.temperature)
+        zeros = np.zeros(R, np.float32)
+        ones = np.ones(R, np.float32)
+        f32_blob = np.concatenate([
+            prep.temperature, prep.top_p, prep.min_p,
+            prep.presence_penalty if prep.presence_penalty is not None
+            else zeros,
+            prep.frequency_penalty if prep.frequency_penalty is not None
+            else zeros,
+            prep.repetition_penalty if prep.repetition_penalty is not None
+            else ones,
+        ])
+        return i32_blob, f32_blob, layout
+
+    def _grammar_bitmask(self, prep: PreparedInputs,
+                         scheduler_output: SchedulerOutput):
+        if scheduler_output.grammar_bitmask is None:
+            return None
+        R = len(prep.temperature)
+        V = self.model.args.vocab_size
+        words = cdiv(V, 32)
+        bitmask = np.full((R, words), 0xFFFFFFFF, np.uint32)
+        grammar = scheduler_output.grammar_bitmask
+        # The model vocab may be padded wider than the tokenizer vocab
+        # the grammar was compiled against; out-of-tokenizer ids are
+        # never grammar-legal, so the tail words are zeroed.
+        gwords = grammar.shape[1]
+        for req_id, src_row in (
+                scheduler_output.structured_output_request_ids.items()):
+            if req_id in prep.req_ids:
+                row = prep.req_ids.index(req_id)
+                n = min(words, gwords)
+                bitmask[row, :n] = grammar[src_row][:n]
+                bitmask[row, n:] = 0
+        return jnp.asarray(bitmask)
 
     # ------------------------------------------------------------ warm-up
+
+    def _dummy_blobs(self, T: int, R: int):
+        from vllm_tpu.ops.pallas.ragged_paged_attention import \
+            build_logical_blocks
+
+        B = cdiv(self.scheduler_config.max_model_len,
+                 self.cache_config.block_size)
+        qsl = np.zeros(R + 1, np.int32)
+        lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+        parts = [
+            ("input_ids", np.zeros(T, np.int32)),
+            ("positions", np.zeros(T, np.int32)),
+            ("slot_mapping", np.zeros(T, np.int32)),
+            ("query_start_loc", qsl),
+            ("seq_lens", np.zeros(R, np.int32)),
+            ("logits_indices", np.zeros(R, np.int32)),
+            ("lb_seq", lb_seq),
+            ("lb_q_start", lb_q_start),
+            ("top_k", np.zeros(R, np.int32)),
+            ("seeds", np.zeros(R, np.int32)),
+            ("block_tables", np.zeros((R, B), np.int32)),
+        ]
+        if self.lora_manager is not None:
+            parts.append(("token_lora",
+                          np.full(T, self.lora_manager.none_slot,
+                                  np.int32)))
+        if self.num_spec_tokens > 0:
+            S1 = self.num_spec_tokens + 1
+            parts += [
+                ("spec_sli", np.zeros((R, S1), np.int32)),
+                ("spec_fold", np.zeros((R, S1), np.int32)),
+                ("spec_drafts", np.zeros((R, self.num_spec_tokens),
+                                         np.int32)),
+                ("spec_num_drafts", np.zeros(R, np.int32)),
+            ]
+        layout = tuple((name, arr.shape) for name, arr in parts)
+        i32_blob = np.concatenate(
+            [np.ascontiguousarray(a).ravel() for _, a in parts])
+        f32_blob = np.concatenate([
+            np.zeros(R, np.float32), np.ones(R, np.float32),
+            np.zeros(R, np.float32), np.zeros(R, np.float32),
+            np.zeros(R, np.float32), np.ones(R, np.float32)
+        ])
+        return jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout
 
     def profile_run(self) -> None:
         """Max-shape dummy forward for memory profiling
@@ -513,39 +633,13 @@ class TPUModelRunner:
                        2 * any_spec.num_kv_heads, any_spec.head_size),
                       dtype)
         ]
-        metadata, input_ids, logits_idx, sampling = self._dummy_inputs(T, R)
-        _, tokens, _ = self._compiled_step(self.params, dummy_kv, (),
-                                           input_ids, metadata, logits_idx,
-                                           sampling, 0, None,
-                                           self._dummy_lora(T), None)
+        i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
+        lora_stacks = (self.lora_manager.stacks
+                       if self.lora_manager is not None else None)
+        _, tokens, _ = self._compiled_step(
+            self.params, dummy_kv, (), i32_blob, f32_blob, layout, 0,
+            lora_stacks, None, None, None, None)
         jax.block_until_ready(tokens)
-
-    def _dummy_inputs(self, T: int, R: int):
-        from vllm_tpu.ops.pallas.ragged_paged_attention import \
-            build_logical_blocks
-        from vllm_tpu.sample.metadata import greedy_metadata
-
-        qsl = np.zeros(R + 1, np.int32)
-        lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
-        metadata = AttentionMetadata(
-            slot_mapping=jnp.zeros(T, jnp.int32),
-            block_tables=jnp.zeros(
-                (R, cdiv(self.scheduler_config.max_model_len,
-                         self.cache_config.block_size)), jnp.int32),
-            query_start_loc=jnp.asarray(qsl),
-            seq_lens=jnp.zeros(R, jnp.int32),
-            positions=jnp.zeros(T, jnp.int32),
-            lb_seq=jnp.asarray(lb_seq),
-            lb_q_start=jnp.asarray(lb_q_start),
-        )
-        return (metadata, jnp.zeros(T, jnp.int32), jnp.zeros(R, jnp.int32),
-                greedy_metadata(R))
-
-    def _dummy_lora(self, T: int):
-        if self.lora_manager is None:
-            return None
-        return (self.lora_manager.stacks,
-                jnp.full(T, self.lora_manager.none_slot, jnp.int32))
 
     def capture_model(self) -> None:
         """Precompile every (token, req) bucket
@@ -554,27 +648,20 @@ class TPUModelRunner:
             return
         t0 = time.perf_counter()
         n = 0
+        lora_stacks = (self.lora_manager.stacks
+                       if self.lora_manager is not None else None)
         for T in self.token_buckets:
             for R in self.req_buckets:
                 # A request schedules >=1 token, so R <= T at runtime;
                 # skip impossible combos to bound compile count.
                 if R > max(T, self.req_buckets[0]):
                     continue
-                metadata, input_ids, logits_idx, sampling = \
-                    self._dummy_inputs(T, R)
-                spec = None
-                if self.num_spec_tokens > 0:
-                    S1 = self.num_spec_tokens + 1
-                    spec = (jnp.zeros((R, S1), jnp.int32),
-                            jnp.zeros((R, S1), jnp.int32),
-                            jnp.zeros((R, self.num_spec_tokens),
-                                      jnp.int32),
-                            jnp.zeros(R, jnp.int32))
+                i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
                 (self.kv_caches, self.draft_kv), tokens, _ = \
                     self._compiled_step(
                         self.params, self.kv_caches, self.draft_kv,
-                        input_ids, metadata, logits_idx, sampling, 0,
-                        spec, self._dummy_lora(T), self.draft_params)
+                        i32_blob, f32_blob, layout, 0, lora_stacks,
+                        self.draft_params, None, None, None)
                 jax.block_until_ready(tokens)
                 n += 1
         logger.info("precompiled %d bucket graphs in %.1fs", n,
