@@ -74,6 +74,8 @@ def main() -> None:
         max_num_batched_tokens=max_tokens,
         block_size=32,
         gpu_memory_utilization=0.92,
+        # overlap host scheduling + token fetch with device execution
+        async_scheduling=True,
         hf_config=hf_config,
         # The warmup round compiles exactly the buckets this workload
         # touches; blanket precompilation of every bucket would add

@@ -178,6 +178,10 @@ class SchedulerConfig:
     policy: str = "fcfs"  # fcfs | priority
     num_lookahead_tokens: int = 0  # spec-decode lookahead slots
     disable_hybrid_kv_cache_manager: bool = False
+    # One-step-lagged sampling: schedule step N before fetching step
+    # N-1's sampled tokens; placeholders substitute on device
+    # (reference: vllm --async-scheduling).
+    async_scheduling: bool = False
 
     def __post_init__(self) -> None:
         if self.max_num_batched_tokens < 1:

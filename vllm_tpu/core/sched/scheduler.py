@@ -69,6 +69,7 @@ class Scheduler:
         self.max_model_len = scheduler_config.max_model_len
         self.log_stats = log_stats
         self.structured_output_manager = structured_output_manager
+        self.async_scheduling = scheduler_config.async_scheduling
 
         num_spec_tokens = 0
         if speculative_config is not None and speculative_config.enabled:
@@ -161,7 +162,8 @@ class Scheduler:
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
             request = self.running[req_index]
-            num_new_tokens = (request.num_tokens_with_spec -
+            num_new_tokens = (request.num_tokens_with_spec +
+                              request.num_pending_samples -
                               request.num_computed_tokens)
             if long_cap > 0:
                 num_new_tokens = min(num_new_tokens, long_cap)
@@ -347,7 +349,14 @@ class Scheduler:
         # Optimistically advance computed tokens; update_from_output rolls
         # back rejected speculative tokens.
         for req_id, num in num_scheduled_tokens.items():
-            self.requests[req_id].num_computed_tokens += num
+            request = self.requests[req_id]
+            if (self.async_scheduling
+                    and request.sampling_params is not None
+                    and request.num_computed_tokens + num >=
+                    request.num_tokens + request.num_pending_samples):
+                # this step samples; its token materializes one step late
+                request.num_pending_samples += 1
+            request.num_computed_tokens += num
 
         return scheduler_output
 
@@ -385,6 +394,7 @@ class Scheduler:
         self.kv_cache_manager.free(request)
         request.status = RequestStatus.PREEMPTED
         request.num_computed_tokens = 0
+        request.num_pending_samples = 0
         request.num_preemptions += 1
         request.spec_token_ids.clear()
         request.record_event("preempted")
@@ -409,6 +419,9 @@ class Scheduler:
             if request is None:
                 continue  # aborted while the step ran
             generated = runner_output.sampled_token_ids[i]
+            if self.async_scheduling and generated:
+                request.num_pending_samples = max(
+                    request.num_pending_samples - len(generated), 0)
             scheduled_spec = scheduler_output.scheduled_spec_decode_tokens.get(
                 req_id, [])
             if scheduled_spec:

@@ -47,6 +47,7 @@ class EngineArgs:
     enable_chunked_prefill: bool = True
     long_prefill_token_threshold: int = 0
     scheduling_policy: str = "fcfs"
+    async_scheduling: bool = False
 
     load_format: str = "auto"
     device: str = "auto"
@@ -111,7 +112,12 @@ class EngineArgs:
             enable_chunked_prefill=self.enable_chunked_prefill,
             long_prefill_token_threshold=self.long_prefill_token_threshold,
             policy=self.scheduling_policy,
+            async_scheduling=self.async_scheduling,
         )
+        if self.async_scheduling and self.speculative_method:
+            raise ValueError(
+                "--async-scheduling is incompatible with speculative "
+                "decoding (drafts need the previous step's tokens)")
         speculative_config = SpeculativeConfig(
             method=self.speculative_method,
             num_speculative_tokens=self.num_speculative_tokens,

@@ -93,6 +93,10 @@ class EngineCore:
             self.scheduler.kv_cache_manager.block_pool.event_listener = \
                 _on_event
 
+        self.async_scheduling = \
+            engine_config.scheduler_config.async_scheduling
+        self._inflight = None  # (scheduler_output,) awaiting finalize
+
         # ngram speculative proposer runs host-side in the core
         self.spec_proposer = None
         spec = engine_config.speculative_config
@@ -152,6 +156,8 @@ class EngineCore:
 
     def step(self) -> dict[int, EngineCoreOutputs]:
         """One iteration (reference: core.py:269)."""
+        if self.async_scheduling:
+            return self._step_async()
         if not self.scheduler.has_requests():
             return {}
         scheduler_output = self.scheduler.schedule()
@@ -169,10 +175,30 @@ class EngineCore:
                 self.collective_rpc("kv_save_blocks", (saves,))
         return outputs
 
+    def _step_async(self) -> dict[int, EngineCoreOutputs]:
+        """Pipelined step (reference: vllm --async-scheduling): dispatch
+        step N BEFORE fetching step N-1's sampled tokens, so the host's
+        schedule/prepare/fetch work overlaps device execution. Sampled
+        tokens materialize one step late; placeholder inputs substitute
+        from the previous step's device tokens inside the jitted step."""
+        scheduled = None
+        if self.scheduler.has_requests():
+            so = self.scheduler.schedule()
+            self.executor.execute_model(so)  # dispatch, no fetch
+            scheduled = so
+        outputs: dict[int, EngineCoreOutputs] = {}
+        if self._inflight is not None:
+            prev_so = self._inflight
+            prev_ro = self.executor.collective_rpc("finalize_pending")[0]
+            outputs = self.scheduler.update_from_output(prev_so, prev_ro)
+        self._inflight = scheduled
+        return outputs
+
     # ------------------------------------------------------------- control
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_requests()
+        return (self.scheduler.has_unfinished_requests()
+                or self._inflight is not None)
 
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.reset_prefix_cache()

@@ -81,6 +81,8 @@ class Request:
         self.num_computed_tokens = 0
         # Prefix-cache hit length recorded at first schedule.
         self.num_cached_tokens = -1
+        # async scheduling: samples scheduled but not yet materialized
+        self.num_pending_samples = 0
         self.num_preemptions = 0
 
         # Structured-output FSM state (set by StructuredOutputManager).

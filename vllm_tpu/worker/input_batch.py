@@ -66,6 +66,9 @@ class PreparedInputs:
     # (idx == T means "no override"; see llama.forward embed_override)
     embed_idx: Optional[np.ndarray] = None  # i32[T]
     embed_vecs: Optional[np.ndarray] = None  # f32[T, H]
+    # async scheduling: per-token index into the PREVIOUS step's sampled
+    # tokens for placeholder inputs (R_prev == none)
+    subst_idx: Optional[np.ndarray] = None  # i32[T]
 
 
 class InputBatch:
@@ -267,7 +270,9 @@ class InputBatch:
                        token_bucket: int, req_bucket: int,
                        num_spec_tokens: int = 0,
                        lora_slots: Optional[dict[int, int]] = None,
-                       num_lora_slots: int = 0) -> PreparedInputs:
+                       num_lora_slots: int = 0,
+                       async_prev: Optional[tuple] = None
+                       ) -> PreparedInputs:
         """Build padded flat arrays for one device step
         (reference: gpu_model_runner._prepare_inputs:631; ragged-batch
         contract documented in SURVEY.md §3.4)."""
@@ -291,12 +296,25 @@ class InputBatch:
         logits_indices = np.zeros(R, np.int32)
         sample_valid = np.zeros(num_active, bool)
 
+        subst_idx = None
+        if async_prev is not None:
+            prev_rows, r_prev = async_prev
+            subst_idx = np.full(T, r_prev, np.int32)
+
         offset = 0
         for row, (idx, rid) in enumerate(active):
             n = num_sched[rid]
             start = self.num_computed_tokens[idx]
             input_ids[offset:offset + n] = \
                 self.token_ids[idx, start:start + n]
+            if subst_idx is not None and \
+                    start + n > self.num_tokens[idx]:
+                # trailing positions are un-materialized samples from the
+                # in-flight step: substitute on device from its tokens
+                n_known = max(self.num_tokens[idx] - start, 0)
+                prev_row = prev_rows.get(rid, r_prev)
+                subst_idx[offset + n_known:offset + n] = prev_row
+                input_ids[offset + n_known:offset + n] = 0
             pos = np.arange(start, start + n, dtype=np.int32)
             positions[offset:offset + n] = pos
             bt = self.block_tables[0, idx]
@@ -447,6 +465,7 @@ class InputBatch:
             token_req=token_req,
             embed_idx=embed_idx,
             embed_vecs=embed_vecs,
+            subst_idx=subst_idx,
             **spec_kw,
         )
 

@@ -87,6 +87,9 @@ class TPUModelRunner:
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
         self._encode_image_fn = None  # lazy jit of the vision tower
+        # async scheduling: dispatched-but-unfetched steps (FIFO)
+        self.async_mode = self.scheduler_config.async_scheduling
+        self._pending_steps: list[tuple] = []
         self.kv_connector = None
         if engine_config.kv_transfer_config is not None:
             from vllm_tpu.distributed.kv_transfer import (KVConnectorRole,
@@ -188,7 +191,7 @@ class TPUModelRunner:
         def step(params, kv_caches, draft_kv, i32_blob, f32_blob,
                  layout: tuple, num_logprobs: int, lora_stacks=None,
                  draft_params=None, penalties_extra=None,
-                 grammar_bitmask=None, embed_vecs=None):
+                 grammar_bitmask=None, embed_vecs=None, prev_tokens=None):
             arrs: dict[str, jnp.ndarray] = {}
             off = 0
             for name, shape in layout:
@@ -243,6 +246,14 @@ class TPUModelRunner:
                 kw["embed_override"] = (arrs["embed_idx"], embed_vecs)
 
             input_ids = arrs["input_ids"]
+            if "subst_idx" in arrs and prev_tokens is not None:
+                # async scheduling: placeholder inputs take the previous
+                # step's sampled tokens, still resident on device
+                si = arrs["subst_idx"]
+                r_prev = prev_tokens.shape[0]
+                safe = jnp.minimum(si, r_prev - 1)
+                input_ids = jnp.where(si < r_prev, prev_tokens[safe],
+                                      input_ids)
             logits_indices = arrs["logits_indices"]
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
                                               metadata, lora=lora, **kw)
@@ -333,10 +344,21 @@ class TPUModelRunner:
             lora_slots = self.lora_manager.activate(
                 batch.scheduled_lora_requests(scheduler_output))
             num_lora_slots = self.lora_manager.num_slots
+        async_prev = None
+        prev_tokens_dev = None
+        if self.async_mode and self._pending_steps:
+            p_prep, p_tokens, *_ = self._pending_steps[-1]
+            row_map = {
+                rid: r for r, rid in enumerate(p_prep.req_ids)
+                if p_prep.sample_valid[r]
+            }
+            async_prev = (row_map, len(p_prep.temperature))
+            prev_tokens_dev = p_tokens
         prep = batch.prepare_inputs(scheduler_output, token_bucket,
                                     req_bucket, self.num_spec_tokens,
                                     lora_slots=lora_slots,
-                                    num_lora_slots=num_lora_slots)
+                                    num_lora_slots=num_lora_slots,
+                                    async_prev=async_prev)
 
         num_logprobs = 0
         if prep.num_logprobs is not None:
@@ -367,8 +389,16 @@ class TPUModelRunner:
                 self.params, self.kv_caches, self.draft_kv,
                 jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout,
                 num_logprobs, lora_stacks, self.draft_params,
-                penalties_extra, grammar, embed_vecs)
+                penalties_extra, grammar, embed_vecs, prev_tokens_dev)
         self.step_counter += 1
+
+        if self.async_mode and not spec:
+            # dispatch-only: the engine core fetches via
+            # finalize_pending() one step later
+            self._pending_steps.append(
+                (prep, tokens_dev[0], tokens_dev[1], lp_dev,
+                 num_logprobs, scheduler_output))
+            return ModelRunnerOutput()
 
         if spec:
             emitted = np.asarray(tokens_dev[0])
@@ -383,6 +413,18 @@ class TPUModelRunner:
         if tokens_dev[1] is not None:
             out.pooler_output = self._build_pooler_output(
                 prep, tokens_dev[1])
+        return out
+
+    def finalize_pending(self) -> ModelRunnerOutput:
+        """Fetch + build the oldest dispatched step's output (async
+        scheduling; reference: vllm async sampled-token lag)."""
+        prep, tokens_dev, pooled_dev, lp_dev, num_logprobs, so = \
+            self._pending_steps.pop(0)
+        tokens = np.asarray(tokens_dev)
+        out = self._build_output(so, prep, tokens, lp_dev, num_logprobs)
+        if pooled_dev is not None:
+            out.pooler_output = self._build_pooler_output(prep,
+                                                          pooled_dev)
         return out
 
     def _build_pooler_output(self, prep: PreparedInputs,
@@ -527,6 +569,8 @@ class TPUModelRunner:
             i32_parts.append(("token_req", prep.token_req))
         if prep.embed_idx is not None:
             i32_parts.append(("embed_idx", prep.embed_idx))
+        if prep.subst_idx is not None:
+            i32_parts.append(("subst_idx", prep.subst_idx))
         if prep.spec_logits_indices is not None:
             i32_parts += [
                 ("spec_sli", prep.spec_logits_indices),

@@ -148,6 +148,11 @@ class Worker:
     def check_health(self) -> bool:
         return True
 
+    def finalize_pending(self):
+        """Async scheduling: fetch + build the oldest dispatched step's
+        output (reference: async-scheduling sampled-token lag)."""
+        return self.runner.finalize_pending()
+
     # -- KV transfer (disagg P/D; reference: worker-side connector hooks)
 
     def kv_save_blocks(self, saves: list) -> None:
