@@ -75,3 +75,35 @@ def test_mp_abort(mp_client):
                           sampling_params=sp))
     mp_client.abort_requests(["r-abort"])
     assert mp_client.call_utility("has_unfinished_requests") is False
+
+
+def test_engine_dead_propagation(tiny_model_dir):  # noqa: F811
+    """Killing the engine-core process surfaces EngineDeadError to the
+    client (reference analog: tests/v1/shutdown kill tests)."""
+    import time
+
+    from vllm_tpu.engine.args import EngineArgs
+    from vllm_tpu.engine.core_proc import EngineDeadError, SyncMPClient
+    from vllm_tpu.sampling_params import SamplingParams
+
+    args = EngineArgs(model=tiny_model_dir, dtype="float32",
+                      max_model_len=128, max_num_seqs=4,
+                      max_num_batched_tokens=128, block_size=16,
+                      num_gpu_blocks_override=32, enforce_eager=True,
+                      skip_tokenizer_init=True)
+    client = SyncMPClient(args.create_engine_config())
+    try:
+        client.proc.kill()
+        client.proc.join(timeout=10)
+        time.sleep(0.2)
+        from vllm_tpu.engine import EngineCoreRequest
+
+        with pytest.raises(EngineDeadError):
+            client.add_request(
+                EngineCoreRequest(
+                    request_id="x", prompt_token_ids=[1, 2],
+                    sampling_params=SamplingParams(max_tokens=2)))
+            # the send may be buffered; the utility RPC must notice
+            client.call_utility("has_unfinished_requests", timeout=10)
+    finally:
+        client.shutdown()

@@ -1,0 +1,68 @@
+"""Data-parallel engine replication + least-loaded routing (reference
+analog: tests/v1/test_internal_lb_dp.py, scaled to the CPU backend)."""
+
+import numpy as np
+import pytest
+
+from tests.test_llm_engine import tiny_model_dir  # noqa: F401 fixture
+from vllm_tpu.engine import EngineCoreRequest
+from vllm_tpu.sampling_params import SamplingParams
+
+
+def test_router_least_loaded():
+    from vllm_tpu.engine.dp_engine import DPEngineRouter
+
+    r = DPEngineRouter(3)
+    ranks = [r.assign(f"r{i}") for i in range(6)]
+    assert sorted(r.in_flight) == [2, 2, 2]
+    r.finished("r0")
+    assert r.assign("r6") == ranks[0]
+
+
+def test_dp_engine_end_to_end(tiny_model_dir):  # noqa: F811
+    from vllm_tpu.engine.args import EngineArgs
+    from vllm_tpu.engine.dp_engine import DPLLMEngine
+
+    args = EngineArgs(model=tiny_model_dir, dtype="float32",
+                      max_model_len=128, max_num_seqs=4,
+                      max_num_batched_tokens=128, block_size=16,
+                      num_gpu_blocks_override=32, enforce_eager=True,
+                      skip_tokenizer_init=True)
+    engine = DPLLMEngine(args.create_engine_config(), dp_size=2,
+                         in_process=True)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    results: dict[str, list[int]] = {}
+    for i in range(8):
+        engine.add_request(
+            EngineCoreRequest(request_id=f"q{i}",
+                              prompt_token_ids=[1 + i, 5, 9],
+                              sampling_params=sp.clone()))
+    # requests spread across both replicas
+    assert engine.load == [4, 4]
+
+    while engine.has_unfinished_requests():
+        for eco in engine.step().values():
+            for out in eco.outputs:
+                results.setdefault(out.request_id, []).extend(
+                    out.new_token_ids)
+    assert len(results) == 8
+    assert all(len(toks) == 6 for toks in results.values())
+    assert engine.load == [0, 0]
+
+    # same-prompt requests produce identical greedy streams regardless
+    # of which replica served them
+    engine.add_request(EngineCoreRequest(request_id="a1",
+                                         prompt_token_ids=[3, 7, 11],
+                                         sampling_params=sp.clone()))
+    engine.add_request(EngineCoreRequest(request_id="a2",
+                                         prompt_token_ids=[3, 7, 11],
+                                         sampling_params=sp.clone()))
+    out2: dict[str, list[int]] = {}
+    while engine.has_unfinished_requests():
+        for eco in engine.step().values():
+            for out in eco.outputs:
+                out2.setdefault(out.request_id, []).extend(
+                    out.new_token_ids)
+    assert out2["a1"] == out2["a2"]
+    engine.shutdown()
