@@ -111,6 +111,33 @@ def make_hf_model(arch):
         return CohereForCausalLM(
             CohereConfig(num_key_value_heads=2, logit_scale=0.5,
                          pad_token_id=0, **common))
+    if arch == "olmo2":
+        from transformers import Olmo2Config, Olmo2ForCausalLM
+
+        return Olmo2ForCausalLM(
+            Olmo2Config(num_key_value_heads=2, **common))
+    if arch == "granite":
+        from transformers import GraniteConfig, GraniteForCausalLM
+
+        return GraniteForCausalLM(
+            GraniteConfig(num_key_value_heads=2,
+                          embedding_multiplier=6.0,
+                          residual_multiplier=0.5,
+                          attention_multiplier=0.1,
+                          logits_scaling=4.0, **common))
+    if arch == "glm4":
+        from transformers import Glm4Config, Glm4ForCausalLM
+
+        return Glm4ForCausalLM(
+            Glm4Config(num_key_value_heads=2, head_dim=16,
+                       partial_rotary_factor=0.5, attention_bias=True,
+                       pad_token_id=0, **common))
+    if arch == "nemotron":
+        from transformers import NemotronConfig, NemotronForCausalLM
+
+        return NemotronForCausalLM(
+            NemotronConfig(num_key_value_heads=2, head_dim=16,
+                           partial_rotary_factor=0.5, **common))
     if arch == "deepseek_v2":
         from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
 
@@ -146,7 +173,8 @@ def make_hf_model(arch):
 @pytest.mark.parametrize("arch", [
     "qwen2", "qwen3", "mistral_sw", "gemma", "gemma2", "gpt2", "opt",
     "mixtral", "phi3", "deepseek_v2", "deepseek_v3", "gpt_neox",
-    "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere"
+    "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere", "olmo2",
+    "granite", "glm4", "nemotron"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch

@@ -64,6 +64,9 @@ class ModelArgs:
     embedding_multiplier: Optional[float] = None
     attn_scale: Optional[float] = None
     max_position: int = 2048
+    # Granite-style multipliers
+    residual_multiplier: Optional[float] = None
+    logits_scale: Optional[float] = None  # logits are MULTIPLIED by this
 
     @staticmethod
     def from_hf_config(hf) -> "ModelArgs":
@@ -248,22 +251,30 @@ class LlamaForCausalLM:
                              sliding_window=sliding_window,
                              logits_soft_cap=args.attn_soft_cap,
                              layer=li)
+        res_mult = (jnp.asarray(args.residual_multiplier, x.dtype)
+                    if args.residual_multiplier else None)
         attn_flat = attn_out.reshape(T, nq * d)
-        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
-                                             layer=li), lora_ctx, "o")
+        attn_o = apply_lora(attn_flat, linear(attn_flat, lp["o"],
+                                              layer=li), lora_ctx, "o")
+        x = x + (attn_o if res_mult is None else attn_o * res_mult)
 
         h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
         gate_up = apply_lora(h, linear(h, lp["gate_up"], layer=li),
                              lora_ctx, "gate_up")
         act = GATED_ACTIVATIONS[args.act](gate_up)
-        x = x + apply_lora(act, linear(act, lp["down"], layer=li),
-                           lora_ctx, "down")
+        ffw = apply_lora(act, linear(act, lp["down"], layer=li),
+                         lora_ctx, "down")
+        x = x + (ffw if res_mult is None else ffw * res_mult)
         return x, kv
 
     def compute_logits(self, params: dict,
                        hidden: jnp.ndarray) -> jnp.ndarray:
-        return lm_head_logits(hidden, params["lm_head"],
-                              self.args.logit_soft_cap)
+        logits = lm_head_logits(hidden, params["lm_head"],
+                                self.args.logit_soft_cap)
+        if self.args.logits_scale is not None:
+            logits = logits * jnp.asarray(self.args.logits_scale,
+                                          logits.dtype)
+        return logits
 
     # -------------------------------------------------------------- kv spec
 

@@ -1,0 +1,225 @@
+"""Llama-skeleton variants: OLMo-2, Granite, GLM-4, Nemotron
+(reference parity: vllm/model_executor/models/{olmo2,granite,glm4,
+nemotron}.py; each is a small reshuffle of the Llama block)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.models.llama import (LlamaForCausalLM, ModelArgs, _np_dtype,
+                                   dataclass_replace)
+from vllm_tpu.models.neox import GPTNeoXForCausalLM, NeoxArgs
+from vllm_tpu.ops.activation import GATED_ACTIVATIONS
+from vllm_tpu.ops.attention import attention, write_kv_cache
+from vllm_tpu.ops.layernorm import rms_norm
+from vllm_tpu.ops.linear import linear
+from vllm_tpu.ops.rotary import RopeConfig, apply_rope
+
+
+class Olmo2ForCausalLM(LlamaForCausalLM):
+    """OLMo-2 (reference: models/olmo2.py): NO pre-norms — norms apply to
+    the attention/MLP BRANCH OUTPUTS; full-width qk-norm before head
+    split."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        return ModelArgs.from_hf_config(hf)
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        del m["input_layernorm.weight"]
+        # olmo2 q/k norms are full projection width
+        m["self_attn.q_norm.weight"] = ("q_norm", "", False)
+        m["self_attn.k_norm.weight"] = ("k_norm", "", False)
+        m["post_feedforward_layernorm.weight"] = ("post_ffw_ln", "",
+                                                  False)
+        return m
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        a = self.args
+        layers = super()._alloc_layer_stack(np_dtype)
+        del layers["input_ln"]
+        L = a.num_layers
+        layers["q_norm"] = np.empty((L, a.num_heads * a.head_dim),
+                                    np_dtype)
+        layers["k_norm"] = np.empty((L, a.num_kv_heads * a.head_dim),
+                                    np_dtype)
+        layers["post_ffw_ln"] = np.empty((L, a.hidden_size), np_dtype)
+        return layers
+
+    def _decoder_layer(self, lp, x, kv, li, metadata,
+                       sliding_window="default", inv_freq=None,
+                       lora_ctx=None):
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+        if inv_freq is None:
+            inv_freq = self.inv_freq
+
+        qkv = linear(x, lp["qkv"], layer=li)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = rms_norm(q, lp["q_norm"][li], args.rms_eps).reshape(T, nq, d)
+        k = rms_norm(k, lp["k_norm"][li], args.rms_eps).reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+        attn = attention(q, kv, metadata, self.scale, layer=li)
+        attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)
+        x = x + rms_norm(attn, lp["post_ln"][li], args.rms_eps)
+
+        gate_up = linear(x, lp["gate_up"], layer=li)
+        ffw = linear(GATED_ACTIVATIONS[args.act](gate_up), lp["down"],
+                     layer=li)
+        x = x + rms_norm(ffw, lp["post_ffw_ln"][li], args.rms_eps)
+        return x, kv
+
+
+class GraniteForCausalLM(LlamaForCausalLM):
+    """IBM Granite (reference: models/granite.py): Llama with embedding/
+    residual/attention multipliers and logits scaling (divisor)."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(
+            args,
+            embedding_multiplier=float(
+                getattr(hf, "embedding_multiplier", 1.0)),
+            attn_scale=float(getattr(hf, "attention_multiplier",
+                                     args.head_dim ** -0.5)),
+            residual_multiplier=float(
+                getattr(hf, "residual_multiplier", 1.0)),
+            logits_scale=1.0 / float(getattr(hf, "logits_scaling", 1.0)),
+        )
+
+
+class Glm4ForCausalLM(LlamaForCausalLM):
+    """GLM-4 0414 (reference: models/glm4.py): partial rotary, qkv bias,
+    gemma2-style sandwich norms (post_self_attn / post_mlp branch
+    norms)."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        # GLM-4 rope is GPT-J interleaved over the partial rotary dims
+        # (HF repeat_interleaves the half-width cos/sin, pairing
+        # (2i, 2i+1) with the standard inv_freq[i]).
+        rope = dataclass_replace(args.rope, is_neox_style=False)
+        return dataclass_replace(args, rope=rope, attn_bias=bool(
+            getattr(hf, "attention_bias", True)))
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        del m["mlp.gate_proj.weight"]
+        del m["mlp.up_proj.weight"]
+        # fused gate|up in one tensor, same order as our layout
+        m["mlp.gate_up_proj.weight"] = ("gate_up.w", "", True)
+        m["post_self_attn_layernorm.weight"] = ("post_attn_ln", "", False)
+        m["post_mlp_layernorm.weight"] = ("post_mlp_ln", "", False)
+        return m
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        a = self.args
+        L = a.num_layers
+        layers["post_attn_ln"] = np.empty((L, a.hidden_size), np_dtype)
+        layers["post_mlp_ln"] = np.empty((L, a.hidden_size), np_dtype)
+        return layers
+
+    def _decoder_layer(self, lp, x, kv, li, metadata,
+                       sliding_window="default", inv_freq=None,
+                       lora_ctx=None):
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+        if inv_freq is None:
+            inv_freq = self.inv_freq
+
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = linear(h, lp["qkv"], layer=li)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+        attn = attention(q, kv, metadata, self.scale, layer=li)
+        attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)
+        x = x + rms_norm(attn, lp["post_attn_ln"][li], args.rms_eps)
+
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        gate_up = linear(h, lp["gate_up"], layer=li)
+        ffw = linear(GATED_ACTIVATIONS[args.act](gate_up), lp["down"],
+                     layer=li)
+        x = x + rms_norm(ffw, lp["post_mlp_ln"][li], args.rms_eps)
+        return x, kv
+
+
+class NemotronForCausalLM(GPTNeoXForCausalLM):
+    """Nemotron (reference: models/nemotron.py): layernorm1p ((1+w) LN),
+    squared-relu dense MLP, partial rotary, sequential residual."""
+
+    _EMBED = "model.embed_tokens.weight"
+    _FINAL_W = "model.norm.weight"
+    _FINAL_B = "model.norm.bias"
+    _LM_HEAD = "lm_head.weight"
+    _LM_HEAD_B = None
+    _LAYER_PREFIX = "model.layers"
+
+    def parse_args(self, hf) -> NeoxArgs:
+        head_dim = getattr(hf, "head_dim", None) or \
+            hf.hidden_size // hf.num_attention_heads
+        rope = RopeConfig(
+            head_size=head_dim,
+            rotary_dim=int(head_dim *
+                           getattr(hf, "partial_rotary_factor", 0.5)),
+            max_position=getattr(hf, "max_position_embeddings", 4096),
+            base=float(getattr(hf, "rope_theta", 10000.0)),
+        )
+        return NeoxArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            num_kv_heads=getattr(hf, "num_key_value_heads",
+                                 hf.num_attention_heads),
+            head_dim=head_dim,
+            intermediate_size=hf.intermediate_size,
+            ln_eps=float(getattr(hf, "norm_eps", 1e-5)),
+            rope=rope,
+            parallel_residual=False,
+            gated_mlp=False,
+            act="relu2",
+            qkv_bias=bool(getattr(hf, "attention_bias", False)),
+            o_bias=False,
+            mlp_bias=bool(getattr(hf, "mlp_bias", False)),
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        False)),
+            max_position=getattr(hf, "max_position_embeddings", 4096),
+        )
+
+    def _hf_layer_map(self):
+        return {
+            "input_layernorm.weight": ("input_ln_w", "", False),
+            "input_layernorm.bias": ("input_ln_b", "", False),
+            "post_attention_layernorm.weight": ("post_ln_w", "", False),
+            "post_attention_layernorm.bias": ("post_ln_b", "", False),
+            "self_attn.q_proj.weight": ("qkv.w", "q", True),
+            "self_attn.k_proj.weight": ("qkv.w", "k", True),
+            "self_attn.v_proj.weight": ("qkv.w", "v", True),
+            "self_attn.o_proj.weight": ("o.w", "", True),
+            "mlp.up_proj.weight": ("up.w", "", True),
+            "mlp.down_proj.weight": ("down.w", "", True),
+        }
+
+    def load_weights(self, weights_iter):
+        params = super().load_weights(weights_iter)
+        # layernorm1p: y = LN(x) * (1 + w) + b — fold the +1 into w
+        L = params["layers"]
+        L["input_ln_w"] = L["input_ln_w"] + np.asarray(
+            1.0, L["input_ln_w"].dtype)
+        L["post_ln_w"] = L["post_ln_w"] + np.asarray(
+            1.0, L["post_ln_w"].dtype)
+        params["final_ln_w"] = params["final_ln_w"] + np.asarray(
+            1.0, params["final_ln_w"].dtype)
+        return params

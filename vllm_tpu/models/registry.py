@@ -44,6 +44,16 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "Olmo2ForCausalLM": ("vllm_tpu.models.llama_variants",
+                         "Olmo2ForCausalLM"),
+    "GraniteForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "GraniteForCausalLM"),
+    "Glm4ForCausalLM": ("vllm_tpu.models.llama_variants",
+                        "Glm4ForCausalLM"),
+    "GlmForCausalLM": ("vllm_tpu.models.llama_variants",
+                       "Glm4ForCausalLM"),
+    "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
+                            "NemotronForCausalLM"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
