@@ -1,0 +1,97 @@
+"""Mamba2 model golden tests vs HF transformers: packed multi-request
+forward parity and recurrent-state decode continuation (reference
+analog: tests/models/language/generation tests for mamba2)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.test_model_vs_hf import build_metadata
+
+TOKENS = [[1, 5, 9, 3, 7, 11, 2], [4, 8, 100, 42]]
+
+
+@pytest.fixture(scope="module")
+def mamba2_dir(tmp_path_factory):
+    import torch
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Mamba2Config(vocab_size=128, hidden_size=64, state_size=16,
+                       num_heads=8, head_dim=16, expand=2, conv_kernel=4,
+                       n_groups=2, num_hidden_layers=2, chunk_size=8,
+                       pad_token_id=0, max_position_embeddings=256)
+    m = Mamba2ForCausalLM(cfg)
+    m.eval()
+    d = tmp_path_factory.mktemp("mamba2")
+    m.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def _load(mamba2_dir):
+    from vllm_tpu.config import ModelConfig
+    from vllm_tpu.models.registry import get_model
+    from vllm_tpu.models.weight_utils import weights_iterator
+
+    mc = ModelConfig(model=mamba2_dir, dtype="float32")
+    model = get_model(mc)
+    params = model.load_weights(weights_iterator(mamba2_dir))
+    return model, params
+
+
+def test_mamba2_logits_match_hf(mamba2_dir):
+    import torch
+    from transformers import Mamba2ForCausalLM
+
+    hf = Mamba2ForCausalLM.from_pretrained(mamba2_dir)
+    hf.eval()
+    expected = []
+    with torch.no_grad():
+        for toks in TOKENS:
+            expected.append(hf(torch.tensor([toks])).logits[0].numpy())
+
+    model, params = _load(mamba2_dir)
+    metadata, input_ids, _ = build_metadata(TOKENS, 4, max_blocks=8,
+                                            total_pad=16, req_pad=4)
+    caches = [model.init_states(num_slots=4)]
+    hidden, _ = model.forward(params, input_ids, caches, metadata)
+    logits = np.asarray(model.compute_logits(params, hidden))
+
+    offset = 0
+    for r, toks in enumerate(TOKENS):
+        ours = logits[offset:offset + len(toks)]
+        np.testing.assert_allclose(ours, expected[r], rtol=1e-3,
+                                   atol=1e-3)
+        offset += len(toks)
+
+
+def test_mamba2_decode_state_continuation(mamba2_dir):
+    """Prefill both requests, then decode one token each using the
+    returned states — must match the full-sequence HF logits."""
+    import torch
+    from transformers import Mamba2ForCausalLM
+
+    nxt = [13, 77]
+    full = [t + [n] for t, n in zip(TOKENS, nxt)]
+    hf = Mamba2ForCausalLM.from_pretrained(mamba2_dir)
+    hf.eval()
+    with torch.no_grad():
+        expected = [hf(torch.tensor([toks])).logits[0, -1].numpy()
+                    for toks in full]
+
+    model, params = _load(mamba2_dir)
+    metadata, input_ids, _ = build_metadata(TOKENS, 4, max_blocks=8,
+                                            total_pad=16, req_pad=4)
+    caches = [model.init_states(num_slots=4)]
+    _, caches = model.forward(params, input_ids, caches, metadata)
+
+    # decode step: one new token per request, positions continue
+    md2, ids2, _ = build_metadata([[n] for n in nxt], 4, max_blocks=8,
+                                  total_pad=8, req_pad=4,
+                                  positions_offset=[len(t) for t in TOKENS])
+    hidden, _ = model.forward(params, ids2, caches, md2)
+    logits = np.asarray(model.compute_logits(params, hidden))
+    for r in range(2):
+        np.testing.assert_allclose(logits[r], expected[r], rtol=1e-3,
+                                   atol=1e-3)

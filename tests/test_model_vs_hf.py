@@ -47,7 +47,8 @@ def hf_logits(model_dir, token_lists):
     return outs
 
 
-def build_metadata(token_lists, block_size, max_blocks, total_pad, req_pad):
+def build_metadata(token_lists, block_size, max_blocks, total_pad, req_pad,
+                   positions_offset=None):
     """Host-side input building (mirrors what InputBatch does)."""
     from vllm_tpu.ops.attention import AttentionMetadata
 
@@ -65,7 +66,8 @@ def build_metadata(token_lists, block_size, max_blocks, total_pad, req_pad):
     for r, toks in enumerate(token_lists):
         n = len(toks)
         input_ids[offset:offset + n] = toks
-        positions[offset:offset + n] = np.arange(n)
+        p0 = positions_offset[r] if positions_offset else 0
+        positions[offset:offset + n] = p0 + np.arange(n)
         nblocks = -(-n // block_size)
         blocks = list(range(next_block, next_block + nblocks))
         next_block += nblocks
@@ -74,7 +76,7 @@ def build_metadata(token_lists, block_size, max_blocks, total_pad, req_pad):
             slot_mapping[offset + i] = (blocks[i // block_size] * block_size
                                         + i % block_size)
         qsl[r + 1] = offset + n
-        seq_lens[r] = n
+        seq_lens[r] = p0 + n
         offset += n
     qsl[len(token_lists) + 1:] = offset
 

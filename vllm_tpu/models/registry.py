@@ -54,6 +54,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                        "Glm4ForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
+    # state-space models
+    "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
