@@ -183,13 +183,25 @@ class SlidingWindowManager(SingleTypeKVCacheManager):
 
 class MambaManager(SingleTypeKVCacheManager):
     """One state slot per request; no prefix caching
-    (reference: single_type_kv_cache_manager.py:520)."""
+    (reference: single_type_kv_cache_manager.py:520). The recurrent
+    state is constant-size, so exactly one bookkeeping block is
+    allocated per request regardless of its length."""
 
     def find_longest_cache_hit(self, block_hashes, max_num_blocks):
         return []
 
     def cache_blocks(self, request, block_hashes, num_tokens) -> None:
         return None
+
+    def get_num_blocks_to_allocate(self, request_id: str, num_tokens: int,
+                                   new_computed_blocks) -> int:
+        return super().get_num_blocks_to_allocate(
+            request_id, min(num_tokens, self.block_size),
+            new_computed_blocks)
+
+    def allocate_new_blocks(self, request_id: str, num_tokens: int):
+        return super().allocate_new_blocks(
+            request_id, min(num_tokens, self.block_size))
 
 
 def spec_manager_map(spec: KVCacheSpec) -> type[SingleTypeKVCacheManager]:

@@ -126,14 +126,24 @@ class Mamba2ForCausalLM:
         R = conv_states.shape[1] - 1  # request slots (minus scratch row)
 
         qsl = metadata.query_start_loc
+        Rq = qsl.shape[0] - 1  # padded request rows this step
         t = jnp.arange(T, dtype=jnp.int32)
-        seg = jnp.clip(
+        seg_row = jnp.clip(
             jnp.searchsorted(qsl, t, side="right").astype(jnp.int32) - 1,
-            0, R)
+            0, Rq)
         # tokens past the last real request fall in the scratch row
-        seg = jnp.where(t >= qsl[-1], R, seg)
-        seg_start = qsl[jnp.clip(seg, 0, qsl.shape[0] - 2)]
-        pad_mask = (seg == R)
+        seg_row = jnp.where(t >= qsl[-1], Rq, seg_row)
+        seg_start = qsl[jnp.clip(seg_row, 0, Rq - 1)]
+        pad_mask = (seg_row == Rq)
+        if metadata.state_slots is not None:
+            # step row -> persistent state slot (runner-provided)
+            slots_ext = jnp.concatenate([
+                metadata.state_slots.astype(jnp.int32),
+                jnp.full((1,), R, jnp.int32)
+            ])
+            seg = slots_ext[seg_row]
+        else:
+            seg = jnp.minimum(seg_row, R)
 
         x = self.embed(params, input_ids)
         lp = jax.tree.map(jnp.asarray, params["layers"])
@@ -195,8 +205,7 @@ class Mamba2ForCausalLM:
         ssm_bytes = a.num_heads * a.head_dim * a.state_size * 4
         return {
             f"layers.{i}": MambaSpec(
-                block_size=block_size, num_kv_heads=1,
-                head_size=a.head_dim, dtype=cache_dtype,
+                block_size=block_size,
                 state_size_bytes=conv_bytes + ssm_bytes)
             for i in range(a.num_layers)
         }

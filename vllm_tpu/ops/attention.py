@@ -44,6 +44,9 @@ class AttentionMetadata:
     # the jnp-reference path.
     lb_seq: Optional[jnp.ndarray] = None  # i32[MAXLB], -1 padded
     lb_q_start: Optional[jnp.ndarray] = None  # i32[MAXLB]
+    # SSM models: persistent state slot per request row (see
+    # models/mamba2.py); attention models ignore it
+    state_slots: Optional[jnp.ndarray] = None  # i32[R]
 
 
 def write_kv_cache(

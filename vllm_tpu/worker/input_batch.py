@@ -53,6 +53,9 @@ class PreparedInputs:
     num_logprobs: Optional[np.ndarray] = None
     # speculative decoding (S = num_speculative_tokens; None when S == 0)
     spec_logits_indices: Optional[np.ndarray] = None  # i32[R, 1+S]
+    # SSM models: persistent state slot per row + slots to zero this step
+    state_slots: Optional[np.ndarray] = None  # i32[R]
+    state_reset: Optional[np.ndarray] = None  # i32[R]
     spec_fold_positions: Optional[np.ndarray] = None  # i32[R, 1+S]
     spec_draft_tokens: Optional[np.ndarray] = None  # i32[R, S]
     spec_num_drafts: Optional[np.ndarray] = None  # i32[R]
@@ -271,7 +274,8 @@ class InputBatch:
                        num_spec_tokens: int = 0,
                        lora_slots: Optional[dict[int, int]] = None,
                        num_lora_slots: int = 0,
-                       async_prev: Optional[tuple] = None
+                       async_prev: Optional[tuple] = None,
+                       emit_state_slots: bool = False
                        ) -> PreparedInputs:
         """Build padded flat arrays for one device step
         (reference: gpu_model_runner._prepare_inputs:631; ragged-batch
@@ -301,10 +305,22 @@ class InputBatch:
             prev_rows, r_prev = async_prev
             subst_idx = np.full(T, r_prev, np.int32)
 
+        # SSM state routing: slot = persistent batch row (stable across
+        # steps); the scratch slot (max_num_reqs) absorbs padding rows
+        # and no-op resets
+        state_slots = state_reset = None
+        if emit_state_slots:
+            state_slots = np.full(R, self.max_num_reqs, np.int32)
+            state_reset = np.full(R, self.max_num_reqs, np.int32)
+
         offset = 0
         for row, (idx, rid) in enumerate(active):
             n = num_sched[rid]
             start = self.num_computed_tokens[idx]
+            if state_slots is not None:
+                state_slots[row] = idx
+                if start == 0:  # fresh prefill (or preempt-restart)
+                    state_reset[row] = idx
             input_ids[offset:offset + n] = \
                 self.token_ids[idx, start:start + n]
             if subst_idx is not None and \
@@ -466,6 +482,8 @@ class InputBatch:
             embed_idx=embed_idx,
             embed_vecs=embed_vecs,
             subst_idx=subst_idx,
+            state_slots=state_slots,
+            state_reset=state_reset,
             **spec_kw,
         )
 

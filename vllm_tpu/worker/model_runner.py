@@ -64,6 +64,9 @@ class TPUModelRunner:
         self.kv_cache_config: Optional[KVCacheConfig] = None
         self.input_batch: Optional[InputBatch] = None
         self.rng = np.random.default_rng(self.model_config.seed)
+        # state-space models carry per-request recurrent state instead
+        # of a paged KV cache
+        self.is_ssm = bool(getattr(self.model, "is_ssm", False))
         self.step_counter = 0
         self._num_compilations = 0
 
@@ -138,7 +141,15 @@ class TPUModelRunner:
         [num_layers, num_blocks, page, 2*kv_heads, head]."""
         self.kv_cache_config = kv_cache_config
         self.kv_caches = []
-        for group in kv_cache_config.kv_cache_groups:
+        groups = kv_cache_config.kv_cache_groups
+        if self.is_ssm:
+            # constant-size per-request state slots; "blocks" are only
+            # scheduler bookkeeping for SSM models
+            self.kv_caches = [
+                self.model.init_states(self.scheduler_config.max_num_seqs)
+            ]
+            groups = []
+        for group in groups:
             spec = group.kv_cache_spec
             dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
             if spec.dtype == "float32":
@@ -217,7 +228,15 @@ class TPUModelRunner:
                 positions=arrs["positions"],
                 lb_seq=arrs["lb_seq"],
                 lb_q_start=arrs["lb_q_start"],
+                state_slots=arrs.get("state_slots"),
             )
+            if "state_reset" in arrs:
+                # zero the recurrent state of rows starting (or
+                # restarting) a prefill this step
+                conv, ssm = kv_caches[0]
+                rs = arrs["state_reset"]
+                kv_caches = [(conv.at[:, rs].set(0),
+                              ssm.at[:, rs].set(0))]
             skw: dict[str, Any] = {}
             if penalties_extra is not None:
                 counts, prompt_mask = penalties_extra
@@ -358,7 +377,8 @@ class TPUModelRunner:
                                     req_bucket, self.num_spec_tokens,
                                     lora_slots=lora_slots,
                                     num_lora_slots=num_lora_slots,
-                                    async_prev=async_prev)
+                                    async_prev=async_prev,
+                                    emit_state_slots=self.is_ssm)
 
         num_logprobs = 0
         if prep.num_logprobs is not None:
@@ -571,6 +591,9 @@ class TPUModelRunner:
             i32_parts.append(("embed_idx", prep.embed_idx))
         if prep.subst_idx is not None:
             i32_parts.append(("subst_idx", prep.subst_idx))
+        if prep.state_slots is not None:
+            i32_parts += [("state_slots", prep.state_slots),
+                          ("state_reset", prep.state_reset)]
         if prep.spec_logits_indices is not None:
             i32_parts += [
                 ("spec_sli", prep.spec_logits_indices),
@@ -644,6 +667,10 @@ class TPUModelRunner:
             parts.append(("token_lora",
                           np.full(T, self.lora_manager.none_slot,
                                   np.int32)))
+        if self.is_ssm:
+            S = self.scheduler_config.max_num_seqs
+            parts += [("state_slots", np.full(R, S, np.int32)),
+                      ("state_reset", np.full(R, S, np.int32))]
         if self.num_spec_tokens > 0:
             S1 = self.num_spec_tokens + 1
             parts += [
@@ -670,13 +697,18 @@ class TPUModelRunner:
         R = self.req_buckets[-1]
         specs = self.get_kv_cache_specs()
         any_spec = next(iter(specs.values()))
-        # 2-block dummy cache: enough to run, negligible memory.
-        dtype = _CACHE_DTYPES.get(any_spec.dtype) or jnp.bfloat16
-        dummy_kv = [
-            jnp.zeros((len(specs), 2, any_spec.block_size,
-                       2 * any_spec.num_kv_heads, any_spec.head_size),
-                      dtype)
-        ]
+        if self.is_ssm:
+            dummy_kv = [
+                self.model.init_states(self.scheduler_config.max_num_seqs)
+            ]
+        else:
+            # 2-block dummy cache: enough to run, negligible memory.
+            dtype = _CACHE_DTYPES.get(any_spec.dtype) or jnp.bfloat16
+            dummy_kv = [
+                jnp.zeros((len(specs), 2, any_spec.block_size,
+                           2 * any_spec.num_kv_heads, any_spec.head_size),
+                          dtype)
+            ]
         i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
         lora_stacks = (self.lora_manager.stacks
                        if self.lora_manager is not None else None)
