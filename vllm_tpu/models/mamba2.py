@@ -78,6 +78,67 @@ def _pick_chunk(T: int, preferred: int) -> int:
     return 1
 
 
+def packed_segments(metadata: AttentionMetadata, T: int, num_slots: int):
+    """Per-token segment routing over the packed stream: returns
+    (seg i32[T] state-slot per token, seg_start i32[T] packed index of
+    the token's request span start, pad_mask bool[T]). Padding tokens
+    route to the scratch slot ``num_slots``."""
+    qsl = metadata.query_start_loc
+    Rq = qsl.shape[0] - 1
+    t = jnp.arange(T, dtype=jnp.int32)
+    seg_row = jnp.clip(
+        jnp.searchsorted(qsl, t, side="right").astype(jnp.int32) - 1, 0,
+        Rq)
+    seg_row = jnp.where(t >= qsl[-1], Rq, seg_row)
+    seg_start = qsl[jnp.clip(seg_row, 0, Rq - 1)]
+    pad_mask = (seg_row == Rq)
+    if metadata.state_slots is not None:
+        slots_ext = jnp.concatenate([
+            metadata.state_slots.astype(jnp.int32),
+            jnp.full((1,), num_slots, jnp.int32)
+        ])
+        seg = slots_ext[seg_row]
+    else:
+        seg = jnp.minimum(seg_row, num_slots)
+    return seg, seg_start, pad_mask
+
+
+def mamba2_mixer(h, mp, conv_state, ssm_state, seg, seg_start, pad_mask,
+                 *, num_heads, head_dim, n_groups, state_size,
+                 intermediate_size, rms_eps, chunk,
+                 time_step_min=0.0, time_step_max=float("inf")):
+    """One Mamba2 mixer over a packed stream (reference:
+    mamba_mixer2.py MambaMixer2.forward). ``mp`` holds this layer's
+    plain (unstacked) arrays. Returns (out [T, hidden], new_conv,
+    new_ssm)."""
+    T = h.shape[0]
+    conv_dim = intermediate_size + 2 * n_groups * state_size
+    proj = linear(h, mp["in_proj"])
+    z, xBC, dt = jnp.split(
+        proj, [intermediate_size, intermediate_size + conv_dim], axis=-1)
+    xBC, new_conv = causal_conv1d_segmented(xBC, mp["conv_w"],
+                                            mp["conv_b"], seg, seg_start,
+                                            conv_state)
+    xBC = jax.nn.silu(xBC.astype(jnp.float32)).astype(h.dtype)
+    xm, B, C = jnp.split(
+        xBC,
+        [intermediate_size, intermediate_size + n_groups * state_size],
+        axis=-1)
+    dt = jax.nn.softplus(dt.astype(jnp.float32) + mp["dt_bias"])
+    dt = jnp.clip(dt, time_step_min, time_step_max)
+    dt = jnp.where(pad_mask[:, None], 0.0, dt)
+    A = -jnp.exp(mp["A_log"].astype(jnp.float32))
+    y, new_ssm = ssd_chunked_segmented(
+        xm.reshape(T, num_heads, head_dim), dt, A,
+        B.reshape(T, n_groups, state_size),
+        C.reshape(T, n_groups, state_size), seg, ssm_state,
+        chunk_size=chunk)
+    y = y + mp["D"][None, :, None] * xm.reshape(T, num_heads, head_dim)
+    y = gated_rms_norm(y.reshape(T, intermediate_size), z,
+                       mp["mixer_norm"], rms_eps)
+    return linear(y, mp["out_proj"]), new_conv, new_ssm
+
+
 class Mamba2ForCausalLM:
     """Functional Mamba2 model (reference: models/mamba2.py). The
     "kv cache" for this model is the tuple (conv_states
@@ -125,25 +186,7 @@ class Mamba2ForCausalLM:
         conv_states, ssm_states = kv_caches[0]
         R = conv_states.shape[1] - 1  # request slots (minus scratch row)
 
-        qsl = metadata.query_start_loc
-        Rq = qsl.shape[0] - 1  # padded request rows this step
-        t = jnp.arange(T, dtype=jnp.int32)
-        seg_row = jnp.clip(
-            jnp.searchsorted(qsl, t, side="right").astype(jnp.int32) - 1,
-            0, Rq)
-        # tokens past the last real request fall in the scratch row
-        seg_row = jnp.where(t >= qsl[-1], Rq, seg_row)
-        seg_start = qsl[jnp.clip(seg_row, 0, Rq - 1)]
-        pad_mask = (seg_row == Rq)
-        if metadata.state_slots is not None:
-            # step row -> persistent state slot (runner-provided)
-            slots_ext = jnp.concatenate([
-                metadata.state_slots.astype(jnp.int32),
-                jnp.full((1,), R, jnp.int32)
-            ])
-            seg = slots_ext[seg_row]
-        else:
-            seg = jnp.minimum(seg_row, R)
+        seg, seg_start, pad_mask = packed_segments(metadata, T, R)
 
         x = self.embed(params, input_ids)
         lp = jax.tree.map(jnp.asarray, params["layers"])

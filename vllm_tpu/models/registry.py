@@ -56,6 +56,7 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                             "NemotronForCausalLM"),
     # state-space models
     "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
+    "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),

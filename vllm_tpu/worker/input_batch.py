@@ -91,6 +91,9 @@ class InputBatch:
         self.max_blocks_per_req = max_blocks_per_req
         self.block_size = block_size
         self.num_kv_groups = num_kv_groups
+        # which KV group holds the paged attention blocks (hybrid SSM
+        # models put Mamba state groups first)
+        self.attn_group = 0
 
         self.req_ids: list[Optional[str]] = [None] * max_num_reqs
         self.req_id_to_index: dict[str, int] = {}
@@ -333,7 +336,7 @@ class InputBatch:
                 input_ids[offset + n_known:offset + n] = 0
             pos = np.arange(start, start + n, dtype=np.int32)
             positions[offset:offset + n] = pos
-            bt = self.block_tables[0, idx]
+            bt = self.block_tables[self.attn_group, idx]
             slot_mapping[offset:offset + n] = (
                 bt[pos // self.block_size] * self.block_size +
                 pos % self.block_size)

@@ -141,16 +141,17 @@ class TPUModelRunner:
         [num_layers, num_blocks, page, 2*kv_heads, head]."""
         self.kv_cache_config = kv_cache_config
         self.kv_caches = []
-        groups = kv_cache_config.kv_cache_groups
-        if self.is_ssm:
-            # constant-size per-request state slots; "blocks" are only
-            # scheduler bookkeeping for SSM models
-            self.kv_caches = [
-                self.model.init_states(self.scheduler_config.max_num_seqs)
-            ]
-            groups = []
-        for group in groups:
+        from vllm_tpu.core.kv_cache_interface import MambaSpec
+
+        for group in kv_cache_config.kv_cache_groups:
             spec = group.kv_cache_spec
+            if isinstance(spec, MambaSpec):
+                # constant-size per-request state slots; "blocks" are
+                # only scheduler bookkeeping for SSM layers
+                self.kv_caches.append(
+                    self.model.init_states(
+                        self.scheduler_config.max_num_seqs))
+                continue
             dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
             if spec.dtype == "float32":
                 dtype = jnp.float32
@@ -184,6 +185,10 @@ class TPUModelRunner:
             image_token_index=getattr(self.model, "image_token_index",
                                       None),
         )
+        for gi, group in enumerate(kv_cache_config.kv_cache_groups):
+            if not isinstance(group.kv_cache_spec, MambaSpec):
+                self.input_batch.attn_group = gi
+                break
 
     # ------------------------------------------------------------- step fn
 
@@ -232,11 +237,13 @@ class TPUModelRunner:
             )
             if "state_reset" in arrs:
                 # zero the recurrent state of rows starting (or
-                # restarting) a prefill this step
-                conv, ssm = kv_caches[0]
+                # restarting) a prefill this step; SSM groups are the
+                # tuple-valued cache entries
                 rs = arrs["state_reset"]
-                kv_caches = [(conv.at[:, rs].set(0),
-                              ssm.at[:, rs].set(0))]
+                kv_caches = [
+                    (c[0].at[:, rs].set(0), c[1].at[:, rs].set(0))
+                    if isinstance(c, tuple) else c for c in kv_caches
+                ]
             skw: dict[str, Any] = {}
             if penalties_extra is not None:
                 counts, prompt_mask = penalties_extra
@@ -695,20 +702,23 @@ class TPUModelRunner:
         (reference: gpu_model_runner.py:2377 profile_run)."""
         T = self.token_buckets[-1]
         R = self.req_buckets[-1]
+        from vllm_tpu.core.kv_cache_interface import (MambaSpec,
+                                                      make_kv_cache_config)
+
         specs = self.get_kv_cache_specs()
-        any_spec = next(iter(specs.values()))
-        if self.is_ssm:
-            dummy_kv = [
-                self.model.init_states(self.scheduler_config.max_num_seqs)
-            ]
-        else:
+        cfgd = make_kv_cache_config(specs, 0, num_blocks_override=2)
+        dummy_kv = []
+        for group in cfgd.kv_cache_groups:
+            spec = group.kv_cache_spec
+            if isinstance(spec, MambaSpec):
+                dummy_kv.append(self.model.init_states(
+                    self.scheduler_config.max_num_seqs))
+                continue
             # 2-block dummy cache: enough to run, negligible memory.
-            dtype = _CACHE_DTYPES.get(any_spec.dtype) or jnp.bfloat16
-            dummy_kv = [
-                jnp.zeros((len(specs), 2, any_spec.block_size,
-                           2 * any_spec.num_kv_heads, any_spec.head_size),
-                          dtype)
-            ]
+            dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
+            dummy_kv.append(
+                jnp.zeros((len(group.layer_names), 2, spec.block_size,
+                           2 * spec.num_kv_heads, spec.head_size), dtype))
         i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
         lora_stacks = (self.lora_manager.stacks
                        if self.lora_manager is not None else None)
