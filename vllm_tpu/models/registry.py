@@ -54,6 +54,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                        "Glm4ForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
+    # encoder (embedding / cross-encoder) models
+    "BertModel": ("vllm_tpu.models.bert", "BertEmbeddingModel"),
+    "BertForSequenceClassification": ("vllm_tpu.models.bert",
+                                      "BertForSequenceClassification"),
     # state-space models
     "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),

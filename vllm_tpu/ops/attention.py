@@ -100,6 +100,7 @@ def ragged_paged_attention_ref(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     layer=None,
+    causal: bool = True,
 ) -> jnp.ndarray:
     """Reference jnp implementation (gathers all pages per request; O(T *
     max_ctx) memory — the numerics oracle for the Pallas kernel and the
@@ -146,7 +147,9 @@ def ragged_paged_attention_ref(
 
     col = jnp.arange(ctx, dtype=jnp.int32)[None, :]  # [1, ctx]
     pos = metadata.positions[:, None]  # [T, 1]
-    valid = (col < metadata.seq_lens[token_req][:, None]) & (col <= pos)
+    valid = col < metadata.seq_lens[token_req][:, None]
+    if causal:
+        valid &= col <= pos
     if sliding_window is not None:
         valid &= col > pos - sliding_window
     valid = valid[:, None, None, :]  # [T, 1, 1, ctx]
@@ -179,6 +182,7 @@ def attention(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     layer=None,
+    causal: bool = True,
 ) -> jnp.ndarray:
     """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
     elsewhere.
@@ -189,7 +193,7 @@ def attention(
     kernel like the reference backend (v1/attention/backends/pallas.py
     head pad to 128) instead of falling back.
     """
-    if _use_pallas() and q.shape[-1] % 128 == 0:
+    if causal and _use_pallas() and q.shape[-1] % 128 == 0:
         try:
             from vllm_tpu.ops.pallas.ragged_paged_attention import (
                 ragged_paged_attention)
@@ -205,4 +209,4 @@ def attention(
         q, kv_cache, metadata, scale,
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
-        k_scale=k_scale, v_scale=v_scale, layer=layer)
+        k_scale=k_scale, v_scale=v_scale, layer=layer, causal=causal)
