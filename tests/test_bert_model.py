@@ -106,3 +106,30 @@ def test_bert_bidirectional_not_causal(bert_dir):
     h2, _ = model.forward(params, ids2, [kv], md2)
     # position 1 (token 5) differs because position 2 changed
     assert np.abs(np.asarray(h1)[1] - np.asarray(h2)[1]).max() > 1e-4
+
+
+def test_bert_cross_encoder_engine_score(bert_dir):
+    """Cross-encoder scores served end-to-end through LLM.encode match
+    the HF classification head."""
+    import torch
+    from transformers import BertForSequenceClassification
+
+    from vllm_tpu.entrypoints.llm import LLM
+    from vllm_tpu.sampling_params import PoolingParams
+
+    hf = BertForSequenceClassification.from_pretrained(bert_dir)
+    hf.eval()
+    with torch.no_grad():
+        expected = [hf(torch.tensor([toks])).logits[0].numpy()
+                    for toks in TOKENS]
+
+    llm = LLM(model=bert_dir, dtype="float32", max_model_len=64,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_gpu_blocks_override=32, enforce_eager=True,
+              skip_tokenizer_init=True)
+    outs = llm.encode([{"prompt_token_ids": t} for t in TOKENS],
+                      PoolingParams(task="score", normalize=False))
+    for r in range(len(TOKENS)):
+        got = np.asarray(outs[r].outputs.data)
+        np.testing.assert_allclose(got, expected[r], rtol=2e-4,
+                                   atol=2e-4)

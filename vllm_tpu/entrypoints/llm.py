@@ -251,6 +251,29 @@ class LLM:
             prompts, PoolingParams(task="classify", normalize=False,
                                    softmax=True))
 
+    def score(self, text_1: Union[str, Sequence[str]],
+              text_2: Union[str, Sequence[str]]
+              ) -> list[PoolingRequestOutput]:
+        """Cross-encoder relevance scores for (query, document) pairs
+        (reference: entrypoints/llm.py LLM.score). Each pair is encoded
+        as a single sequence (tokenizer text-pair encoding) and scored
+        by the model's classification head."""
+        if isinstance(text_1, str):
+            text_1 = [text_1]
+        if isinstance(text_2, str):
+            text_2 = [text_2]
+        if len(text_1) == 1 and len(text_2) > 1:
+            text_1 = list(text_1) * len(text_2)
+        if len(text_1) != len(text_2):
+            raise ValueError("text_1 and text_2 length mismatch")
+        tok = self.llm_engine.tokenizer
+        prompts = [{
+            "prompt_token_ids": tok(a, text_pair=b).input_ids
+        } for a, b in zip(text_1, text_2)]
+        return self.encode(
+            prompts, PoolingParams(task="score", normalize=False,
+                                   softmax=False))
+
     # -------------------------------------------------------------- control
 
     def sleep(self, level: int = 1) -> None:

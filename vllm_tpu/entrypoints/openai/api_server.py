@@ -30,6 +30,8 @@ from vllm_tpu.entrypoints.openai.protocol import (ChatCompletionRequest,
                                                   EmbeddingRequest,
                                                   ErrorInfo, ErrorResponse,
                                                   ModelCard, ModelList,
+                                                  RerankRequest,
+                                                  ScoreRequest,
                                                   TokenizeRequest,
                                                   TokenizeResponse,
                                                   random_uuid)
@@ -249,6 +251,77 @@ def build_app(engine: AsyncLLM, served_model_name: str,
                       "total_tokens": total_tokens},
         })
 
+
+    async def _score_pairs(pairs, model_name):
+        """Run cross-encoder scoring over (text_1, text_2) pairs."""
+        from vllm_tpu.sampling_params import PoolingParams
+
+        tokenizer = engine.tokenizer
+        pp = PoolingParams(task="score", normalize=False)
+        rid = f"score-{random_uuid()}"
+        scores = []
+        total_tokens = 0
+        for i, (a, b) in enumerate(pairs):
+            ids = tokenizer(a, text_pair=b).input_ids
+            final = None
+            async for out in engine.encode({"prompt_token_ids": ids},
+                                           pp.clone(), f"{rid}-{i}"):
+                final = out
+            total_tokens += len(final.prompt_token_ids or [])
+            data = [float(x) for x in final.outputs.data]
+            scores.append(data[0] if len(data) == 1 else data)
+        return rid, scores, total_tokens
+
+    async def score(request: web.Request) -> web.Response:
+        """Cross-encoder /score (reference: api_server.py score route)."""
+        try:
+            req = ScoreRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        t1 = [req.text_1] if isinstance(req.text_1, str) else req.text_1
+        t2 = [req.text_2] if isinstance(req.text_2, str) else req.text_2
+        if len(t1) == 1 and len(t2) > 1:
+            t1 = t1 * len(t2)
+        if len(t1) != len(t2):
+            return _json_error("text_1 and text_2 length mismatch")
+        try:
+            rid, scores, total = await _score_pairs(list(zip(t1, t2)),
+                                                    req.model)
+        except ValueError as e:
+            return _json_error(str(e))
+        return web.json_response({
+            "id": rid, "object": "list",
+            "model": req.model or served_model_name,
+            "data": [{"object": "score", "index": i, "score": s}
+                     for i, s in enumerate(scores)],
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
+
+    async def rerank(request: web.Request) -> web.Response:
+        """Jina/Cohere-style /rerank (reference: api_server.py
+        do_rerank)."""
+        try:
+            req = RerankRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        pairs = [(req.query, d) for d in req.documents]
+        try:
+            rid, scores, total = await _score_pairs(pairs, req.model)
+        except ValueError as e:
+            return _json_error(str(e))
+        ranked = sorted(enumerate(scores), key=lambda t: -t[1])
+        if req.top_n:
+            ranked = ranked[:req.top_n]
+        return web.json_response({
+            "id": rid, "model": req.model or served_model_name,
+            "results": [{
+                "index": i,
+                "document": {"text": req.documents[i]},
+                "relevance_score": s,
+            } for i, s in ranked],
+            "usage": {"total_tokens": total},
+        })
+
     async def reset_prefix_cache(request: web.Request) -> web.Response:
         ok = await engine.reset_prefix_cache()
         return web.json_response({"success": bool(ok)})
@@ -281,6 +354,11 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_post("/score", score)
+    app.router.add_post("/v1/score", score)
+    app.router.add_post("/rerank", rerank)
+    app.router.add_post("/v1/rerank", rerank)
+    app.router.add_post("/v2/rerank", rerank)
     app.router.add_post("/tokenize", tokenize)
     app.router.add_post("/detokenize", detokenize)
     app.router.add_get("/metrics", metrics)

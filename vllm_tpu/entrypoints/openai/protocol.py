@@ -251,6 +251,21 @@ class DetokenizeResponse(BaseModel):
     prompt: str
 
 
+class ScoreRequest(BaseModel):
+    """Cross-encoder scoring (reference: protocol.py ScoreRequest)."""
+    model: Optional[str] = None
+    text_1: Union[str, list[str]] = ""
+    text_2: Union[str, list[str]] = ""
+
+
+class RerankRequest(BaseModel):
+    """Document reranking (reference: protocol.py RerankRequest)."""
+    model: Optional[str] = None
+    query: str = ""
+    documents: list[str] = []
+    top_n: Optional[int] = None
+
+
 class EmbeddingRequest(BaseModel):
     model: Optional[str] = None
     input: Union[str, list[str], list[int], list[list[int]]] = ""

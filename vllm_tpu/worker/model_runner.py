@@ -294,6 +294,12 @@ class TPUModelRunner:
                 counts = jnp.maximum(qsl[1:] - qsl[:-1], 1)
                 mean = sums[:R] / counts[:, None]
                 pooled = (mean, hidden[logits_indices])
+                if hasattr(model, "classify"):
+                    # cross-encoder: per-request classification scores
+                    # from the CLS position (reference: pooler.py
+                    # ClassifierPooler)
+                    pooled = pooled + (model.classify(
+                        params, hidden, metadata),)
             if "spec_sli" in arrs:
                 # Speculative verify: sample at 1+S positions per row and
                 # accept the matching draft prefix on device.
@@ -466,8 +472,12 @@ class TPUModelRunner:
             if pp is None or not prep.sample_valid[row]:
                 out.append(None)
                 continue
-            vec = mean[row] if getattr(pp, "pooling_type",
-                                       "last") == "mean" else last[row]
+            if len(pooled) > 2 and getattr(pp, "task", "") in ("score",
+                                                               "classify"):
+                vec = np.asarray(pooled[2], np.float32)[row]
+            else:
+                vec = mean[row] if getattr(pp, "pooling_type",
+                                           "last") == "mean" else last[row]
             if pp.dimensions:
                 vec = vec[:pp.dimensions]
             if pp.normalize:
