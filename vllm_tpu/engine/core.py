@@ -161,7 +161,14 @@ class EngineCore:
         if not self.scheduler.has_requests():
             return {}
         scheduler_output = self.scheduler.schedule()
-        runner_output = self.executor.execute_model(scheduler_output)
+        try:
+            runner_output = self.executor.execute_model(scheduler_output)
+        except Exception:
+            from vllm_tpu.logging_utils import dump_engine_exception
+
+            dump_engine_exception(self.config, scheduler_output,
+                                  self.scheduler)
+            raise
         if self.spec_proposer is not None and runner_output.req_ids:
             runner_output.spec_token_ids = self.spec_proposer.propose(
                 self.scheduler.requests, runner_output)
@@ -206,6 +213,10 @@ class EngineCore:
     def collective_rpc(self, method: str, args: tuple = (),
                        kwargs: dict | None = None) -> list[Any]:
         return self.executor.collective_rpc(method, args, kwargs)
+
+    def save_sharded_state(self, path: str) -> None:
+        """(reference: core.py:387 save_sharded_state)"""
+        self.collective_rpc("save_sharded_state", (path,))
 
     def sleep(self, level: int = 1) -> None:
         self.collective_rpc("sleep", (level,))

@@ -103,6 +103,9 @@ class LLMEngine:
                        kwargs: dict | None = None) -> list[Any]:
         return self.engine_core.collective_rpc(method, args, kwargs)
 
+    def save_sharded_state(self, path: str) -> None:
+        self.engine_core.save_sharded_state(path)
+
     def sleep(self, level: int = 1) -> None:
         self.engine_core.sleep(level)
 

@@ -187,6 +187,11 @@ def load_model_params(model, engine_config: EngineConfig,
             params = model.init_dummy_params(model_config.seed)
             if quant is not None:
                 params = apply_load_time_quantization(params, quant)
+    elif load_format == "sharded_state":
+        t0 = time.perf_counter()
+        params = load_sharded_state(resolve_model_dir(model_config.model))
+        logger.info("sharded state restored in %.1fs",
+                    time.perf_counter() - t0)
     else:
         from vllm_tpu.models.quant_checkpoints import \
             detect_checkpoint_quantization
@@ -228,3 +233,75 @@ def load_model_params(model, engine_config: EngineConfig,
     else:
         params = jax.tree.map(put, params)
     return params
+
+
+# --------------------------------------------------------------- sharded state
+
+_SHARDED_MANIFEST = "vllm_tpu_sharded_state.json"
+
+
+def save_sharded_state(params, path: str) -> None:
+    """Persist the fully-processed (quantized, fused, stacked) device
+    param tree so a restart skips checkpoint streaming + re-quantization
+    (reference: model_loader/sharded_state_loader.py ShardedStateLoader).
+
+    One .npy per leaf (np.save handles ml_dtypes like bfloat16) + a json
+    manifest recording the key path of each leaf.
+    """
+    import json
+
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    manifest = []
+    for i, (kp, leaf) in enumerate(leaves):
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        fname = f"shard_{i:05d}.npy"
+        arr = np.asarray(leaf)
+        dtype = str(arr.dtype)
+        if arr.dtype.itemsize and not arr.dtype.isbuiltin:
+            # custom dtypes (ml_dtypes bfloat16/fp8) round-trip as raw
+            # bytes; the manifest records the true dtype
+            arr = arr.view(np.uint8 if arr.dtype.itemsize == 1
+                           else np.uint16)
+        np.save(os.path.join(path, fname), arr, allow_pickle=False)
+        manifest.append({"key": key, "file": fname, "dtype": dtype})
+    with open(os.path.join(path, _SHARDED_MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def has_sharded_state(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _SHARDED_MANIFEST))
+
+
+def load_sharded_state(path: str):
+    """Rebuild the param tree saved by save_sharded_state."""
+    import json
+
+    with open(os.path.join(path, _SHARDED_MANIFEST)) as f:
+        manifest = json.load(f)
+    params: dict = {}
+    for ent in manifest:
+        parts = ent["key"].split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = np.load(os.path.join(path, ent["file"]),
+                      allow_pickle=False)
+        dtype = ent.get("dtype")
+        if dtype and str(arr.dtype) != dtype:
+            import ml_dtypes  # noqa: F401 — registers custom dtypes
+
+            arr = arr.view(np.dtype(dtype))
+        node[parts[-1]] = arr
+
+    def listify(node):
+        if isinstance(node, dict):
+            node = {k: listify(v) for k, v in node.items()}
+            if node and all(k.isdigit() for k in node):
+                return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(params)

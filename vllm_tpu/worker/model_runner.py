@@ -86,6 +86,11 @@ class TPUModelRunner:
 
             self.eagle = EagleProposer(self.model, spec_cfg,
                                        self.cache_config)
+        elif spec_cfg.enabled and spec_cfg.method == "medusa":
+            from vllm_tpu.spec_decode.medusa import MedusaProposer
+
+            self.eagle = MedusaProposer(self.model, spec_cfg,
+                                        self.cache_config)
         self.draft_params: Any = None
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
@@ -164,7 +169,9 @@ class TPUModelRunner:
                 arr = jax.device_put(arr, kv_cache_sharding(self.mesh))
             self.kv_caches.append(arr)
 
-        if self.eagle is not None:
+        if self.eagle is not None and \
+                self.eagle.get_kv_cache_spec(
+                    self.cache_config.cache_dtype) is not None:
             spec = self.eagle.get_kv_cache_spec(
                 self.cache_config.cache_dtype)
             dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16

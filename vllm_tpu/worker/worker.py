@@ -120,6 +120,14 @@ class Worker:
         multiproc_executor worker_busy_loop dispatch)."""
         return getattr(self, method)(*args, **kwargs)
 
+    def save_sharded_state(self, path: str) -> None:
+        """Persist the processed device param tree for fast restart with
+        --load-format sharded_state (reference:
+        sharded_state_loader.py)."""
+        from vllm_tpu.models.loader import save_sharded_state
+
+        save_sharded_state(self.runner.params, path)
+
     def sleep(self, level: int = 1) -> None:
         """Discard KV cache (and weights at level 2) to free HBM for an
         external trainer (reference: gpu_worker sleep/wake_up; the CUDA VMM
