@@ -94,6 +94,27 @@ class SlidingWindowSpec(AttentionSpec):
 
 
 @dataclass(frozen=True)
+class ChunkedLocalAttentionSpec(AttentionSpec):
+    """Attention restricted to non-overlapping chunks of the sequence
+    (Llama-4 local layers; reference: kv_cache_interface.py
+    ChunkedLocalAttentionSpec)."""
+
+    attention_chunk_size: int = 8192
+
+    @property
+    def type_id(self) -> str:
+        return (f"local_attention_{self.attention_chunk_size}_"
+                f"{self.block_size}_{self.num_kv_heads}_{self.head_size}_"
+                f"{self.dtype}")
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        usable = min(max_model_len,
+                     self.attention_chunk_size + self.block_size)
+        num_blocks = -(-usable // self.block_size) + 1
+        return num_blocks * self.page_size_bytes
+
+
+@dataclass(frozen=True)
 class MambaSpec(KVCacheSpec):
     """State-space model state (one fixed-size state per request)."""
 

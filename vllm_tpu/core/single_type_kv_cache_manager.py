@@ -9,7 +9,8 @@ from __future__ import annotations
 from collections import defaultdict
 
 from vllm_tpu.core.block_pool import BlockPool
-from vllm_tpu.core.kv_cache_interface import (FullAttentionSpec, KVCacheSpec,
+from vllm_tpu.core.kv_cache_interface import (ChunkedLocalAttentionSpec,
+                                              FullAttentionSpec, KVCacheSpec,
                                               MambaSpec, SlidingWindowSpec)
 from vllm_tpu.core.kv_cache_utils import BlockHash, KVCacheBlock
 from vllm_tpu.request import Request
@@ -181,6 +182,41 @@ class SlidingWindowManager(SingleTypeKVCacheManager):
         self.block_pool.free_blocks(removed)
 
 
+class ChunkedLocalAttentionManager(SingleTypeKVCacheManager):
+    """Chunked local attention (reference:
+    single_type_kv_cache_manager.py:397): only the CURRENT chunk's
+    tokens are attendable, so blocks wholly before the chunk start are
+    replaced with the null block and reclaimed."""
+
+    def __init__(self, kv_cache_spec, block_pool: BlockPool) -> None:
+        super().__init__(kv_cache_spec, block_pool)
+        self.chunk_size = kv_cache_spec.attention_chunk_size
+
+    def find_longest_cache_hit(self, block_hashes, max_num_blocks):
+        hit: list[KVCacheBlock] = []
+        for bh in block_hashes[:max_num_blocks]:
+            block = self.block_pool.get_cached_block(bh)
+            if block is None:
+                break
+            hit.append(block)
+        return hit
+
+    def remove_skipped_blocks(self, request_id: str,
+                              num_computed_tokens: int) -> None:
+        # tokens before the current chunk's start are never attended
+        chunk_start = (num_computed_tokens // self.chunk_size) * \
+            self.chunk_size
+        last_useful_block = chunk_start // self.block_size
+        blocks = self.req_to_blocks[request_id]
+        removed: list[KVCacheBlock] = []
+        for i in range(min(last_useful_block, len(blocks)) - 1, -1, -1):
+            if blocks[i] is self.block_pool.null_block:
+                break
+            removed.append(blocks[i])
+            blocks[i] = self.block_pool.null_block
+        self.block_pool.free_blocks(removed)
+
+
 class MambaManager(SingleTypeKVCacheManager):
     """One state slot per request; no prefix caching
     (reference: single_type_kv_cache_manager.py:520). The recurrent
@@ -207,6 +243,8 @@ class MambaManager(SingleTypeKVCacheManager):
 def spec_manager_map(spec: KVCacheSpec) -> type[SingleTypeKVCacheManager]:
     if isinstance(spec, SlidingWindowSpec):
         return SlidingWindowManager
+    if isinstance(spec, ChunkedLocalAttentionSpec):
+        return ChunkedLocalAttentionManager
     if isinstance(spec, MambaSpec):
         return MambaManager
     if isinstance(spec, FullAttentionSpec):

@@ -101,6 +101,7 @@ def ragged_paged_attention_ref(
     v_scale: Optional[jnp.ndarray] = None,
     layer=None,
     causal: bool = True,
+    local_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Reference jnp implementation (gathers all pages per request; O(T *
     max_ctx) memory — the numerics oracle for the Pallas kernel and the
@@ -152,6 +153,10 @@ def ragged_paged_attention_ref(
         valid &= col <= pos
     if sliding_window is not None:
         valid &= col > pos - sliding_window
+    if local_chunk is not None:
+        # chunked local attention (Llama-4 local layers): only keys in
+        # the query's own chunk are attendable
+        valid &= col >= (pos // local_chunk) * local_chunk
     valid = valid[:, None, None, :]  # [T, 1, 1, ctx]
 
     scores = jnp.where(valid, scores, -jnp.inf)
@@ -183,6 +188,7 @@ def attention(
     v_scale: Optional[jnp.ndarray] = None,
     layer=None,
     causal: bool = True,
+    local_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
     elsewhere.
@@ -193,7 +199,8 @@ def attention(
     kernel like the reference backend (v1/attention/backends/pallas.py
     head pad to 128) instead of falling back.
     """
-    if causal and _use_pallas() and q.shape[-1] % 128 == 0:
+    if causal and local_chunk is None and _use_pallas() \
+            and q.shape[-1] % 128 == 0:
         try:
             from vllm_tpu.ops.pallas.ragged_paged_attention import (
                 ragged_paged_attention)
@@ -209,4 +216,5 @@ def attention(
         q, kv_cache, metadata, scale,
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
-        k_scale=k_scale, v_scale=v_scale, layer=layer, causal=causal)
+        k_scale=k_scale, v_scale=v_scale, layer=layer, causal=causal,
+        local_chunk=local_chunk)
