@@ -54,6 +54,9 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                        "Glm4ForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
+    "Llama4ForCausalLM": ("vllm_tpu.models.llama4", "Llama4ForCausalLM"),
+    "Llama4ForConditionalGeneration": ("vllm_tpu.models.llama4",
+                                       "Llama4ForCausalLM"),
     # encoder (embedding / cross-encoder) models
     "BertModel": ("vllm_tpu.models.bert", "BertEmbeddingModel"),
     "BertForSequenceClassification": ("vllm_tpu.models.bert",

@@ -54,6 +54,7 @@ def fused_moe(
     expert_ids: jnp.ndarray,  # [T, K]
     act: str = "silu",
     capacity_factor: float = 0.0,  # kept for API compat; unused
+    scale_inputs: bool = False,  # Llama-4: weight the expert INPUT
 ) -> jnp.ndarray:
     """Dropless MoE: sort token-expert assignments by expert, run the
     expert FFNs as ragged grouped GEMMs (``jax.lax.ragged_dot`` — XLA's
@@ -77,12 +78,18 @@ def fused_moe(
     x_sorted = x[token_sorted]  # [T*K, H]
     group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
 
+    if scale_inputs:
+        # out = expert(w * x), combine weight 1 (reference: llama4
+        # Llama4TextMoe — nonlinear, so not equal to w * expert(x))
+        x_sorted = x_sorted * flat_weight[order][:, None].astype(x.dtype)
+
     gate_up = jax.lax.ragged_dot(x_sorted, w_gate_up.astype(x.dtype),
                                  group_sizes)
     h = GATED_ACTIVATIONS[act](gate_up)
     out_sorted = jax.lax.ragged_dot(h, w_down.astype(x.dtype), group_sizes)
 
-    weighted = out_sorted * flat_weight[order][:, None].astype(x.dtype)
+    weighted = out_sorted if scale_inputs else \
+        out_sorted * flat_weight[order][:, None].astype(x.dtype)
     out = jnp.zeros((T, H), jnp.float32).at[token_sorted].add(
         weighted.astype(jnp.float32))
     return out.astype(x.dtype)
