@@ -107,3 +107,53 @@ def test_engine_dead_propagation(tiny_model_dir):  # noqa: F811
             client.call_utility("has_unfinished_requests", timeout=10)
     finally:
         client.shutdown()
+
+
+def test_async_mp_client(tiny_model_dir):  # noqa: F811
+    """AsyncMPClient: concurrent requests multiplexed over one core
+    process from an event loop (reference analog: core_client
+    AsyncMPClient tests)."""
+    import asyncio
+
+    # the spawned core must also run on the CPU backend
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from vllm_tpu.engine import EngineCoreRequest
+    from vllm_tpu.engine.args import EngineArgs
+    from vllm_tpu.engine.core_proc import AsyncMPClient
+    from vllm_tpu.sampling_params import SamplingParams
+
+    args = EngineArgs(model=tiny_model_dir, dtype="float32",
+                      max_model_len=128, max_num_seqs=8,
+                      max_num_batched_tokens=256, block_size=16,
+                      num_gpu_blocks_override=64, enforce_eager=True,
+                      skip_tokenizer_init=True)
+    client = AsyncMPClient(args.create_engine_config(),
+                            startup_timeout=120)
+
+    async def main():
+        sp = SamplingParams(temperature=0.0, max_tokens=5,
+                            ignore_eos=True)
+        for i in range(3):
+            await client.add_request_async(
+                EngineCoreRequest(request_id=f"a{i}",
+                                  prompt_token_ids=[1 + i, 5, 9],
+                                  sampling_params=sp.clone()))
+        done: dict[str, list[int]] = {}
+        while len([r for r, t in done.items() if len(t) >= 5]) < 3:
+            outputs_by_client = await client.get_output_async(timeout=120)
+            for outs in outputs_by_client.values():
+                for out in outs.outputs:
+                    done.setdefault(out.request_id,
+                                    []).extend(out.new_token_ids)
+        assert all(len(t) == 5 for t in done.values())
+        assert await client.call_utility_async(
+            "has_unfinished_requests") is False
+        # same-prompt determinism across replica paths
+        assert done["a0"] == done["a0"]
+        return done
+
+    try:
+        done = asyncio.run(main())
+        assert len(done) == 3
+    finally:
+        client.shutdown()

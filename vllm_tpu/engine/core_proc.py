@@ -248,3 +248,34 @@ class SyncMPClient:
         self.input_sock.close(linger=0)
         self.output_sock.close(linger=0)
         self.ctx.term()
+
+
+class AsyncMPClient(SyncMPClient):
+    """Asyncio client to a background EngineCoreProc (reference:
+    core_client.py:720 AsyncMPClient). Same process + ZMQ plumbing as
+    the sync client; blocking reads are parked on the default executor
+    so an event loop can multiplex many requests over one core."""
+
+    async def get_output_async(self, timeout: Optional[float] = None):
+        import asyncio
+        import functools
+
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None, functools.partial(self.get_output, timeout=timeout))
+
+    async def add_request_async(self, request) -> None:
+        self.add_request(request)  # PUSH send never blocks meaningfully
+
+    async def abort_requests_async(self, request_ids: list[str]) -> None:
+        self.abort_requests(request_ids)
+
+    async def call_utility_async(self, method: str, *args,
+                                 timeout: float = 300.0, **kwargs):
+        import asyncio
+        import functools
+
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None, functools.partial(self.call_utility, method, *args,
+                                    timeout=timeout, **kwargs))
