@@ -127,8 +127,7 @@ def test_async_mp_client(tiny_model_dir):  # noqa: F811
                       max_num_batched_tokens=256, block_size=16,
                       num_gpu_blocks_override=64, enforce_eager=True,
                       skip_tokenizer_init=True)
-    client = AsyncMPClient(args.create_engine_config(),
-                            startup_timeout=120)
+    client = AsyncMPClient(args.create_engine_config())
 
     async def main():
         sp = SamplingParams(temperature=0.0, max_tokens=5,
