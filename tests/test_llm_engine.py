@@ -147,6 +147,32 @@ def test_stop_string(llm):
     assert out.stop_reason == stop_word
 
 
+def test_bad_words(llm):
+    from vllm_tpu.sampling_params import SamplingParams
+
+    base = llm.generate(
+        "hello world",
+        SamplingParams(temperature=0.0, max_tokens=8,
+                       ignore_eos=True))[0].outputs[0]
+    words = base.text.split()
+    if len(words) < 2:
+        pytest.skip("degenerate tiny-model output")
+    banned_word = words[1]
+    out = llm.generate(
+        "hello world",
+        SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True,
+                       bad_words=[banned_word]))[0].outputs[0]
+    # The banned word's token sequence must not appear in the output.
+    tok = llm.get_tokenizer()
+    for text in (banned_word, " " + banned_word):
+        seq = tok.encode(text, add_special_tokens=False)
+        ids = list(out.token_ids)
+        assert not any(ids[i:i + len(seq)] == seq
+                       for i in range(len(ids) - len(seq) + 1)), \
+            (banned_word, seq, ids)
+    assert out.token_ids != base.token_ids
+
+
 def test_seeded_sampling_deterministic(llm):
     from vllm_tpu.sampling_params import SamplingParams
 

@@ -156,6 +156,37 @@ def test_preemption_and_resume():
     assert reqs[1].num_output_tokens == 64
 
 
+def test_preempted_resume_hits_prefix_cache():
+    """A preempted request must reuse still-cached prompt blocks on
+    resume instead of recomputing from token 0 (reference gate:
+    scheduler.py:377-380 — num_computed_tokens == 0, not status)."""
+    scheduler = create_scheduler(num_blocks=12, max_model_len=256,
+                                 enable_prefix_caching=True)
+    reqs = create_requests(2, num_tokens=64, max_tokens=64)
+    for r in reqs:
+        scheduler.add_request(r)
+    run_step(scheduler)
+    preempted = False
+    for _ in range(40):
+        run_step(scheduler)
+        if reqs[1].status == RequestStatus.PREEMPTED:
+            preempted = True
+            break
+    assert preempted
+    # Request 1's freed blocks stay in the prefix cache until evicted.
+    # Finishing request 0 releases space without evicting them all.
+    scheduler.finish_requests(reqs[0].request_id,
+                              RequestStatus.FINISHED_ABORTED)
+    output = scheduler.schedule()
+    rid = reqs[1].request_id
+    assert rid in output.num_scheduled_tokens
+    # On resume some prompt blocks must be cache hits: fewer new tokens
+    # scheduled than the request's full (prompt + generated) length.
+    total_len = reqs[1].num_tokens
+    assert output.num_scheduled_tokens[rid] < total_len
+    assert reqs[1].num_computed_tokens > 0
+
+
 def test_priority_scheduling():
     scheduler = create_scheduler(policy="priority", max_num_seqs=1)
     low = create_requests(1, num_tokens=5)[0]

@@ -14,6 +14,60 @@ from vllm_tpu.sampling_params import SamplingParams
 EOS_TOKEN_ID = 50256
 
 
+def build_tiny_llama(dirpath: str, num_kv_heads: int = 4,
+                     num_layers: int = 2) -> str:
+    """Tiny Llama + tiny trained tokenizer, saved locally (no network).
+    Shared by engine e2e tests and multi-host subprocess tests."""
+    import torch
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import BpeTrainer
+    from transformers import (LlamaConfig, LlamaForCausalLM,
+                              PreTrainedTokenizerFast)
+
+    tok = Tokenizer(BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    trainer = BpeTrainer(vocab_size=384,
+                         special_tokens=["<unk>", "<s>", "</s>"])
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world this is a test of the tokenizer",
+        "one two three four five six seven eight nine ten",
+        "to be or not to be that is the question",
+        "all work and no play makes jack a dull boy",
+    ] * 20
+    tok.train_from_iterator(corpus, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        unk_token="<unk>",
+        bos_token="<s>",
+        eos_token="</s>",
+    )
+    fast.chat_template = (
+        "{% for message in messages %}{{ message['role'] }}: "
+        "{{ message['content'] }}\n{% endfor %}"
+        "{% if add_generation_prompt %}assistant:{% endif %}")
+    fast.save_pretrained(dirpath)
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=fast.vocab_size + 10,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=num_layers,
+        num_attention_heads=4,
+        num_key_value_heads=num_kv_heads,
+        max_position_embeddings=256,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    model = LlamaForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(dirpath, safe_serialization=True)
+    return str(dirpath)
+
+
 def make_kv_cache_config(num_blocks: int = 128,
                          block_size: int = 16) -> KVCacheConfig:
     spec = FullAttentionSpec(block_size=block_size,

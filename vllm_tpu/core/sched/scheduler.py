@@ -223,14 +223,17 @@ class Scheduler:
                     else:
                         break
 
-                # Prefix-cache lookup only on the very first schedule.
+                # Prefix-cache lookup whenever no tokens are computed yet —
+                # this covers both brand-new requests and PREEMPTED ones
+                # resuming (preemption resets num_computed_tokens to 0 but
+                # the prompt's blocks may still sit in the prefix cache;
+                # reference gates the same way, scheduler.py:377-380).
                 # Pooling requests skip it: mean pooling needs the hidden
                 # state of EVERY prompt token computed, so cached blocks
                 # cannot stand in for computation.
                 num_new_computed_tokens = 0
                 new_computed_blocks = None
-                if (request.status == RequestStatus.WAITING
-                        and request.num_computed_tokens == 0
+                if (request.num_computed_tokens == 0
                         and request.pooling_params is None
                         and request.mm_inputs is None):
                     new_computed_blocks, num_new_computed_tokens = (
@@ -288,13 +291,15 @@ class Scheduler:
                     scheduled_resumed_reqs.append(request)
                 else:
                     scheduled_new_reqs.append(request)
-                    # externally-loaded tokens count as computed: the
-                    # worker pulls their KV before the forward pass
-                    total_hit = (num_new_computed_tokens +
-                                 num_external_tokens)
-                    if total_hit:
-                        request.num_computed_tokens = total_hit
-                    request.num_cached_tokens = total_hit
+                # Externally-loaded tokens count as computed: the worker
+                # pulls their KV before the forward pass. Applies equally
+                # to preempted-resumed requests whose prompt blocks were
+                # still cached.
+                total_hit = num_new_computed_tokens + num_external_tokens
+                if total_hit:
+                    request.num_computed_tokens = total_hit
+                request.num_cached_tokens = max(request.num_cached_tokens,
+                                                total_hit)
 
                 # New requests carry their FULL block list (hit + new).
                 req_to_new_block_ids[request.request_id] = (

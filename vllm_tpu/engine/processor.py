@@ -78,6 +78,8 @@ class Processor:
             if self.tokenizer is not None:
                 sampling_params.update_from_generation_config(
                     self.tokenizer.eos_token_id)
+                if sampling_params.bad_words:
+                    sampling_params.update_bad_words(self.tokenizer)
 
         return EngineCoreRequest(
             request_id=request_id,

@@ -41,6 +41,15 @@ class SamplingMetadata:
     eos_token_id: Optional[jnp.ndarray] = None  # i32[R]
     # logit bias: dense f32[R, V] (rarely used; built host-side)
     logit_bias: Optional[jnp.ndarray] = None
+    # bad_words conditional bans (reference:
+    # v1/sample/logits_processor.py bad-words): ban banned_tokens[r, j]
+    # iff banned_required[r, j] < 0 (unconditional) or equals the row's
+    # last INPUT token (prev_input_tokens[r] — which may be an in-flight
+    # async-substituted token, so the check must run on device).
+    # banned_tokens: i32[R, B], -1 => slot unused.
+    banned_tokens: Optional[jnp.ndarray] = None
+    banned_required: Optional[jnp.ndarray] = None  # i32[R, B]
+    prev_input_tokens: Optional[jnp.ndarray] = None  # i32[R]
     # structured output grammar bitmask: u32[R, ceil(V/32)]
     grammar_bitmask: Optional[jnp.ndarray] = None
 

@@ -91,6 +91,17 @@ def sample(
 
     if meta.logit_bias is not None:
         logits = logits + meta.logit_bias
+    if meta.banned_tokens is not None:
+        # bad_words: ban the final token of a bad-word sequence when the
+        # host-matched prefix holds AND the device-side condition token
+        # (the row's last input token) matches.
+        cond = (meta.banned_required < 0) | (
+            meta.banned_required == meta.prev_input_tokens[:, None])
+        valid = (meta.banned_tokens >= 0) & cond
+        rows = jnp.arange(logits.shape[0])[:, None]
+        safe = jnp.where(valid, meta.banned_tokens, 0)
+        logits = logits.at[rows, safe].min(
+            jnp.where(valid, _NEG_INF, jnp.inf))
     if meta.grammar_bitmask is not None:
         logits = apply_grammar_bitmask(logits, meta.grammar_bitmask)
     if meta.output_counts is not None:

@@ -69,6 +69,9 @@ class SamplingParams:
 
     # Filled by the engine front-end
     _all_stop_token_ids: set[int] = field(default_factory=set, repr=False)
+    # Tokenized bad_words (filled by Processor.update_bad_words)
+    _bad_words_token_ids: Optional[list[list[int]]] = field(
+        default=None, repr=False)
 
     def __post_init__(self) -> None:
         if self.stop is None:
@@ -141,6 +144,21 @@ class SamplingParams:
         """Register the model EOS token as an implicit stop token."""
         if eos_token_id is not None and not self.ignore_eos:
             self._all_stop_token_ids.add(eos_token_id)
+
+    def update_bad_words(self, tokenizer) -> None:
+        """Tokenize ``bad_words`` into banned token sequences, each word
+        encoded both bare and with a leading space (reference:
+        vllm/sampling_params.py _verify_with_tokenizer /
+        v1/sample/logits_processor.py bad-words processor)."""
+        if not self.bad_words:
+            return
+        seqs: list[list[int]] = []
+        for word in self.bad_words:
+            for text in (word, " " + word.lstrip()):
+                ids = tokenizer.encode(text, add_special_tokens=False)
+                if ids and ids not in seqs:
+                    seqs.append(ids)
+        self._bad_words_token_ids = seqs
 
     def clone(self) -> "SamplingParams":
         import copy

@@ -72,6 +72,9 @@ class PreparedInputs:
     # async scheduling: per-token index into the PREVIOUS step's sampled
     # tokens for placeholder inputs (R_prev == none)
     subst_idx: Optional[np.ndarray] = None  # i32[T]
+    # bad_words conditional bans (see SamplingMetadata.banned_tokens)
+    banned_tokens: Optional[np.ndarray] = None  # i32[R, B]
+    banned_required: Optional[np.ndarray] = None  # i32[R, B]
 
 
 class InputBatch:
@@ -409,6 +412,42 @@ class InputBatch:
         nl = self.num_logprobs[rows] if num_active else \
             np.empty(0, np.int32)
 
+        # bad_words: emit (required_prev_token, banned_token) pairs per
+        # row. The host matches every sequence token except the LAST
+        # INPUT token (which may be async-in-flight); the device checks
+        # that final condition (reference: v1/sample/logits_processor.py
+        # bad-words processor).
+        banned = banned_req = None
+        if any(
+                getattr(self.sampling_params[idx], "_bad_words_token_ids",
+                        None) for idx, _ in active):
+            pairs_per_row: list[list[tuple[int, int]]] = []
+            maxb = 0
+            for row, (idx, rid) in enumerate(active):
+                pairs: list[tuple[int, int]] = []
+                sp = self.sampling_params[idx]
+                seqs = sp._bad_words_token_ids if sp is not None else None
+                if seqs and sample_valid[row]:
+                    q = int(seq_lens[row]) - 1  # last input position
+                    toks = self.token_ids[idx]
+                    for s in seqs:
+                        L = len(s)
+                        if L == 1:
+                            pairs.append((-1, s[0]))
+                        elif q >= L - 2 and (L == 2 or list(
+                                toks[q - (L - 2):q]) == s[:-2]):
+                            pairs.append((s[-2], s[-1]))
+                pairs_per_row.append(pairs)
+                maxb = max(maxb, len(pairs))
+            if maxb:
+                B = max(4, 1 << (maxb - 1).bit_length())
+                banned = np.full((R, B), -1, np.int32)
+                banned_req = np.full((R, B), -1, np.int32)
+                for row, pairs in enumerate(pairs_per_row):
+                    for j, (req, tok) in enumerate(pairs):
+                        banned_req[row, j] = req
+                        banned[row, j] = tok
+
         # multimodal embedding overrides for scheduled image-placeholder
         # tokens (encoded by the runner before prepare; see mm_embeds)
         embed_idx = embed_vecs = None
@@ -487,6 +526,8 @@ class InputBatch:
             subst_idx=subst_idx,
             state_slots=state_slots,
             state_reset=state_reset,
+            banned_tokens=banned,
+            banned_required=banned_req,
             **spec_kw,
         )
 

@@ -211,10 +211,28 @@ class TPUModelRunner:
         eagle = self.eagle
         max_model_len = self.scheduler_config.max_model_len
 
+        # Multi-host: every host fetches its local replica of the small
+        # outputs (sampled tokens, logprobs), so they must be fully
+        # replicated — XLA would otherwise be free to leave them sharded
+        # across non-addressable devices.
+        replicate_out = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicate_out = NamedSharding(self.mesh, PartitionSpec())
+
+        def _rep(tree):
+            if replicate_out is None or tree is None:
+                return tree
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, replicate_out), tree)
+
         def step(params, kv_caches, draft_kv, i32_blob, f32_blob,
                  layout: tuple, num_logprobs: int, lora_stacks=None,
                  draft_params=None, penalties_extra=None,
-                 grammar_bitmask=None, embed_vecs=None, prev_tokens=None):
+                 grammar_bitmask=None, embed_vecs=None, prev_tokens=None,
+                 banned_extra=None):
             arrs: dict[str, jnp.ndarray] = {}
             off = 0
             for name, shape in layout:
@@ -260,16 +278,6 @@ class TPUModelRunner:
                            output_counts=counts, prompt_mask=prompt_mask)
             if grammar_bitmask is not None:
                 skw["grammar_bitmask"] = grammar_bitmask
-            sampling = SamplingMetadata(
-                temperature=f32["temperature"],
-                top_k=arrs["top_k"],
-                top_p=f32["top_p"],
-                min_p=f32["min_p"],
-                seeds=jax.lax.bitcast_convert_type(arrs["seeds"],
-                                                   jnp.uint32),
-                step=arrs["seq_lens"],
-                **skw,
-            )
 
             lora = None
             if lora_stacks is not None:
@@ -288,6 +296,22 @@ class TPUModelRunner:
                 input_ids = jnp.where(si < r_prev, prev_tokens[safe],
                                       input_ids)
             logits_indices = arrs["logits_indices"]
+            if banned_extra is not None:
+                # bad_words device-side condition token = the row's last
+                # (possibly async-substituted) input token
+                skw.update(banned_tokens=banned_extra[0],
+                           banned_required=banned_extra[1],
+                           prev_input_tokens=input_ids[logits_indices])
+            sampling = SamplingMetadata(
+                temperature=f32["temperature"],
+                top_k=arrs["top_k"],
+                top_p=f32["top_p"],
+                min_p=f32["min_p"],
+                seeds=jax.lax.bitcast_convert_type(arrs["seeds"],
+                                                   jnp.uint32),
+                step=arrs["seq_lens"],
+                **skw,
+            )
             hidden, kv_caches = model.forward(params, input_ids, kv_caches,
                                               metadata, lora=lora, **kw)
             pooled = None
@@ -328,8 +352,8 @@ class TPUModelRunner:
                         draft_params, params, draft_kv, input_ids, hidden,
                         metadata, tokens, num_emitted,
                         arrs["spec_num_drafts"], max_model_len)
-                return (kv_caches, draft_kv), (tokens, num_emitted,
-                                               next_drafts), None
+                return (kv_caches, draft_kv), _rep(
+                    (tokens, num_emitted, next_drafts)), None
             sel = hidden[logits_indices]
             logits = model.compute_logits(params, sel)
             tokens = sample(logits, sampling)
@@ -337,7 +361,7 @@ class TPUModelRunner:
                 lp = compute_logprobs(logits, tokens, num_logprobs)
             else:
                 lp = None
-            return (kv_caches, draft_kv), (tokens, pooled), lp
+            return (kv_caches, draft_kv), _rep((tokens, pooled)), _rep(lp)
 
         return jax.jit(step, donate_argnums=(1, 2),
                        static_argnums=(5, 6))
@@ -424,12 +448,21 @@ class TPUModelRunner:
         embed_vecs = (jnp.asarray(prep.embed_vecs)
                       if prep.embed_vecs is not None else None)
 
+        banned_extra = None
+        if prep.banned_tokens is not None and not spec:
+            # bad_words under spec decode: not supported (the verify
+            # positions would each need their own condition token);
+            # matches the logprobs restriction above.
+            banned_extra = (jnp.asarray(prep.banned_tokens),
+                            jnp.asarray(prep.banned_required))
+
         (self.kv_caches, self.draft_kv), tokens_dev, lp_dev = \
             self._compiled_step(
                 self.params, self.kv_caches, self.draft_kv,
                 jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout,
                 num_logprobs, lora_stacks, self.draft_params,
-                penalties_extra, grammar, embed_vecs, prev_tokens_dev)
+                penalties_extra, grammar, embed_vecs, prev_tokens_dev,
+                banned_extra)
         self.step_counter += 1
 
         if self.async_mode and not spec:
