@@ -41,6 +41,11 @@ class EngineArgs:
     data_parallel_size: int = 1
     enable_expert_parallel: bool = False
     distributed_executor_backend: str = "uniproc"
+    # Multi-host: host 0 is the driver (scheduler + front-end), others
+    # run the follower verb loop (vllm-tpu serve --headless).
+    num_hosts: int = 1
+    host_id: int = 0
+    coordinator_address: Optional[str] = None
 
     max_num_batched_tokens: int = 8192
     max_num_seqs: int = 256
@@ -98,12 +103,18 @@ class EngineArgs:
             prefix_caching_hash_algo=self.prefix_caching_hash_algo,
             cache_dtype=self.kv_cache_dtype,
         )
+        backend = self.distributed_executor_backend
+        if self.num_hosts > 1 and backend in ("uniproc", "auto"):
+            backend = "multihost"
         parallel_config = ParallelConfig(
             tensor_parallel_size=self.tensor_parallel_size,
             pipeline_parallel_size=self.pipeline_parallel_size,
             data_parallel_size=self.data_parallel_size,
             enable_expert_parallel=self.enable_expert_parallel,
-            distributed_executor_backend=self.distributed_executor_backend,
+            distributed_executor_backend=backend,
+            num_hosts=self.num_hosts,
+            host_id=self.host_id,
+            coordinator_address=self.coordinator_address,
         )
         scheduler_config = SchedulerConfig(
             max_num_batched_tokens=self.max_num_batched_tokens,

@@ -14,12 +14,22 @@ def cmd_serve(argv: list[str]) -> None:
     parser = make_arg_parser()
     # `vllm serve MODEL` positional convenience
     parser.add_argument("model_tag", nargs="?", default=None)
+    # Multi-host follower mode (reference: vllm serve --headless for
+    # multi-node data parallel, cli/serve.py)
+    parser.add_argument("--headless", action="store_true", default=False)
     args = parser.parse_args(argv)
     if args.model_tag and not args.model:
         args.model = args.model_tag
     import logging
 
     logging.basicConfig(level=logging.INFO)
+    if args.headless:
+        from vllm_tpu.engine.args import EngineArgs
+        from vllm_tpu.executor.multihost import run_follower
+
+        engine_args = EngineArgs.from_cli_args(args)
+        run_follower(engine_args.create_engine_config())
+        return
     run_server(args)
 
 
