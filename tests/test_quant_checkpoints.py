@@ -153,8 +153,9 @@ def test_gptq_checkpoint_end_to_end(tmp_path):
     params = model.load_quantized_weights(weights_iterator(model_dir),
                                           "gptq")
     qkv = params["layers"]["qkv"]
-    assert qkv["w_q"].dtype == np.int8
-    assert qkv["w_q"].shape == (2, 64, (4 + 2 + 2) * 16)
+    # 4-bit codes land packed two per byte (split-K-half layout)
+    assert qkv["w_p"].dtype == np.int8
+    assert qkv["w_p"].shape == (2, 32, (4 + 2 + 2) * 16)
 
     # Oracle: dequantize q_proj layer 0 from the torch weights with the
     # same quantization, and compare linear() output.

@@ -67,10 +67,74 @@ def test_weight_quant_roundtrip_error():
     assert rel < 0.01  # int8: <1% of max
 
     q4 = _quantize_stacked(w, 4, 128)
-    assert q4["w_q"].min() >= -8 and q4["w_q"].max() <= 7
-    deq4 = dequant_ref(q4["w_q"][0], q4["scale"][0], None)
+    from vllm_tpu.ops.quant import unpack_int4
+
+    w_q4 = np.asarray(unpack_int4(jnp.asarray(q4["w_p"]), signed=True))
+    assert w_q4.min() >= -8 and w_q4.max() <= 7
+    deq4 = dequant_ref(w_q4[0], q4["scale"][0], None)
     rel4 = np.abs(deq4 - w[0]).max() / np.abs(w[0]).max()
     assert rel4 < 0.1
+
+
+@pytest.mark.parametrize("zero_point", [False, True])
+@pytest.mark.parametrize("shape", [(16, 256, 256), (64, 512, 384)])
+def test_fused_packed_int4_matmul(zero_point, shape):
+    """Packed-int4 kernel (two nibbles/byte, split-K-half layout) vs the
+    unpacked dequant reference."""
+    from vllm_tpu.models.quant_checkpoints import pack_int4_np
+    from vllm_tpu.ops.pallas.quant_matmul import fused_packed_int4_matmul
+
+    T, K, N = shape
+    G = K // 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    if zero_point:
+        w_q = rng.integers(0, 16, (K, N))  # unsigned codes (GPTQ/AWQ)
+        zero = jnp.asarray(rng.uniform(4, 12, (G, N)), jnp.float32)
+    else:
+        w_q = rng.integers(-8, 8, (K, N))
+        zero = None
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (G, N)), jnp.float32)
+    w_p = jnp.asarray(pack_int4_np(w_q))
+
+    out = fused_packed_int4_matmul(x, w_p, scale, zero)
+    ref = np.asarray(x) @ dequant_ref(w_q.astype(np.int8), scale, zero)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_packed_int4_layered_matches_and_roundtrip():
+    from vllm_tpu.models.quant_checkpoints import pack_int4_np
+    from vllm_tpu.ops.pallas.quant_matmul import fused_packed_int4_matmul
+    from vllm_tpu.ops.quant import pack_int4, quant_matmul, unpack_int4
+
+    rng = np.random.default_rng(7)
+    L, T, K, N = 3, 16, 256, 128
+    G = K // 128
+    w_q = rng.integers(-8, 8, (L, K, N))
+    # device and host packers agree
+    w_p_np = pack_int4_np(w_q)
+    w_p_dev = np.asarray(pack_int4(jnp.asarray(w_q, jnp.int8)))
+    np.testing.assert_array_equal(w_p_np, w_p_dev)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(jnp.asarray(w_p_np), signed=True)),
+        w_q.astype(np.int8))
+
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (L, G, N)), jnp.float32)
+    for li in range(L):
+        out = fused_packed_int4_matmul(x, jnp.asarray(w_p_np), scale,
+                                       layer=jnp.asarray([li]))
+        ref = np.asarray(x) @ dequant_ref(
+            w_q[li].astype(np.int8), np.asarray(scale[li]), None)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2,
+                                   atol=2e-2)
+    # jnp fallback path through the params dict ("w_p" key)
+    out2 = quant_matmul(x, {"w_p": jnp.asarray(w_p_np[0]),
+                            "scale": scale[0]})
+    ref2 = np.asarray(x) @ dequant_ref(w_q[0].astype(np.int8),
+                                       np.asarray(scale[0]), None)
+    np.testing.assert_allclose(np.asarray(out2), ref2, rtol=1e-3,
+                               atol=1e-3)
 
 
 def test_fp8_quantize_roundtrip():

@@ -18,6 +18,8 @@ _DTYPE_BYTES = {
     "float32": 4,
     "float16": 2,
     "fp8": 1,
+    "fp8_e4m3": 1,
+    "fp8_e5m2": 1,
     "float8_e4m3fn": 1,
     "float8_e4m3": 1,
     "float8_e5m2": 1,

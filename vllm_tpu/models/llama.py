@@ -503,6 +503,14 @@ class LlamaForCausalLM:
                         unpacked["scale"]
                     dest["zero"][li, :, start:start + length] = \
                         unpacked["zero"]
+        # GPTQ/AWQ codes are 4-bit: pack two per byte so decode streams
+        # half the weight bytes (kernel: fused_packed_int4_matmul).
+        from vllm_tpu.models.quant_checkpoints import pack_int4_np
+
+        for key in fused:
+            dest = layers.get(key)
+            if dest is not None and "w_q" in dest:
+                dest["w_p"] = pack_int4_np(dest.pop("w_q"))
         params["layers"] = layers
         return params
 

@@ -42,6 +42,11 @@ def _quantize_stacked(w: np.ndarray, bits: int, group_size: int) -> dict:
         q = np.clip(np.round(wf / s[:, None, :]), -qmax - 1, qmax)
         w_q[li] = q.reshape(in_dim, out_dim).astype(np.int8)
         scale[li] = s
+    if bits == 4:
+        # two nibbles per byte: halves weight HBM traffic on decode
+        from vllm_tpu.models.quant_checkpoints import pack_int4_np
+
+        return {"w_p": pack_int4_np(w_q), "scale": scale}
     return {"w_q": w_q, "scale": scale}
 
 
@@ -120,11 +125,17 @@ def _device_dummy_params(model, model_config, quant: Optional[str],
             g = group_size if group_size > 0 and in_dim % group_size == 0 \
                 else in_dim
             qmax = 127 if qbits == 8 else 7
-            w_q = jax.random.randint(next_key(), shape, -qmax, qmax + 1,
-                                     jnp.int8)
             # scale so dequantized magnitude ~ N(0, 0.02)-ish
             scale = jnp.full((L, in_dim // g, out_dim),
                              0.02 / (qmax * 0.58), jnp.float32)
+            if qbits == 4:
+                # packed layout: uniform random bytes = uniform nibbles
+                w_p = jax.random.randint(next_key(),
+                                         (L, in_dim // 2, out_dim),
+                                         -128, 128, jnp.int8)
+                return {"w_p": w_p, "scale": scale}
+            w_q = jax.random.randint(next_key(), shape, -qmax, qmax + 1,
+                                     jnp.int8)
             return {"w_q": w_q, "scale": scale}
 
         layers: dict[str, Any] = {}

@@ -84,6 +84,18 @@ def unpack_awq(qweight: np.ndarray, qzeros: np.ndarray,
     }
 
 
+def pack_int4_np(w_q: np.ndarray) -> np.ndarray:
+    """Host-side split-K-half nibble packing (device analog:
+    ops/quant.py pack_int4): byte row r holds K-row r (low nibble) and
+    K-row r + K/2 (high). Works for signed [-8,7] and unsigned [0,15]
+    codes — same low-4-bit layout either way."""
+    K = w_q.shape[-2]
+    assert K % 2 == 0, K
+    lo = w_q[..., :K // 2, :].astype(np.int32) & 0xF
+    hi = w_q[..., K // 2:, :].astype(np.int32) & 0xF
+    return (lo | (hi << 4)).astype(np.uint8).view(np.int8)
+
+
 def dequant_reference(q: dict) -> np.ndarray:
     """Oracle dequant of the unpacked layout (tests + golden checks)."""
     w_q = q["w_q"].astype(np.float32)

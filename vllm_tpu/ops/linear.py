@@ -49,9 +49,11 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
         w = p["w"] if layer is None else jax.lax.dynamic_index_in_dim(
             p["w"], layer, 0, keepdims=False)
         out = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    elif "w_q" in p and p["w_q"].dtype == jnp.int8 and "scale" in p:
-        # Weight-only int8/int4: dequant then matmul. On TPU the Pallas
-        # fused dequant-matmul kernel replaces this (same contract).
+    elif ("w_p" in p) or ("w_q" in p and p["w_q"].dtype == jnp.int8
+                          and "scale" in p):
+        # Weight-only int8 / packed-int4 ("w_p"): dequant then matmul. On
+        # TPU the Pallas fused dequant-matmul kernel replaces this (same
+        # contract).
         from vllm_tpu.ops.quant import quant_matmul
 
         out = quant_matmul(x, p, layer=layer)

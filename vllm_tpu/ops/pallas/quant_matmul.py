@@ -172,3 +172,172 @@ def fused_quant_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+
+
+# ---------------------------------------------------------------- packed int4
+
+def _packed_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
+                   acc_ref, *, num_k: int, groups_per_block: int,
+                   group_size: int, signed: bool,
+                   z_lo_ref=None, z_hi_ref=None):
+    """Packed-int4 dequant-matmul step: one [bk2, bn] byte tile carries
+    TWO K slabs (rows [k0, k0+bk2) in the low nibble, rows
+    [K/2+k0, K/2+k0+bk2) in the high nibble — split-K-half packing, so
+    unpack is two shifts with NO sublane data movement), each contracted
+    with its own x slice and scale groups. Weight HBM traffic is half the
+    int8 kernel's — the whole point of INT4 on a bandwidth-bound decode
+    (reference analog: csrc/quantization/gptq_marlin/ 4-bit paths)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bk2, bn = w_ref.shape
+    w8 = w_ref[...].astype(jnp.int32)
+    if signed:
+        lo = (w8 << 28) >> 28  # sign-extended low nibble
+        hi = w8 >> 4  # arithmetic shift keeps the sign of the high nibble
+    else:
+        lo = w8 & 0xF
+        hi = (w8 >> 4) & 0xF
+    for x_ref, s_ref, z_ref, wv in ((x_lo_ref, s_lo_ref, z_lo_ref, lo),
+                                    (x_hi_ref, s_hi_ref, z_hi_ref, hi)):
+        w = wv.astype(jnp.float32).reshape(groups_per_block, group_size,
+                                           bn)
+        if z_ref is not None:
+            w = w - z_ref[...].astype(jnp.float32)[:, None, :]
+        w = w * s_ref[...].astype(jnp.float32)[:, None, :]
+        w = w.reshape(bk2, bn).astype(x_ref.dtype)
+        acc_ref[...] += jnp.dot(x_ref[...], w,
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _packed_kernel_zero(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref,
+                        z_lo_ref, z_hi_ref, o_ref, acc_ref, **kw):
+    _packed_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
+                   acc_ref, z_lo_ref=z_lo_ref, z_hi_ref=z_hi_ref, **kw)
+
+
+def _packed_kernel_layered(li_ref, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
+                           s_hi_ref, o_ref, acc_ref, **kw):
+    _packed_kernel(x_lo_ref, x_hi_ref, w_ref.at[0], s_lo_ref.at[0],
+                   s_hi_ref.at[0], o_ref, acc_ref, **kw)
+
+
+def _packed_kernel_layered_zero(li_ref, x_lo_ref, x_hi_ref, w_ref,
+                                s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
+                                o_ref, acc_ref, **kw):
+    _packed_kernel(x_lo_ref, x_hi_ref, w_ref.at[0], s_lo_ref.at[0],
+                   s_hi_ref.at[0], o_ref, acc_ref, z_lo_ref=z_lo_ref.at[0],
+                   z_hi_ref=z_hi_ref.at[0], **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_n",
+                                             "block_k"))
+def fused_packed_int4_matmul(
+    x: jnp.ndarray,  # [T, K] bf16/f32
+    w_p: jnp.ndarray,  # [K//2, N] int8: two nibbles per byte, or [L, ...]
+    scale: jnp.ndarray,  # [G, N] f32 (or [L, G, N]), G groups over K
+    zero: Optional[jnp.ndarray] = None,  # [G, N] (unsigned-nibble layout)
+    layer: Optional[jnp.ndarray] = None,  # i32[1] — layer of the stack
+    block_t: int = 256,
+    block_n: int = 512,
+    block_k: int = 1024,  # in packed (K/2) rows => 2048 logical K rows
+) -> jnp.ndarray:
+    """Split-K-half packed layout (see pack_int4 in ops/quant.py):
+    byte row r of w_p holds K-row r (low nibble) and K-row r + K/2
+    (high). Symmetric quant uses signed nibbles [-8, 7]; asymmetric
+    (``zero`` given, GPTQ/AWQ-style) uses unsigned [0, 15]."""
+    layered = layer is not None
+    T, K = x.shape
+    Kp = w_p.shape[-2]
+    assert K == 2 * Kp, (K, Kp)
+    N = w_p.shape[-1]
+    G = scale.shape[-2]
+    assert K % G == 0, (K, G)
+    group_size = K // G
+    assert Kp % group_size == 0, (Kp, group_size)
+    # Packed block: a multiple of group_size that divides Kp exactly so
+    # the hi half starts on a block boundary (index offset num_k).
+    bk2 = min(block_k, Kp)
+    bk2 = max(bk2 - bk2 % group_size, group_size)
+    while Kp % bk2:
+        bk2 -= group_size
+    gpb = bk2 // group_size
+    bt = min(block_t, max(16, 1 << (T - 1).bit_length()))
+    bn = min(block_n, N)
+    num_k = Kp // bk2
+
+    grid = (pl.cdiv(T, bt), pl.cdiv(N, bn), num_k)
+    kw = dict(num_k=num_k, groups_per_block=gpb, group_size=group_size,
+              signed=zero is None)
+
+    if not layered:
+        in_specs = [
+            pl.BlockSpec((bt, bk2), lambda t, n, k: (t, k)),
+            pl.BlockSpec((bt, bk2), lambda t, n, k: (t, k + num_k)),
+            pl.BlockSpec((bk2, bn), lambda t, n, k: (k, n)),
+            pl.BlockSpec((gpb, bn), lambda t, n, k: (k, n)),
+            pl.BlockSpec((gpb, bn), lambda t, n, k: (k + num_k, n)),
+        ]
+        operands = [x, x, w_p, scale, scale]
+        if zero is not None:
+            in_specs += [
+                pl.BlockSpec((gpb, bn), lambda t, n, k: (k, n)),
+                pl.BlockSpec((gpb, bn), lambda t, n, k: (k + num_k, n)),
+            ]
+            operands += [zero, zero]
+            kernel = functools.partial(_packed_kernel_zero, **kw)
+        else:
+            kernel = functools.partial(_packed_kernel, **kw)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bt, bn), lambda t, n, k: (t, n)),
+            out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
+            scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=_INTERPRET,
+        )(*operands)
+
+    in_specs = [
+        pl.BlockSpec((bt, bk2), lambda t, n, k, li: (t, k)),
+        pl.BlockSpec((bt, bk2), lambda t, n, k, li: (t, k + num_k)),
+        pl.BlockSpec((1, bk2, bn), lambda t, n, k, li: (li[0], k, n)),
+        pl.BlockSpec((1, gpb, bn), lambda t, n, k, li: (li[0], k, n)),
+        pl.BlockSpec((1, gpb, bn),
+                     lambda t, n, k, li: (li[0], k + num_k, n)),
+    ]
+    operands = [x, x, w_p, scale, scale]
+    if zero is not None:
+        in_specs += [
+            pl.BlockSpec((1, gpb, bn), lambda t, n, k, li: (li[0], k, n)),
+            pl.BlockSpec((1, gpb, bn),
+                         lambda t, n, k, li: (li[0], k + num_k, n)),
+        ]
+        operands += [zero, zero]
+        kernel = functools.partial(_packed_kernel_layered_zero, **kw)
+    else:
+        kernel = functools.partial(_packed_kernel_layered, **kw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, bn), lambda t, n, k, li: (t, n)),
+        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)

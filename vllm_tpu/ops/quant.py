@@ -26,24 +26,60 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def pack_int4(w_q: jnp.ndarray, signed: bool = True) -> jnp.ndarray:
+    """Split-K-half nibble packing: byte row r of the result holds K-row
+    r in the low nibble and K-row r + K/2 in the high nibble, so the
+    Pallas kernel unpacks with two shifts and zero sublane shuffling
+    (layout consumed by fused_packed_int4_matmul; the load-time repack
+    analog of the reference's gptq_marlin_repack / awq_marlin_repack).
+    w_q: int [..., K, N] values in [-8, 7] (signed) or [0, 15]."""
+    del signed  # same bit layout either way; kept for API symmetry
+    K = w_q.shape[-2]
+    assert K % 2 == 0, K
+    lo = w_q[..., :K // 2, :].astype(jnp.int32) & 0xF
+    hi = w_q[..., K // 2:, :].astype(jnp.int32) & 0xF
+    b = (lo | (hi << 4)).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(b, jnp.int8)
+
+
+def unpack_int4(w_p: jnp.ndarray, signed: bool = True) -> jnp.ndarray:
+    """Inverse of pack_int4 -> int8 [..., K, N]."""
+    w8 = w_p.astype(jnp.int32)
+    if signed:
+        lo = (w8 << 28) >> 28
+        hi = w8 >> 4
+    else:
+        lo = w8 & 0xF
+        hi = (w8 >> 4) & 0xF
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
 def quant_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     """Weight-only quantized matmul: x [..., in] @ dequant(w_q) -> f32.
 
     p: {"w_q": int8 [in, out], "scale": [num_groups, out],
-        "zero"?: [num_groups, out]}. int4 weights are stored as int8
-    values in [-8, 7] (symmetric) or [0, 15] with zero points. With
-    ``layer`` the params are layer-stacked ([L, ...]) and the Pallas
+        "zero"?: [num_groups, out]}. int4 weights ride PACKED two per
+    byte under the "w_p" key ([in/2, out]; see pack_int4) — halving
+    weight HBM traffic is the point of int4 on a bandwidth-bound decode.
+    With ``layer`` the params are layer-stacked ([L, ...]) and the Pallas
     kernel addresses the stack in place (no per-layer weight copies).
     """
-    w_q, scale = p["w_q"], p["scale"]
+    packed = "w_p" in p
+    w_q, scale = p.get("w_q"), p["scale"]
     zero = p.get("zero")
     if _on_tpu() and x.ndim == 2:
         try:
-            from vllm_tpu.ops.pallas.quant_matmul import fused_quant_matmul
+            from vllm_tpu.ops.pallas.quant_matmul import (
+                fused_packed_int4_matmul, fused_quant_matmul)
         except ImportError:
             pass
         else:
+            if packed:
+                return fused_packed_int4_matmul(x, p["w_p"], scale, zero,
+                                                layer=layer)
             return fused_quant_matmul(x, w_q, scale, zero, layer=layer)
+    if packed:  # jnp fallback: unpack, then the grouped path below
+        w_q = unpack_int4(p["w_p"], signed=zero is None)
     if layer is not None:  # reference path: slice the stack
         w_q = jax.lax.dynamic_index_in_dim(w_q, layer, 0, keepdims=False)
         scale = jax.lax.dynamic_index_in_dim(scale, layer, 0,

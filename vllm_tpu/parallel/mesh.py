@@ -88,7 +88,7 @@ def param_shardings(params: Any, mesh: Mesh,
     def shard_linear(p: dict, spec_fn) -> dict:
         out = {}
         for k, v in p.items():
-            if k in ("w", "w_q"):
+            if k in ("w", "w_q", "w_p"):
                 out[k] = spec_fn(k)
             elif k in ("scale", "zero"):
                 # grouped scales [L, G, out]: groups follow the input dim
@@ -132,7 +132,7 @@ def param_shardings(params: Any, mesh: Mesh,
         "embed": {"w": P("tp", None)},
         "layers": layer_specs,
         "final_ln": P(),
-        "lm_head": {k: (P(None, "tp") if k in ("w", "w_q") else P())
+        "lm_head": {k: (P(None, "tp") if k in ("w", "w_q", "w_p") else P())
                     for k in params["lm_head"]},
     }
     # Any extra top-level params default to replicated.
