@@ -203,10 +203,18 @@ def test_arch_logits_match_hf(arch, tmp_path):
                                             max_blocks=8, total_pad=16,
                                             req_pad=4)
     a = model.args
+    from vllm_tpu.core.kv_cache_interface import MLASpec
+
     spec = next(iter(model.get_kv_cache_specs(block_size,
                                               "float32").values()))
-    kv = jnp.zeros((a.num_layers, 32, block_size, 2 * spec.num_kv_heads,
-                    spec.head_size), jnp.float32)
+    if isinstance(spec, MLASpec):
+        # single-copy latent cache [L, N, ps, D]
+        kv = jnp.zeros((a.num_layers, 32, block_size, spec.head_size),
+                       jnp.float32)
+    else:
+        kv = jnp.zeros((a.num_layers, 32, block_size,
+                        2 * spec.num_kv_heads, spec.head_size),
+                       jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     logits = np.asarray(model.compute_logits(params, hidden))
 

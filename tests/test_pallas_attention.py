@@ -119,3 +119,90 @@ def test_kernel_soft_cap():
     np.testing.assert_allclose(np.asarray(out)[:total_q],
                                np.asarray(ref)[:total_q],
                                rtol=2e-3, atol=2e-3)
+
+
+# ------------------------------------------------------------- MLA kernel
+
+def make_mla_case(rng, seq_specs, num_heads, latent_dim, page, max_blocks,
+                  token_pad, req_pad):
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        build_logical_blocks
+
+    R, T = req_pad, token_pad
+    num_blocks = 1 + sum(-(-kv // page) for _, kv in seq_specs)
+    kv_cache = jnp.asarray(
+        rng.standard_normal((1, num_blocks, page, latent_dim),
+                            dtype=np.float32), jnp.float32)
+    q = jnp.asarray(
+        rng.standard_normal((T, num_heads, latent_dim), dtype=np.float32),
+        jnp.float32)
+    qsl = np.zeros(R + 1, np.int32)
+    seq_lens = np.zeros(R, np.int32)
+    block_tables = np.zeros((R, max_blocks), np.int32)
+    next_block = 1
+    offset = 0
+    for r, (q_len, kv_len) in enumerate(seq_specs):
+        seq_lens[r] = kv_len
+        nb = -(-kv_len // page)
+        block_tables[r, :nb] = np.arange(next_block, next_block + nb)
+        next_block += nb
+        qsl[r + 1] = offset + q_len
+        offset += q_len
+    qsl[len(seq_specs) + 1:] = offset
+    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+    meta = AttentionMetadata(
+        slot_mapping=jnp.zeros(T, jnp.int32),
+        block_tables=jnp.asarray(block_tables),
+        query_start_loc=jnp.asarray(qsl),
+        seq_lens=jnp.asarray(seq_lens),
+        positions=jnp.zeros(T, jnp.int32),
+        lb_seq=jnp.asarray(lb_seq),
+        lb_q_start=jnp.asarray(lb_q_start),
+    )
+    return q, kv_cache, meta, offset
+
+
+MLA_CASES = [
+    [(1, 17), (1, 32), (1, 5), (1, 64)],  # pure decode
+    [(48, 48)],  # single prefill
+    [(30, 30), (17, 17), (1, 40)],  # mixed
+    [(16, 48)],  # chunked continuation
+]
+
+
+@pytest.mark.parametrize("case_idx", range(len(MLA_CASES)))
+def test_mla_kernel_matches_reference(case_idx):
+    """MLA Pallas kernel (single-copy latent cache, V = K prefix) vs the
+    jnp reference, interpret mode. latent 192 = 128 kv_lora + 64 rope —
+    deliberately NOT a multiple of 128 like DeepSeek's 576."""
+    from vllm_tpu.ops.pallas.mla_attention import (_mla_attention_impl,
+                                                   mla_ref)
+
+    rng = np.random.default_rng(case_idx)
+    latent, v_dim, nh = 192, 128, 4
+    q, kv_cache, meta, total_q = make_mla_case(
+        rng, MLA_CASES[case_idx], nh, latent, page=8, max_blocks=16,
+        token_pad=64, req_pad=4)
+    scale = latent ** -0.5
+    out = _mla_attention_impl(
+        q, kv_cache, jnp.asarray([0], jnp.int32), meta.lb_seq,
+        meta.lb_q_start, meta.query_start_loc, meta.seq_lens,
+        meta.block_tables, None, scale, 1, v_dim)
+    ref = mla_ref(q, kv_cache, meta, scale, v_dim)
+    np.testing.assert_allclose(np.asarray(out)[:total_q, :, :],
+                               np.asarray(ref)[:total_q], rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_write_mla_cache_roundtrip():
+    from vllm_tpu.ops.pallas.mla_attention import write_mla_cache
+
+    rng = np.random.default_rng(0)
+    kv = jnp.zeros((2, 4, 8, 192), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((5, 192)), jnp.float32)
+    slots = jnp.asarray([8, 9, 10, 17, 25], jnp.int32)
+    kv = write_mla_cache(kv, c, slots, layer=1)
+    flat = np.asarray(kv).reshape(2, 32, 192)
+    np.testing.assert_allclose(flat[1, [8, 9, 10, 17, 25]],
+                               np.asarray(c))
+    assert np.abs(flat[0]).max() == 0

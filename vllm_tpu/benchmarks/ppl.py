@@ -54,10 +54,17 @@ def compute_patch_ppl(model, params, tokenizer, text: str, ctx: int,
             positions=jnp.asarray(pos),
             lb_seq=jnp.asarray(lb_seq),
             lb_q_start=jnp.asarray(lb_q_start))
-        kv = jnp.zeros((a.num_layers, nb + 2, block_size,
-                        2 * spec.num_kv_heads, spec.head_size),
-                       jnp.bfloat16 if model.dtype == jnp.bfloat16
-                       else jnp.float32)
+        from vllm_tpu.core.kv_cache_interface import MLASpec
+
+        kv_dtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16
+                    else jnp.float32)
+        if isinstance(spec, MLASpec):
+            kv = jnp.zeros((a.num_layers, nb + 2, block_size,
+                            spec.head_size), kv_dtype)
+        else:
+            kv = jnp.zeros((a.num_layers, nb + 2, block_size,
+                            2 * spec.num_kv_heads, spec.head_size),
+                           kv_dtype)
         hidden, _ = model.forward(params,
                                   jnp.asarray(window, jnp.int32), [kv],
                                   md)

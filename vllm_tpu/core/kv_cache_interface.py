@@ -78,6 +78,26 @@ class FullAttentionSpec(AttentionSpec):
 
 
 @dataclass(frozen=True)
+class MLASpec(FullAttentionSpec):
+    """Absorbed multi-head latent attention: ONE latent vector of width
+    head_size (= kv_lora_rank + qk_rope_head_dim) per token; V is a
+    prefix alias of K so the cache stores a single copy — half the bytes
+    of a K+V layout (reference: vllm/v1/attention/backends/mla/,
+    csrc/cache_kernels.cu concat_and_cache_mla). Paging/prefix-cache
+    behavior is identical to full attention."""
+
+    @property
+    def type_id(self) -> str:
+        return (f"mla_{self.block_size}_{self.head_size}_{self.dtype}")
+
+    @property
+    def page_size_bytes(self) -> int:
+        # single stored copy (no separate V)
+        return (self.block_size * self.head_size *
+                dtype_bytes(self.dtype))
+
+
+@dataclass(frozen=True)
 class SlidingWindowSpec(AttentionSpec):
     """Attention over the last `sliding_window` tokens
     (reference: kv_cache_interface.py:157)."""

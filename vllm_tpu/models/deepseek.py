@@ -25,11 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vllm_tpu.core.kv_cache_interface import FullAttentionSpec, KVCacheSpec
+from vllm_tpu.core.kv_cache_interface import KVCacheSpec
 from vllm_tpu.models.llama import LlamaForCausalLM, ModelArgs, _np_dtype
 from vllm_tpu.ops.activation import GATED_ACTIVATIONS
-from vllm_tpu.ops.attention import AttentionMetadata, attention, \
-    write_kv_cache
+from vllm_tpu.ops.attention import AttentionMetadata
 from vllm_tpu.ops.layernorm import rms_norm
 from vllm_tpu.ops.linear import linear
 from vllm_tpu.ops.moe import fused_moe, topk_routing
@@ -212,18 +211,19 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                            lp["wk_t"][li].astype(q_nope.dtype))
         q_eff = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, nh, D]
 
-        D = self.latent_dim
-        k_cat = jnp.concatenate(
-            [c.reshape(T, 1, self.kv_lora), k_pe], axis=-1)  # [T, 1, D]
-        v_cat = jnp.concatenate(
-            [c.reshape(T, 1, self.kv_lora),
-             jnp.zeros((T, 1, rope), c.dtype)], axis=-1)
-        kv = write_kv_cache(kv, k_cat, v_cat, metadata.slot_mapping,
-                            layer=li_kv)
+        from vllm_tpu.ops.pallas.mla_attention import (mla_paged_attention,
+                                                       write_mla_cache)
 
-        attn = attention(q_eff, kv, metadata, self.scale,
-                         layer=li_kv)  # [T, nh, D]
-        latent = attn[..., :self.kv_lora]
+        # single-copy latent cache: one D-wide row per token; V is the
+        # kv_lora prefix of K (MLASpec — half the bytes of K+V)
+        k_cat = jnp.concatenate([c, k_pe.reshape(T, rope)],
+                                axis=-1)  # [T, D]
+        kv = write_mla_cache(kv, k_cat, metadata.slot_mapping,
+                             layer=li_kv)
+
+        latent = mla_paged_attention(q_eff, kv, metadata, self.scale,
+                                     v_dim=self.kv_lora,
+                                     layer=li_kv)  # [T, nh, kv_lora]
         out = jnp.einsum("thk,hkv->thv", latent,
                          lp["wv"][li].astype(latent.dtype))
         return linear(out.reshape(T, nh * v_h), lp["o"], layer=li), kv
@@ -248,13 +248,15 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def get_kv_cache_specs(self, block_size: int,
                            cache_dtype: str) -> dict[str, KVCacheSpec]:
-        # single latent "KV head"; TODO(perf): an MLASpec storing only
-        # K (c_kv + k_pe) would halve this (V is a zero-padded alias)
+        # single-copy latent cache (V aliases K's kv_lora prefix);
+        # served by the dedicated Pallas MLA kernel
+        from vllm_tpu.core.kv_cache_interface import MLASpec
+
         return {
-            f"layers.{i}": FullAttentionSpec(block_size=block_size,
-                                             num_kv_heads=1,
-                                             head_size=self.latent_dim,
-                                             dtype=cache_dtype)
+            f"layers.{i}": MLASpec(block_size=block_size,
+                                   num_kv_heads=1,
+                                   head_size=self.latent_dim,
+                                   dtype=cache_dtype)
             for i in range(self.args.num_layers)
         }
 

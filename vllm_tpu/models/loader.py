@@ -98,6 +98,14 @@ def _device_dummy_params(model, model_config, quant: Optional[str],
     (int8/int4 w_q + constant scales) without any f32 staging."""
     if not hasattr(model, "_alloc_layer_stack"):
         return None
+    # The on-device generator emits the llama layer-stack structure; a
+    # model that overrides init_dummy_params (DeepSeek's dense/MoE stack
+    # split, etc.) declares a different structure — use its host path.
+    from vllm_tpu.models.llama import LlamaForCausalLM
+
+    if type(model).init_dummy_params is not \
+            LlamaForCausalLM.init_dummy_params:
+        return None
     if quant is not None and quant not in ("int8", "tpu_int8", "int4"):
         return None  # fp8 dummy keeps the host path
     import jax

@@ -146,7 +146,7 @@ class TPUModelRunner:
         [num_layers, num_blocks, page, 2*kv_heads, head]."""
         self.kv_cache_config = kv_cache_config
         self.kv_caches = []
-        from vllm_tpu.core.kv_cache_interface import MambaSpec
+        from vllm_tpu.core.kv_cache_interface import MambaSpec, MLASpec
 
         for group in kv_cache_config.kv_cache_groups:
             spec = group.kv_cache_spec
@@ -160,13 +160,21 @@ class TPUModelRunner:
             dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
             if spec.dtype == "float32":
                 dtype = jnp.float32
-            shape = (len(group.layer_names), kv_cache_config.num_blocks,
-                     spec.block_size, 2 * spec.num_kv_heads, spec.head_size)
+            if isinstance(spec, MLASpec):
+                # single-copy latent cache [L, N, ps, D] (V aliases K)
+                shape = (len(group.layer_names),
+                         kv_cache_config.num_blocks, spec.block_size,
+                         spec.head_size)
+            else:
+                shape = (len(group.layer_names),
+                         kv_cache_config.num_blocks, spec.block_size,
+                         2 * spec.num_kv_heads, spec.head_size)
             arr = jnp.zeros(shape, dtype)
             if self.mesh is not None:
                 from vllm_tpu.parallel.mesh import kv_cache_sharding
 
-                arr = jax.device_put(arr, kv_cache_sharding(self.mesh))
+                arr = jax.device_put(
+                    arr, kv_cache_sharding(self.mesh, arr.ndim))
             self.kv_caches.append(arr)
 
         if self.eagle is not None and \
@@ -752,7 +760,7 @@ class TPUModelRunner:
         (reference: gpu_model_runner.py:2377 profile_run)."""
         T = self.token_buckets[-1]
         R = self.req_buckets[-1]
-        from vllm_tpu.core.kv_cache_interface import (MambaSpec,
+        from vllm_tpu.core.kv_cache_interface import (MambaSpec, MLASpec,
                                                       make_kv_cache_config)
 
         specs = self.get_kv_cache_specs()
@@ -766,9 +774,15 @@ class TPUModelRunner:
                 continue
             # 2-block dummy cache: enough to run, negligible memory.
             dtype = _CACHE_DTYPES.get(spec.dtype) or jnp.bfloat16
-            dummy_kv.append(
-                jnp.zeros((len(group.layer_names), 2, spec.block_size,
-                           2 * spec.num_kv_heads, spec.head_size), dtype))
+            if isinstance(spec, MLASpec):
+                dummy_kv.append(
+                    jnp.zeros((len(group.layer_names), 2,
+                               spec.block_size, spec.head_size), dtype))
+            else:
+                dummy_kv.append(
+                    jnp.zeros((len(group.layer_names), 2, spec.block_size,
+                               2 * spec.num_kv_heads, spec.head_size),
+                              dtype))
         i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
         lora_stacks = (self.lora_manager.stacks
                        if self.lora_manager is not None else None)
