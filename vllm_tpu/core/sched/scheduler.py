@@ -496,7 +496,7 @@ class Scheduler:
                     get(req_id),
                     pooling_output=pooling,
                     num_cached_tokens=max(request.num_cached_tokens, 0),
-                    events=None,
+                    events=request.take_events(),
                 ))
 
         for request in stopped_reqs:

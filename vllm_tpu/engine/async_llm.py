@@ -137,7 +137,8 @@ class AsyncLLM:
                             out, rs.first_token_time == 0.0, rs)
                         if out.finished and state is not None:
                             iteration_stats.update_from_finished(
-                                out, len(state.prompt_token_ids), rs)
+                                out, len(state.prompt_token_ids), rs,
+                                state.sampling_params)
                             self._req_stats.pop(out.request_id, None)
                 result = self.output_processor.process_outputs(ec.outputs)
             if result.reqs_to_abort:

@@ -76,6 +76,30 @@ class PrometheusStatLogger:
                                  _hist_buckets_tokens())
         self.counter_success = counter("vllm:request_success",
                                        "Finished requests")
+        # Interval histograms from EngineCoreEvents (reference:
+        # loggers.py:593-618)
+        self.hist_queue_time = hist(
+            "vllm:request_queue_time_seconds",
+            "Time waiting in queue before first schedule",
+            _hist_buckets_time())
+        self.hist_prefill_time = hist(
+            "vllm:request_prefill_time_seconds",
+            "First schedule to first token", _hist_buckets_time())
+        self.hist_decode_time = hist(
+            "vllm:request_decode_time_seconds",
+            "First token to finish", _hist_buckets_time())
+        self.hist_inference_time = hist(
+            "vllm:request_inference_time_seconds",
+            "First schedule to finish", _hist_buckets_time())
+        self.hist_iteration_tokens = hist(
+            "vllm:iteration_tokens_total",
+            "Tokens processed per engine step", _hist_buckets_tokens())
+        self.hist_params_n = hist(
+            "vllm:request_params_n", "Request n parameter",
+            [1, 2, 5, 10, 20])
+        self.hist_params_max_tokens = hist(
+            "vllm:request_params_max_tokens",
+            "Request max_tokens parameter", _hist_buckets_tokens())
         self._last_prefix_queries = 0
         self._last_prefix_hits = 0
         self._last_preempted = 0
@@ -106,10 +130,22 @@ class PrometheusStatLogger:
                 self.hist_ttft.observe(v)
             for v in iteration_stats.inter_token_latencies:
                 self.hist_tpot.observe(v)
+            total = (iteration_stats.num_prompt_tokens +
+                     iteration_stats.num_generation_tokens)
+            if total:
+                self.hist_iteration_tokens.observe(total)
             for fin in iteration_stats.finished_requests:
                 self.hist_e2e.observe(fin.e2e_latency)
                 self.hist_prompt_len.observe(fin.num_prompt_tokens)
                 self.hist_gen_len.observe(fin.num_generation_tokens)
+                self.hist_queue_time.observe(fin.queued_time)
+                self.hist_prefill_time.observe(fin.prefill_time)
+                self.hist_decode_time.observe(fin.decode_time)
+                self.hist_inference_time.observe(fin.inference_time)
+                self.hist_params_n.observe(fin.n_params)
+                if fin.max_tokens_param:
+                    self.hist_params_max_tokens.observe(
+                        fin.max_tokens_param)
                 self.counter_success.inc()
 
 

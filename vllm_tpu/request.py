@@ -97,6 +97,7 @@ class Request:
         # Per-request generation events (QUEUED/SCHEDULED/PREEMPTED) for
         # metrics; list of (event_name, monotonic_ts).
         self.events: list[tuple[str, float]] = [("queued", time.monotonic())]
+        self._events_shipped = 0
 
     # -- token bookkeeping ---------------------------------------------------
 
@@ -137,6 +138,28 @@ class Request:
 
     def record_event(self, name: str) -> None:
         self.events.append((name, time.monotonic()))
+
+    def take_events(self):
+        """Events recorded since the last ship, as EngineCoreEvents
+        (reference: v1/engine/__init__.py:74-96 — QUEUED/SCHEDULED/
+        PREEMPTED timestamps ride in EngineCoreOutput so the front-end
+        can compute queue/prefill/decode intervals)."""
+        if self._events_shipped >= len(self.events):
+            return None
+        from vllm_tpu.engine import EngineCoreEvent, EngineCoreEventType
+
+        kinds = {
+            "queued": EngineCoreEventType.QUEUED,
+            "scheduled": EngineCoreEventType.SCHEDULED,
+            "preempted": EngineCoreEventType.PREEMPTED,
+        }
+        out = [
+            EngineCoreEvent(kinds[name], ts)
+            for name, ts in self.events[self._events_shipped:]
+            if name in kinds
+        ]
+        self._events_shipped = len(self.events)
+        return out or None
 
     def __repr__(self) -> str:
         return (f"Request(id={self.request_id}, status={self.status.name}, "
