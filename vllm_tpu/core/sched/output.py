@@ -26,6 +26,8 @@ class NewRequestData:
     lora_request: Optional[Any] = None
     pooling_params: Optional[Any] = None
     mm_inputs: Optional[dict] = None
+    # content hashes of the mm inputs (runner encoder-cache keys)
+    mm_hashes: Optional[list[str]] = None
 
 
 @dataclass
@@ -73,6 +75,9 @@ class SchedulerOutput:
     structured_output_request_ids: dict[str, int] = field(
         default_factory=dict)
     grammar_bitmask: Optional[Any] = None  # np.ndarray [num_reqs, ceil(V/32)]
+    # encoder-cache entries evicted this step; every worker drops them
+    # (reference: SchedulerOutput.free_encoder_input_ids)
+    freed_mm_hashes: list[str] = field(default_factory=list)
 
     def is_empty(self) -> bool:
         return self.total_num_scheduled_tokens == 0

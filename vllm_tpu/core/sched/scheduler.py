@@ -93,6 +93,15 @@ class Scheduler:
             kv_connector.set_block_size(self.block_size)
         self._pending_kv_saves: list = []
 
+        # Vision-encoder output budget/dedup accounting (reference:
+        # v1/core/encoder_cache_manager.py). Arrays live in the runner,
+        # keyed by the same content hashes.
+        from vllm_tpu.core.encoder_cache_manager import EncoderCacheManager
+
+        self.encoder_cache_manager = EncoderCacheManager(
+            cache_budget_tokens=max(
+                scheduler_config.max_num_batched_tokens, 2048))
+
         self.requests: dict[str, Request] = {}
         self.waiting = create_request_queue(scheduler_config.policy)
         self.running: list[Request] = []
@@ -223,6 +232,13 @@ class Scheduler:
                     else:
                         break
 
+                # Vision-encoder budget: defer image requests whose
+                # encoder output does not fit next to what's cached
+                # (reference: scheduler encoder-budget pass).
+                if request.mm_hashes and not \
+                        self.encoder_cache_manager.can_schedule(request):
+                    break
+
                 # Prefix-cache lookup whenever no tokens are computed yet —
                 # this covers both brand-new requests and PREEMPTED ones
                 # resuming (preemption resets num_computed_tokens to 0 but
@@ -234,8 +250,7 @@ class Scheduler:
                 num_new_computed_tokens = 0
                 new_computed_blocks = None
                 if (request.num_computed_tokens == 0
-                        and request.pooling_params is None
-                        and request.mm_inputs is None):
+                        and request.pooling_params is None):
                     new_computed_blocks, num_new_computed_tokens = (
                         self.kv_cache_manager.get_computed_blocks(request))
 
@@ -283,6 +298,8 @@ class Scheduler:
                             request.request_id)[0], num_external_tokens)
 
                 self.waiting.pop_request()
+                if request.mm_hashes:
+                    self.encoder_cache_manager.allocate(request)
                 was_preempted = request.status == RequestStatus.PREEMPTED
                 request.status = RequestStatus.RUNNING
                 self.running.append(request)
@@ -328,6 +345,7 @@ class Scheduler:
                 lora_request=req.lora_request,
                 pooling_params=req.pooling_params,
                 mm_inputs=req.mm_inputs,
+                mm_hashes=req.mm_hashes,
             ) for req in scheduled_new_reqs
         ]
         cached_reqs_data = self._make_cached_request_data(
@@ -344,6 +362,7 @@ class Scheduler:
             finished_req_ids=self.finished_req_ids,
             kv_connector_metadata=(self.kv_connector.build_connector_meta()
                                    if self.kv_connector else None),
+            freed_mm_hashes=self.encoder_cache_manager.take_freed_hashes(),
         )
         self.finished_req_ids = set()
 
@@ -527,6 +546,8 @@ class Scheduler:
                 # drained by EngineCore.step BEFORE the freed blocks can
                 # be reallocated (next schedule() call)
                 self._pending_kv_saves.append(save)
+        if request.mm_hashes:
+            self.encoder_cache_manager.free_request(request)
         self.kv_cache_manager.free(request)
         self.kv_cache_manager.free_block_hashes(request)
         self.finished_req_ids.add(request.request_id)

@@ -93,6 +93,15 @@ class SingleTypeKVCacheManager:
         if request.lora_request is not None:
             extras.append(getattr(request.lora_request, "lora_name",
                                   str(request.lora_request)))
+        # Multimodal content hashes: image prompts prefix-cache against
+        # requests carrying the SAME images (reference:
+        # kv_cache_utils.py:24 extra_keys; coarser — every block carries
+        # all of the request's mm hashes rather than per-placeholder
+        # ranges, which forgoes text-only prefix sharing but is never
+        # incorrect).
+        mm_hashes = getattr(request, "mm_hashes", None)
+        if mm_hashes:
+            extras.extend(mm_hashes)
         return tuple(extras) if extras else None
 
     def free(self, request_id: str) -> list[KVCacheBlock]:

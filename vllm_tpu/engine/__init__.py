@@ -48,6 +48,9 @@ class EngineCoreRequest:
     current_wave: int = 0
     # multimodal inputs, e.g. {"pixel_values": np[B, C, H, W]}
     mm_inputs: Optional[dict] = None
+    # content hashes of the mm inputs (encoder dedup + prefix caching)
+    mm_hashes: Optional[list[str]] = None
+    encoder_token_count: int = 0
 
 
 class FinishReason(enum.IntEnum):

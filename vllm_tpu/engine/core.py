@@ -139,6 +139,8 @@ class EngineCore:
             lora_request=request.lora_request,
             cache_salt=request.cache_salt,
             mm_inputs=request.mm_inputs,
+            mm_hashes=request.mm_hashes,
+            encoder_token_count=request.encoder_token_count,
             priority=request.priority,
             client_index=request.client_index,
         )

@@ -61,6 +61,28 @@ class Processor:
         self._validate(request_id, prompt_token_ids, params,
                        has_mm=mm_inputs is not None)
 
+        # Content-hash multimodal inputs so encoder outputs dedup across
+        # requests and image prompts stay prefix-cacheable (reference:
+        # vllm/multimodal mm hasher + kv_cache_utils.py:24 extra_keys).
+        mm_hashes = None
+        encoder_token_count = 0
+        if mm_inputs is not None:
+            import hashlib
+
+            import numpy as np
+
+            pv = np.asarray(mm_inputs.get("pixel_values"))
+            imgs = pv if pv.ndim == 4 else pv[None]
+            mm_hashes = [
+                hashlib.sha256(np.ascontiguousarray(img).tobytes())
+                .hexdigest()[:32] for img in imgs
+            ]
+            itok = getattr(getattr(self.model_config, "hf_config", None),
+                           "image_token_index", None)
+            if itok is not None:
+                encoder_token_count = sum(
+                    1 for t in prompt_token_ids if t == itok)
+
         sampling_params = None
         pooling_params = None
         if isinstance(params, PoolingParams):
@@ -91,6 +113,8 @@ class Processor:
             lora_request=lora_request,
             cache_salt=cache_salt,
             mm_inputs=mm_inputs,
+            mm_hashes=mm_hashes,
+            encoder_token_count=encoder_token_count,
             priority=priority,
         )
 

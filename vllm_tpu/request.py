@@ -52,6 +52,8 @@ class Request:
         lora_request: Optional[Any] = None,
         cache_salt: Optional[str] = None,
         mm_inputs: Optional[dict] = None,
+        mm_hashes: Optional[list[str]] = None,
+        encoder_token_count: int = 0,
         priority: int = 0,
         client_index: int = 0,
     ) -> None:
@@ -66,6 +68,8 @@ class Request:
         self.lora_request = lora_request
         self.cache_salt = cache_salt
         self.mm_inputs = mm_inputs
+        self.mm_hashes = mm_hashes
+        self.encoder_token_count = encoder_token_count
         self.priority = priority
         self.client_index = client_index
 

@@ -126,6 +126,7 @@ class InputBatch:
         self.pooling_params: list[Optional[Any]] = [None] * max_num_reqs
         # multimodal: raw inputs, placeholder positions, encoded embeds
         self.mm_inputs: list[Optional[dict]] = [None] * max_num_reqs
+        self.mm_hashes: list[Optional[list]] = [None] * max_num_reqs
         self.mm_positions: list[Optional[np.ndarray]] = \
             [None] * max_num_reqs
         self.mm_embeds: list[Optional[np.ndarray]] = [None] * max_num_reqs
@@ -167,6 +168,7 @@ class InputBatch:
         self.lora_requests[idx] = data.lora_request
         self.pooling_params[idx] = data.pooling_params
         self.mm_inputs[idx] = data.mm_inputs
+        self.mm_hashes[idx] = data.mm_hashes
         self.mm_embeds[idx] = None
         self.mm_positions[idx] = None
         if data.mm_inputs is not None and self.image_token_index is not None:
@@ -187,6 +189,7 @@ class InputBatch:
             self.req_ids[idx] = moved_id
             self.req_id_to_index[moved_id] = idx
         self.req_ids[last] = None
+        self.mm_hashes[last] = None
         self.sampling_params[last] = None
         self.lora_requests[last] = None
         self.pooling_params[last] = None
@@ -211,6 +214,7 @@ class InputBatch:
         self.lora_requests[dst] = self.lora_requests[src]
         self.pooling_params[dst] = self.pooling_params[src]
         self.mm_inputs[dst] = self.mm_inputs[src]
+        self.mm_hashes[dst] = self.mm_hashes[src]
         self.mm_positions[dst] = self.mm_positions[src]
         self.mm_embeds[dst] = self.mm_embeds[src]
 

@@ -95,6 +95,10 @@ class TPUModelRunner:
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
         self._encode_image_fn = None  # lazy jit of the vision tower
+        # encoder outputs keyed by content hash: dedup across requests,
+        # evicted when the scheduler ships freed_mm_hashes
+        # (reference: EncoderCacheManager + mm_input_cache)
+        self._mm_cache: dict[str, Any] = {}
         # async scheduling: dispatched-but-unfetched steps (FIFO)
         self.async_mode = self.scheduler_config.async_scheduling
         self._pending_steps: list[tuple] = []
@@ -537,6 +541,8 @@ class TPUModelRunner:
         return out
 
     def _encode_pending_mm(self, scheduler_output: SchedulerOutput) -> None:
+        for h in scheduler_output.freed_mm_hashes:
+            self._mm_cache.pop(h, None)
         batch = self.input_batch
         num_sched = scheduler_output.num_scheduled_tokens
         for idx, rid in enumerate(batch.req_ids):
@@ -544,6 +550,11 @@ class TPUModelRunner:
                 continue
             if (batch.mm_inputs[idx] is None
                     or batch.mm_embeds[idx] is not None):
+                continue
+            hashes = batch.mm_hashes[idx]
+            if hashes and all(h in self._mm_cache for h in hashes):
+                batch.mm_embeds[idx] = np.concatenate(
+                    [self._mm_cache[h] for h in hashes], axis=0)
                 continue
             pv = np.asarray(batch.mm_inputs[idx]["pixel_values"],
                             np.float32)
@@ -555,6 +566,10 @@ class TPUModelRunner:
                 self._encode_image_fn(self.params,
                                       jnp.asarray(pv, self.model.dtype)),
                 np.float32)
+            if hashes and len(hashes) == pv.shape[0]:
+                per = emb.reshape(pv.shape[0], -1, emb.shape[-1])
+                for h, e in zip(hashes, per):
+                    self._mm_cache[h] = e
             batch.mm_embeds[idx] = emb.reshape(-1, emb.shape[-1])
 
     def _build_spec_output(
