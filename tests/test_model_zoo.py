@@ -138,6 +138,46 @@ def make_hf_model(arch):
         return NemotronForCausalLM(
             NemotronConfig(num_key_value_heads=2, head_dim=16,
                            partial_rotary_factor=0.5, **common))
+    if arch == "falcon":
+        from transformers import FalconConfig, FalconForCausalLM
+
+        return FalconForCausalLM(
+            FalconConfig(vocab_size=128, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_kv_heads=2, new_decoder_architecture=True,
+                         bias=False, parallel_attn=True, alibi=False))
+    if arch == "falcon7b":
+        from transformers import FalconConfig, FalconForCausalLM
+
+        return FalconForCausalLM(
+            FalconConfig(vocab_size=128, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         multi_query=True, new_decoder_architecture=False,
+                         bias=False, parallel_attn=True, alibi=False))
+    if arch == "gptj":
+        from transformers import GPTJConfig, GPTJForCausalLM
+
+        return GPTJForCausalLM(
+            GPTJConfig(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                       n_positions=256, rotary_dim=8))
+    if arch == "persimmon":
+        from transformers import PersimmonConfig, PersimmonForCausalLM
+
+        return PersimmonForCausalLM(
+            PersimmonConfig(qk_layernorm=True, hidden_act="relu2",
+                            partial_rotary_factor=0.5, **common))
+    if arch == "bloom":
+        from transformers import BloomConfig, BloomForCausalLM
+
+        return BloomForCausalLM(
+            BloomConfig(vocab_size=128, hidden_size=64, n_layer=2,
+                        n_head=4))
+    if arch == "mpt":
+        from transformers import MptConfig, MptForCausalLM
+
+        return MptForCausalLM(
+            MptConfig(vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+                      max_seq_len=256))
     if arch == "deepseek_v2":
         from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
 
@@ -174,7 +214,8 @@ def make_hf_model(arch):
     "qwen2", "qwen3", "mistral_sw", "gemma", "gemma2", "gpt2", "opt",
     "mixtral", "phi3", "deepseek_v2", "deepseek_v3", "gpt_neox",
     "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere", "olmo2",
-    "granite", "glm4", "nemotron"
+    "granite", "glm4", "nemotron", "falcon", "falcon7b", "gptj",
+    "persimmon", "bloom", "mpt"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch

@@ -43,6 +43,18 @@ def layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     return out.astype(x.dtype)
 
 
+def _alibi_slopes(n_heads: int) -> np.ndarray:
+    """Standard ALiBi head slopes (reference: the alibi_slopes the
+    engine passes into csrc paged attention for Bloom/MPT)."""
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = [base ** (i + 1) for i in range(closest)]
+    if closest != n_heads:
+        extra = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        slopes += [extra ** (2 * i + 1) for i in range(n_heads - closest)]
+    return np.asarray(slopes, np.float32)
+
+
 @dataclass(frozen=True)
 class NeoxArgs:
     vocab_size: int
@@ -65,9 +77,12 @@ class NeoxArgs:
     mlp_bias: bool = True
     lm_head_bias: bool = False
     qk_norm: bool = False  # cohere-plus style per-head LN
+    qk_norm_bias: bool = False  # persimmon: per-head LN carries a bias
     logit_scale: Optional[float] = None
     tie_embeddings: bool = False
     max_position: int = 2048
+    alibi: bool = False  # ALiBi position bias instead of rope
+    embed_ln: bool = False  # bloom: LayerNorm after the embedding
 
 
 class GPTNeoXForCausalLM:
@@ -81,6 +96,10 @@ class GPTNeoXForCausalLM:
         self.dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
             else jnp.float32
         self.scale = 1.0 / math.sqrt(self.args.head_dim)
+        self.alibi_slopes = None
+        if self.args.alibi:
+            self.alibi_slopes = jnp.asarray(
+                _alibi_slopes(self.args.num_heads), jnp.float32)
 
     def parse_args(self, hf) -> NeoxArgs:
         head_dim = hf.hidden_size // hf.num_attention_heads
@@ -126,6 +145,9 @@ class GPTNeoXForCausalLM:
     def forward(self, params, input_ids, kv_caches, metadata, lora=None):
         args = self.args
         x = embedding_lookup(input_ids, params["embed"]["w"])
+        if args.embed_ln:
+            x = layer_norm(x, params["embed_ln_w"],
+                           params.get("embed_ln_b"), args.ln_eps)
 
         kv = kv_caches[0]
         idxs = jnp.arange(args.num_layers, dtype=jnp.int32)
@@ -152,13 +174,18 @@ class GPTNeoXForCausalLM:
         k = k.reshape(T, nk, d)
         v = v.reshape(T, nk, d)
         if args.qk_norm:
-            q = layer_norm(q, lp["q_norm"][li], None, args.ln_eps)
-            k = layer_norm(k, lp["k_norm"][li], None, args.ln_eps)
+            q = layer_norm(q, lp["q_norm"][li],
+                           lp["q_norm_b"][li] if args.qk_norm_bias
+                           else None, args.ln_eps)
+            k = layer_norm(k, lp["k_norm"][li],
+                           lp["k_norm_b"][li] if args.qk_norm_bias
+                           else None, args.ln_eps)
         if args.rope.rotary_dim > 0:
             q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                               args.rope.is_neox_style, self.rope_mscale)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale, layer=li)
+        attn_out = attention(q, kv, metadata, self.scale, layer=li,
+                             alibi_slopes=self.alibi_slopes)
         attn_out = linear(attn_out.reshape(T, nq * d), lp["o"], layer=li)
 
         if args.parallel_residual:
@@ -233,6 +260,9 @@ class GPTNeoXForCausalLM:
         if a.qk_norm:
             layers["q_norm"] = np.zeros((L, nq, d), np_dtype)
             layers["k_norm"] = np.zeros((L, nk, d), np_dtype)
+            if a.qk_norm_bias:
+                layers["q_norm_b"] = np.zeros((L, nq, d), np_dtype)
+                layers["k_norm_b"] = np.zeros((L, nk, d), np_dtype)
         if a.gated_mlp:
             layers["gate_up"] = {"w": np.zeros((L, H, 2 * I), np_dtype)}
             layers["down"] = {"w": np.zeros((L, I, H), np_dtype)}
@@ -250,6 +280,10 @@ class GPTNeoXForCausalLM:
         }
         if a.ln_bias:
             params["final_ln_b"] = np.zeros((H,), np_dtype)
+        if a.embed_ln:
+            params["embed_ln_w"] = np.zeros((H,), np_dtype)
+            if a.ln_bias:
+                params["embed_ln_b"] = np.zeros((H,), np_dtype)
         if a.lm_head_bias:
             params["lm_head"]["b"] = np.zeros((a.vocab_size,), np_dtype)
         return params
@@ -260,6 +294,8 @@ class GPTNeoXForCausalLM:
     _FINAL_B = "gpt_neox.final_layer_norm.bias"
     _LM_HEAD = "embed_out.weight"
     _LM_HEAD_B = None
+    _EMBED_LN_W = None
+    _EMBED_LN_B = None
     _LAYER_PREFIX = "gpt_neox.layers"
 
     def _hf_layer_map(self) -> dict[str, tuple[str, str, bool]]:
@@ -339,6 +375,12 @@ class GPTNeoXForCausalLM:
                 continue
             if self._LM_HEAD_B and name == self._LM_HEAD_B:
                 params["lm_head"]["b"][...] = w.astype(np_dtype)
+                continue
+            if self._EMBED_LN_W and name == self._EMBED_LN_W:
+                params["embed_ln_w"][...] = w.astype(np_dtype)
+                continue
+            if self._EMBED_LN_B and name == self._EMBED_LN_B:
+                params["embed_ln_b"][...] = w.astype(np_dtype)
                 continue
             if not name.startswith(prefix):
                 continue

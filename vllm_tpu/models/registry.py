@@ -44,6 +44,16 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "FalconForCausalLM": ("vllm_tpu.models.misc_archs",
+                          "FalconForCausalLM"),
+    "RWForCausalLM": ("vllm_tpu.models.misc_archs", "FalconForCausalLM"),
+    "GPTJForCausalLM": ("vllm_tpu.models.misc_archs", "GPTJForCausalLM"),
+    "PersimmonForCausalLM": ("vllm_tpu.models.misc_archs",
+                             "PersimmonForCausalLM"),
+    "BloomForCausalLM": ("vllm_tpu.models.misc_archs",
+                         "BloomForCausalLM"),
+    "MptForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
+    "MPTForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_tpu.models.llama_variants",
                          "Olmo2ForCausalLM"),
     "GraniteForCausalLM": ("vllm_tpu.models.llama_variants",

@@ -102,6 +102,7 @@ def ragged_paged_attention_ref(
     layer=None,
     causal: bool = True,
     local_chunk: Optional[int] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # f32[num_q_heads]
 ) -> jnp.ndarray:
     """Reference jnp implementation (gathers all pages per request; O(T *
     max_ctx) memory — the numerics oracle for the Pallas kernel and the
@@ -143,6 +144,15 @@ def ragged_paged_attention_ref(
 
     scores = jnp.einsum("tkgd,tckd->tkgc", qg.astype(jnp.float32),
                         k_t.astype(jnp.float32)) * scale
+    if alibi_slopes is not None:
+        # ALiBi (reference: csrc attention kernels' alibi bias; used by
+        # Bloom/MPT/Baichuan-13B): bias = slope_h * (col - pos), negative
+        # for past keys, 0 at the query position.
+        dist = (jnp.arange(ctx, dtype=jnp.float32)[None, :] -
+                metadata.positions[:, None].astype(jnp.float32))
+        slopes = alibi_slopes.reshape(num_kv_heads, group)
+        scores = scores + (slopes[None, :, :, None] *
+                           dist[:, None, None, :])
     if logits_soft_cap is not None:
         scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
 
@@ -189,6 +199,7 @@ def attention(
     layer=None,
     causal: bool = True,
     local_chunk: Optional[int] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas ragged-paged-attention on TPU, jnp reference
     elsewhere.
@@ -199,8 +210,8 @@ def attention(
     kernel like the reference backend (v1/attention/backends/pallas.py
     head pad to 128) instead of falling back.
     """
-    if causal and local_chunk is None and _use_pallas() \
-            and q.shape[-1] % 128 == 0:
+    if causal and local_chunk is None and alibi_slopes is None \
+            and _use_pallas() and q.shape[-1] % 128 == 0:
         try:
             from vllm_tpu.ops.pallas.ragged_paged_attention import (
                 ragged_paged_attention)
@@ -217,4 +228,4 @@ def attention(
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
         k_scale=k_scale, v_scale=v_scale, layer=layer, causal=causal,
-        local_chunk=local_chunk)
+        local_chunk=local_chunk, alibi_slopes=alibi_slopes)
