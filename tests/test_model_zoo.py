@@ -178,6 +178,24 @@ def make_hf_model(arch):
         return MptForCausalLM(
             MptConfig(vocab_size=128, d_model=64, n_layers=2, n_heads=4,
                       max_seq_len=256))
+    if arch == "olmoe":
+        from transformers import OlmoeConfig, OlmoeForCausalLM
+
+        return OlmoeForCausalLM(
+            OlmoeConfig(num_key_value_heads=2, num_experts=8,
+                        num_experts_per_tok=2, norm_topk_prob=False,
+                        **common))
+    if arch == "granitemoe":
+        from transformers import (GraniteMoeConfig,
+                                  GraniteMoeForCausalLM)
+
+        return GraniteMoeForCausalLM(
+            GraniteMoeConfig(num_key_value_heads=2, num_local_experts=4,
+                             num_experts_per_tok=2,
+                             embedding_multiplier=6.0,
+                             residual_multiplier=0.5,
+                             attention_multiplier=0.1,
+                             logits_scaling=3.0, **common))
     if arch == "deepseek_v2":
         from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
 
@@ -215,7 +233,7 @@ def make_hf_model(arch):
     "mixtral", "phi3", "deepseek_v2", "deepseek_v3", "gpt_neox",
     "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere", "olmo2",
     "granite", "glm4", "nemotron", "falcon", "falcon7b", "gptj",
-    "persimmon", "bloom", "mpt"
+    "persimmon", "bloom", "mpt", "olmoe", "granitemoe"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch

@@ -153,6 +153,14 @@ class MixtralForCausalLM(LlamaForCausalLM):
             key, part, transpose = entry
             if transpose:
                 w = w.T
+            if part == "granite_in":
+                # HF [E, 2I, H] fused gate|up -> [E, H, 2I]
+                layers[key][li] = w.transpose(0, 2, 1).astype(np_dtype)
+                continue
+            if part == "granite_out":
+                # HF [E, H, I] -> [E, I, H]
+                layers[key][li] = w.transpose(0, 2, 1).astype(np_dtype)
+                continue
             if "@" in key:
                 base, e = key.split("@")
                 e = int(e)
@@ -200,6 +208,148 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
             m[f"mlp.experts.{e}.down_proj.weight"] = (
                 f"experts_down@{e}", "", True)
         return m
+
+
+class OlmoeForCausalLM(MixtralForCausalLM):
+    """OLMoE (reference: models/olmoe.py): Mixtral-style MoE with
+    FULL-WIDTH q/k RMSNorm applied before rope; router does not
+    renormalize top-k weights."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        self.num_experts = int(getattr(hf, "num_experts", 64))
+        self.top_k = int(getattr(hf, "num_experts_per_tok", 8))
+        self.moe_intermediate = int(getattr(hf, "intermediate_size", 1024))
+        self.norm_topk = bool(getattr(hf, "norm_topk_prob", False))
+        return args
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        a = self.args
+        L = a.num_layers
+        layers["q_norm"] = np.empty((L, a.num_heads * a.head_dim),
+                                    np_dtype)
+        layers["k_norm"] = np.empty((L, a.num_kv_heads * a.head_dim),
+                                    np_dtype)
+        return layers
+
+    def _hf_layer_map(self):
+        m = LlamaForCausalLM._hf_layer_map(self)
+        m["self_attn.q_norm.weight"] = ("q_norm", "", False)
+        m["self_attn.k_norm.weight"] = ("k_norm", "", False)
+        m["mlp.gate.weight"] = ("router.w", "", True)
+        for e in range(self.num_experts):
+            m[f"mlp.experts.{e}.gate_proj.weight"] = (
+                f"experts_gate_up@{e}", "gate", True)
+            m[f"mlp.experts.{e}.up_proj.weight"] = (
+                f"experts_gate_up@{e}", "up", True)
+            m[f"mlp.experts.{e}.down_proj.weight"] = (
+                f"experts_down@{e}", "", True)
+        return m
+
+    def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
+                       **_cfg):
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        from vllm_tpu.ops.attention import attention, write_kv_cache
+        from vllm_tpu.ops.rotary import apply_rope
+
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = linear(h, lp["qkv"], layer=li)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        # full-projection-width q/k norm BEFORE the head split
+        q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
+        k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+        attn_out = attention(q, kv, metadata, self.scale, layer=li)
+        x = x + linear(attn_out.reshape(T, nq * d), lp["o"], layer=li)
+
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        router_logits = linear(h, lp["router"], layer=li)
+        weights, expert_ids = topk_routing(router_logits, self.top_k,
+                                           renormalize=self.norm_topk)
+        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
+                for k2, v2 in lp.items() if k2.startswith("experts")}
+        return x + self._moe(h, lp_l, weights, expert_ids, args.act), kv
+
+
+class GraniteMoeForCausalLM(MixtralForCausalLM):
+    """Granite 3.x MoE (reference: models/granitemoe.py): granite's
+    embedding/residual/attention/logits multipliers + MoE with
+    expert-stacked fused input_linear/output_linear weights."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        self.num_experts = int(getattr(hf, "num_local_experts", 8))
+        self.top_k = int(getattr(hf, "num_experts_per_tok", 2))
+        self.moe_intermediate = int(getattr(hf, "intermediate_size", 1024))
+        emb_mult = float(getattr(hf, "embedding_multiplier", 1.0))
+        res_mult = float(getattr(hf, "residual_multiplier", 1.0))
+        logits_scaling = float(getattr(hf, "logits_scaling", 1.0))
+        args = dataclass_replace(
+            args,
+            embedding_multiplier=(emb_mult if emb_mult != 1.0 else None),
+            residual_multiplier=res_mult,
+            logits_scale=(1.0 / logits_scaling
+                          if logits_scaling != 1.0 else None))
+        return args
+
+    def __init__(self, model_config, args=None) -> None:
+        super().__init__(model_config, args)
+        hf = model_config.resolve_hf_config()
+        am = getattr(hf, "attention_multiplier", None)
+        if am is not None:
+            self.scale = float(am)
+
+    def _hf_layer_map(self):
+        m = LlamaForCausalLM._hf_layer_map(self)
+        m["block_sparse_moe.router.layer.weight"] = ("router.w", "", True)
+        # expert-stacked fused weights land directly (see load_weights)
+        m["block_sparse_moe.input_linear.weight"] = (
+            "experts_gate_up", "granite_in", False)
+        m["block_sparse_moe.output_linear.weight"] = (
+            "experts_down", "granite_out", False)
+        return m
+
+    def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
+                       **_cfg):
+        # Mixtral layer + granite residual multiplier
+        args = self.args
+        res_mult = jnp.asarray(args.residual_multiplier, x.dtype)
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        from vllm_tpu.ops.attention import attention, write_kv_cache
+        from vllm_tpu.ops.rotary import apply_rope
+
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = linear(h, lp["qkv"], layer=li)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+        attn_out = attention(q, kv, metadata, self.scale, layer=li)
+        x = x + linear(attn_out.reshape(T, nq * d), lp["o"],
+                       layer=li) * res_mult
+
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        router_logits = linear(h, lp["router"], layer=li)
+        weights, expert_ids = topk_routing(router_logits, self.top_k,
+                                           renormalize=True)
+        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
+                for k2, v2 in lp.items() if k2.startswith("experts")}
+        moe_out = self._moe(h, lp_l, weights, expert_ids, args.act)
+        return x + moe_out * res_mult, kv
 
 
 class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):

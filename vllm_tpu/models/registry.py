@@ -44,6 +44,9 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "OlmoeForCausalLM": ("vllm_tpu.models.mixtral", "OlmoeForCausalLM"),
+    "GraniteMoeForCausalLM": ("vllm_tpu.models.mixtral",
+                              "GraniteMoeForCausalLM"),
     "FalconForCausalLM": ("vllm_tpu.models.misc_archs",
                           "FalconForCausalLM"),
     "RWForCausalLM": ("vllm_tpu.models.misc_archs", "FalconForCausalLM"),
