@@ -133,3 +133,66 @@ def test_bert_cross_encoder_engine_score(bert_dir):
         got = np.asarray(outs[r].outputs.data)
         np.testing.assert_allclose(got, expected[r], rtol=2e-4,
                                    atol=2e-4)
+
+
+# ------------------------------------------------------------ XLM-RoBERTa
+
+@pytest.fixture(scope="module")
+def roberta_dir(tmp_path_factory):
+    import torch
+    from transformers import (XLMRobertaConfig,
+                              XLMRobertaForSequenceClassification)
+
+    torch.manual_seed(0)
+    cfg = XLMRobertaConfig(vocab_size=128, hidden_size=64,
+                           intermediate_size=128, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           max_position_embeddings=66, num_labels=1,
+                           type_vocab_size=1, pad_token_id=1)
+    m = XLMRobertaForSequenceClassification(cfg)
+    m.eval()
+    d = tmp_path_factory.mktemp("xlmr")
+    m.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_xlm_roberta_hidden_match_hf(roberta_dir):
+    import torch
+    from transformers import XLMRobertaForSequenceClassification
+
+    hf = XLMRobertaForSequenceClassification.from_pretrained(roberta_dir)
+    hf.eval()
+    expected = []
+    with torch.no_grad():
+        for toks in TOKENS:
+            out = hf.roberta(torch.tensor([toks])).last_hidden_state[0]
+            expected.append(out.numpy())
+
+    model, params = _load(roberta_dir,
+                          arch="XLMRobertaForSequenceClassification")
+    hidden, _ = _forward_packed(model, params)
+    offset = 0
+    for r, toks in enumerate(TOKENS):
+        np.testing.assert_allclose(hidden[offset:offset + len(toks)],
+                                   expected[r], rtol=3e-4, atol=3e-4)
+        offset += len(toks)
+
+
+def test_xlm_roberta_reranker_scores_match_hf(roberta_dir):
+    import torch
+    from transformers import XLMRobertaForSequenceClassification
+
+    hf = XLMRobertaForSequenceClassification.from_pretrained(roberta_dir)
+    hf.eval()
+    with torch.no_grad():
+        expected = [hf(torch.tensor([toks])).logits[0].numpy()
+                    for toks in TOKENS]
+
+    model, params = _load(roberta_dir,
+                          arch="XLMRobertaForSequenceClassification")
+    hidden, metadata = _forward_packed(model, params)
+    scores = np.asarray(model.classify(params, jnp.asarray(hidden),
+                                       metadata))
+    for r in range(len(TOKENS)):
+        np.testing.assert_allclose(scores[r], expected[r], rtol=3e-4,
+                                   atol=3e-4)

@@ -256,3 +256,98 @@ class BertForSequenceClassification(BertEmbeddingModel):
         cls = hidden[metadata.query_start_loc[:-1]]
         pooled = self.pooler_head(params, cls)
         return linear(pooled, params["classifier"])
+
+
+class XLMRobertaModel(BertEmbeddingModel):
+    """XLM-RoBERTa embedding model (bge-m3 family; reference:
+    models/roberta.py): BERT encoder with padding-offset learned
+    positions (position id = pos + padding_idx + 1)."""
+
+    _PREFIX = "roberta."
+
+    def __init__(self, model_config: ModelConfig,
+                 args: Optional[BertArgs] = None) -> None:
+        super().__init__(model_config, args)
+        hf = model_config.resolve_hf_config()
+        self.pad_offset = int(getattr(hf, "pad_token_id", 1) or 1) + 1
+
+    def forward(self, params, input_ids, kv_caches, metadata, lora=None,
+                embed_override=None):
+        a = self.args
+        # roberta's learned positions are shifted by padding_idx + 1
+        pos = jnp.clip(metadata.positions + self.pad_offset, 0,
+                       a.max_position - 1)
+        T = input_ids.shape[0]
+        kv = kv_caches[0]
+        x = self.embed(params, input_ids)
+        x = x + params["pos_embed"][pos] + params["type_embed"][0]
+        x = layer_norm(x, params["embed_ln_w"], params["embed_ln_b"],
+                       a.ln_eps)
+        lp = jax.tree.map(jnp.asarray, params["layers"])
+
+        def layer_step(carry, li):
+            x, kv = carry
+            nq, d = a.num_heads, a.head_dim
+            qkv = linear(x, lp["qkv"], layer=li)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(T, nq, d)
+            k = k.reshape(T, nq, d)
+            v = v.reshape(T, nq, d)
+            kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
+            o = attention(q, kv, metadata, self.scale, layer=li,
+                          causal=False)
+            o = linear(o.reshape(T, nq * d), lp["attn_out"], layer=li)
+            x = layer_norm(x + o, lp["attn_ln_w"][li],
+                           lp["attn_ln_b"][li], a.ln_eps)
+            h = jax.nn.gelu(linear(x, lp["inter"], layer=li).astype(
+                jnp.float32), approximate=False).astype(x.dtype)
+            h = linear(h, lp["out"], layer=li)
+            x = layer_norm(x + h, lp["out_ln_w"][li], lp["out_ln_b"][li],
+                           a.ln_eps)
+            return (x, kv), None
+
+        (x, kv), _ = jax.lax.scan(layer_step, (x, kv),
+                                  jnp.arange(a.num_layers))
+        return x, [kv]
+
+
+class XLMRobertaForSequenceClassification(XLMRobertaModel):
+    """Cross-encoder reranker (bge-reranker family; reference:
+    models/roberta.py RobertaForSequenceClassification): RoBERTa
+    classification head = out_proj(tanh(dense(CLS)))."""
+
+    def __init__(self, model_config: ModelConfig,
+                 args: Optional[BertArgs] = None) -> None:
+        hf = model_config.resolve_hf_config()
+        args = args or BertArgs.from_hf_config(
+            hf, num_labels=int(getattr(hf, "num_labels", 1)))
+        super().__init__(model_config, args)
+
+    def load_weights(self, weights_iter):
+        extra = {}
+
+        def tap(it):
+            for name, w in it:
+                if name.startswith("classifier."):
+                    extra[name] = np.asarray(w)
+                yield name, w
+
+        params = super().load_weights(tap(weights_iter))
+        npd = np.float32 if self.dtype == jnp.float32 else np.dtype(
+            "bfloat16")
+        if "classifier.dense.weight" in extra:
+            params["cls_dense"] = {
+                "w": extra["classifier.dense.weight"].T.astype(npd),
+                "b": extra["classifier.dense.bias"].astype(npd),
+            }
+            params["classifier"] = {
+                "w": extra["classifier.out_proj.weight"].T.astype(npd),
+                "b": extra["classifier.out_proj.bias"].astype(npd),
+            }
+        return params
+
+    def classify(self, params, hidden, metadata) -> jnp.ndarray:
+        cls = hidden[metadata.query_start_loc[:-1]]
+        h = jnp.tanh(linear(cls, params["cls_dense"]).astype(
+            jnp.float32)).astype(cls.dtype)
+        return linear(h, params["classifier"])

@@ -45,6 +45,12 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
     "OlmoeForCausalLM": ("vllm_tpu.models.mixtral", "OlmoeForCausalLM"),
+    "XLMRobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),
+    "RobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),
+    "XLMRobertaForSequenceClassification": (
+        "vllm_tpu.models.bert", "XLMRobertaForSequenceClassification"),
+    "RobertaForSequenceClassification": (
+        "vllm_tpu.models.bert", "XLMRobertaForSequenceClassification"),
     "GraniteMoeForCausalLM": ("vllm_tpu.models.mixtral",
                               "GraniteMoeForCausalLM"),
     "FalconForCausalLM": ("vllm_tpu.models.misc_archs",
