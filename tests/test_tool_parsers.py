@@ -78,3 +78,81 @@ def test_registry():
         get_tool_parser("nope")
     with pytest.raises(ValueError):
         get_reasoning_parser("nope")
+
+
+# ------------------------------------------------- round-2 parser breadth
+
+import json as _json
+
+import pytest as _pytest
+
+from vllm_tpu.entrypoints.openai.tool_parsers import get_tool_parser
+
+_CASES = [
+    ("deepseek_v3",
+     "thinking<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+     "<｜tool▁sep｜>get_weather\n```json\n{\"city\": \"SF\"}\n```"
+     "<｜tool▁call▁end｜><｜tool▁calls▁end｜>",
+     [("get_weather", {"city": "SF"})], "thinking"),
+    ("kimi_k2",
+     "<|tool_calls_section_begin|><|tool_call_begin|>"
+     "functions.get_weather:0<|tool_call_argument_begin|>"
+     "{\"city\": \"SF\"}<|tool_call_end|><|tool_calls_section_end|>",
+     [("get_weather", {"city": "SF"})], None),
+    ("internlm",
+     "I will check.<|action_start|><|plugin|>"
+     "{\"name\": \"get_weather\", \"parameters\": {\"city\": \"SF\"}}"
+     "<|action_end|>",
+     [("get_weather", {"city": "SF"})], "I will check."),
+    ("jamba",
+     " <tool_calls>[{\"name\": \"f\", \"arguments\": {\"a\": 1}}]"
+     "</tool_calls>",
+     [("f", {"a": 1})], None),
+    ("hunyuan_a13b",
+     "<tool_calls>[{\"name\": \"f\", \"arguments\": {}}]</tool_calls>",
+     [("f", {})], None),
+    ("minimax",
+     "ok\n<tool_calls>\n{\"name\": \"a\", \"arguments\": {\"x\": 2}}\n"
+     "{\"name\": \"b\", \"arguments\": {}}\n</tool_calls>",
+     [("a", {"x": 2}), ("b", {})], "ok"),
+    ("granite",
+     "<|tool_call|>[{\"name\": \"f\", \"arguments\": {\"q\": \"hi\"}}]",
+     [("f", {"q": "hi"})], None),
+    ("granite-20b-fc",
+     "<function_call> {\"name\": \"f\", \"arguments\": {\"q\": 1}}"
+     "<function_call> {\"name\": \"g\", \"arguments\": {}}",
+     [("f", {"q": 1}), ("g", {})], None),
+    ("phi4_mini_json",
+     "functools[{\"name\": \"f\", \"arguments\": {\"u\": \"v\"}}]",
+     [("f", {"u": "v"})], None),
+    ("qwen3_coder",
+     "<tool_call><function=get_weather><parameter=city>SF</parameter>"
+     "<parameter=days>3</parameter></function></tool_call>",
+     [("get_weather", {"city": "SF", "days": 3})], None),
+    ("glm45",
+     "<tool_call>get_weather\n<arg_key>city</arg_key>"
+     "<arg_value>SF</arg_value></tool_call>",
+     [("get_weather", {"city": "SF"})], None),
+    ("xlam",
+     "```json\n[{\"name\": \"f\", \"arguments\": {\"k\": true}}]\n```",
+     [("f", {"k": True})], None),
+]
+
+
+@_pytest.mark.parametrize("name,text,expected,content",
+                          _CASES, ids=[c[0] for c in _CASES])
+def test_round2_parsers_extract(name, text, expected, content):
+    out = get_tool_parser(name).extract(text)
+    assert out.tools_called
+    got = [(c["function"]["name"],
+            _json.loads(c["function"]["arguments"]))
+           for c in out.tool_calls]
+    assert got == expected
+    assert out.content == content
+
+
+@_pytest.mark.parametrize("name", [c[0] for c in _CASES])
+def test_round2_parsers_plain_text_passthrough(name):
+    out = get_tool_parser(name).extract("just a normal answer")
+    assert not out.tools_called
+    assert out.content == "just a normal answer"
