@@ -144,5 +144,10 @@ def compile_grammar(params: SamplingParams, tokenizer) -> TokenGrammar:
 
         pattern = json_schema_to_regex(params.guided_json)
         return TokenGrammar(regex_to_dfa(pattern), tokenizer, eos)
-    raise ValueError("guided_grammar (EBNF) is not supported by the "
-                     "builtin backend")
+    if params.guided_grammar is not None:
+        from vllm_tpu.structured_output.ebnf import ebnf_to_regex
+        from vllm_tpu.structured_output.regex_dfa import regex_to_dfa
+
+        pattern = ebnf_to_regex(params.guided_grammar)
+        return TokenGrammar(regex_to_dfa(pattern), tokenizer, eos)
+    raise ValueError("no structured-output constraint in params")

@@ -32,12 +32,47 @@ def wants_structured_output(params: SamplingParams) -> bool:
                 params.guided_choice, params.guided_grammar))
 
 
+class _PendingGrammar:
+    """Placeholder FSM state while the grammar compiles in the pool."""
+
+    def __init__(self, cached, key: str,
+                 manager: "StructuredOutputManager") -> None:
+        self._cached = cached
+        self._key = key
+        self._manager = manager
+
+    def poll(self):
+        from concurrent.futures import Future
+
+        cached = self._manager._grammar_cache.get(self._key, self._cached)
+        if isinstance(cached, Future):
+            if not cached.done():
+                return None
+            grammar = cached.result()  # propagate compile errors
+            self._manager._grammar_cache[self._key] = grammar
+            return grammar
+        return cached
+
+
 class StructuredOutputManager:
 
+    _CACHE_CAP = 128
+
     def __init__(self, engine_config: EngineConfig) -> None:
+        from collections import OrderedDict
+        from concurrent.futures import ThreadPoolExecutor
+
         self.config = engine_config
-        self._grammar_cache: dict = {}
+        # LRU-bounded compiled-grammar cache (unbounded growth bites at
+        # scale with many distinct schemas)
+        self._grammar_cache: "OrderedDict[str, object]" = OrderedDict()
         self.tokenizer = None  # attached lazily by the engine front-end
+        # Grammar compilation is O(vocab x DFA states) — run it off the
+        # engine busy loop; requests sit in WAITING_FOR_FSM until the
+        # future resolves (reference: async compile behind
+        # WAITING_FOR_FSM, v1/structured_output/__init__.py:32).
+        self._pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="grammar-compile")
 
     def attach_tokenizer(self, tokenizer) -> None:
         self.tokenizer = tokenizer
@@ -54,15 +89,34 @@ class StructuredOutputManager:
         spec = (params.guided_choice, params.guided_regex,
                 params.guided_json, params.guided_grammar)
         key = repr(spec)
-        grammar = self._grammar_cache.get(key)
-        if grammar is None:
-            grammar = compile_grammar(params, self.tokenizer)
-            self._grammar_cache[key] = grammar
-        request.structured_output_request = grammar.new_state()
+        cached = self._grammar_cache.get(key)
+        if cached is not None:
+            self._grammar_cache.move_to_end(key)
+        else:
+            cached = self._pool.submit(compile_grammar, params,
+                                       self.tokenizer)
+            self._grammar_cache[key] = cached
+            while len(self._grammar_cache) > self._CACHE_CAP:
+                self._grammar_cache.popitem(last=False)
+        request.structured_output_request = _PendingGrammar(cached, key,
+                                                            self)
 
     def grammar_ready(self, request: "Request") -> bool:
-        # The builtin backend compiles synchronously; async compilation
-        # (WAITING_FOR_FSM) becomes meaningful with heavier backends.
+        state = request.structured_output_request
+        if isinstance(state, _PendingGrammar):
+            try:
+                grammar = state.poll()
+            except Exception:
+                # Compile failure: log and serve unconstrained rather
+                # than wedging the engine loop.
+                logger.exception(
+                    "grammar compilation failed for request %s; "
+                    "serving without the constraint", request.request_id)
+                request.structured_output_request = None
+                return True
+            if grammar is None:
+                return False
+            request.structured_output_request = grammar.new_state()
         return True
 
     def build_bitmask(self, requests: dict[str, "Request"],

@@ -711,10 +711,11 @@ class TPUModelRunner:
         # the grammar was compiled against; out-of-tokenizer ids are
         # never grammar-legal, so the tail words are zeroed.
         gwords = grammar.shape[1]
+        row_of = {rid: r for r, rid in enumerate(prep.req_ids)}
         for req_id, src_row in (
                 scheduler_output.structured_output_request_ids.items()):
-            if req_id in prep.req_ids:
-                row = prep.req_ids.index(req_id)
+            row = row_of.get(req_id)
+            if row is not None:
                 n = min(words, gwords)
                 bitmask[row, :n] = grammar[src_row][:n]
                 bitmask[row, n:] = 0
