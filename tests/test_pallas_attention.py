@@ -206,3 +206,50 @@ def test_write_mla_cache_roundtrip():
     np.testing.assert_allclose(flat[1, [8, 9, 10, 17, 25]],
                                np.asarray(c))
     assert np.abs(flat[0]).max() == 0
+
+
+# ------------------------------------------------------ decode row kernel
+
+@pytest.mark.parametrize("specs", [
+    [(1, 17), (1, 32), (1, 5), (1, 64), (1, 1)],  # pure decode, ragged ctx
+    [(1, 40)] * 11,  # uniform decode, partial last program
+    [(2, 30), (1, 7), (3, 9)],  # mixed short rows in a decode bucket
+])
+def test_decode_row_kernel_matches_reference(specs):
+    """Batched-row decode kernel (SB rows/program) vs jnp reference."""
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        _decode_attention_impl
+
+    rng = np.random.default_rng(len(specs))
+    total = sum(q for q, _ in specs)
+    R = max(len(specs), 4)
+    q, kv, meta, total_q = make_case(
+        rng, specs, num_q_heads=8, num_kv_heads=2, head=128, page=16,
+        max_blocks=8, token_pad=total + 3, req_pad=R)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.125)
+    out = _decode_attention_impl(
+        q, kv[None], jnp.asarray([0], jnp.int32), meta.query_start_loc,
+        meta.seq_lens, meta.block_tables, None, None, 0.125, None, None,
+        2)
+    np.testing.assert_allclose(np.asarray(out)[:total_q],
+                               np.asarray(ref)[:total_q],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_decode_row_kernel_sliding_window_and_cap():
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        _decode_attention_impl
+
+    rng = np.random.default_rng(3)
+    specs = [(1, 33), (1, 64), (1, 9)]
+    q, kv, meta, total_q = make_case(
+        rng, specs, num_q_heads=4, num_kv_heads=4, head=128, page=16,
+        max_blocks=8, token_pad=8, req_pad=4)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.2,
+                                     sliding_window=16, logits_soft_cap=30.0)
+    out = _decode_attention_impl(
+        q, kv[None], jnp.asarray([0], jnp.int32), meta.query_start_loc,
+        meta.seq_lens, meta.block_tables, None, None, 0.2, 16, 30.0, 2)
+    np.testing.assert_allclose(np.asarray(out)[:total_q],
+                               np.asarray(ref)[:total_q],
+                               rtol=2e-3, atol=2e-3)

@@ -85,6 +85,19 @@ def build_logical_blocks(query_start_loc: np.ndarray, num_tokens: int,
     return lb_seq, lb_q_start
 
 
+def _chunk_bounds(lb_seq_ref, lb_q_start_ref, cu_q_lens_ref, seq_lens_ref,
+                  lb, bq: int, C: int):
+    """(kv_len, num_chunks) for logical block lb (clamped to valid)."""
+    s = jnp.maximum(lb_seq_ref[lb], 0)
+    q_start = lb_q_start_ref[lb]
+    q_end_seq = cu_q_lens_ref[s + 1]
+    kv_len = seq_lens_ref[s]
+    last_row_t = jnp.minimum(q_start + bq, q_end_seq) - 1
+    kv_needed = jnp.minimum(kv_len, kv_len - (q_end_seq - last_row_t) + 1)
+    kv_needed = jnp.maximum(kv_needed, 0)
+    return kv_len, pl.cdiv(kv_needed, C)
+
+
 def _kernel(
     # scalar prefetch
     lb_seq_ref,  # i32[MAXLB]
@@ -97,12 +110,13 @@ def _kernel(
     q_hbm,  # [T + BQ, nq, d]
     kv_hbm,  # [L, N, ps, 2*nk, d]
     out_hbm,  # [T + BQ, nq, d]
-    # scratch
-    q_buf,  # VMEM [BQ, nq, d]
+    # scratch (persists across grid programs — the pipeline rides on it)
+    q_buf,  # VMEM [2, BQ, nq, d]
     kv_buf,  # VMEM [2, C, 2*nk, d]   C = CHUNK_PAGES * ps
-    out_buf,  # VMEM [BQ, nq, d]
-    q_sem,
-    out_sem,
+    out_buf,  # VMEM [2, BQ, nq, d]
+    pipe,  # SMEM [4]: [0]=kv chunk parity base, [1..2]=prev out q_start
+    q_sems,  # DMA sems [2]
+    out_sems,  # DMA sems [2]
     kv_sems,  # DMA sems [2, CHUNK_PAGES]
     *,
     bq: int,
@@ -117,52 +131,94 @@ def _kernel(
     kv_quant: bool,
     k_scale: float,
     v_scale: float,
+    maxlb: int,
 ):
+    """Decode is DMA-LATENCY-bound, not bandwidth-bound: at bs=256 the
+    grid runs ~270 sequential programs of ~1 chunk each, so per-program
+    DMA round-trips dominate (measured 4.5us/program = 60% of the step).
+    The fix is a software pipeline across grid programs (VMEM scratch and
+    semaphores persist): each program prefetches its SUCCESSOR's q tile
+    and first KV chunk while computing its own, and out-tile writeback is
+    double-buffered so no program waits on its own output DMA."""
     lb = pl.program_id(0)
     s = lb_seq_ref[lb]
+    C = chunk_pages * page_size
+
+    def chunk_dma_for(blk, slot, ci):
+        # CHUNK_PAGES page copies of logical block blk's chunk ci.
+        sb = jnp.maximum(lb_seq_ref[blk], 0)
+        kv_len_b = seq_lens_ref[sb]
+        copies = []
+        for p in range(chunk_pages):
+            page_pos = ci * chunk_pages + p
+            max_page = pl.cdiv(kv_len_b, page_size) - 1
+            safe_pos = jnp.clip(page_pos, 0, jnp.maximum(max_page, 0))
+            page_id = block_tables_ref[sb, safe_pos]
+            copies.append(
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer_ref[0], page_id],
+                    kv_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    kv_sems.at[slot, p]))
+        return copies
+
+    @pl.when(lb == 0)
+    def _prologue():
+        pipe[0] = 0
+        pipe[1] = -1
+        pipe[2] = -1
+
+        @pl.when(s >= 0)
+        def _():
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(lb_q_start_ref[0], bq)], q_buf.at[0],
+                q_sems.at[0]).start()
+            _, nc0 = _chunk_bounds(lb_seq_ref, lb_q_start_ref,
+                                   cu_q_lens_ref, seq_lens_ref, 0, bq, C)
+
+            @pl.when(nc0 > 0)
+            def _():
+                for cpy in chunk_dma_for(0, 0, 0):
+                    cpy.start()
 
     @pl.when(s >= 0)
     def _run():
         q_start = lb_q_start_ref[lb]
         q_end_seq = cu_q_lens_ref[s + 1]
         kv_len = seq_lens_ref[s]
-        C = chunk_pages * page_size
         nq = num_kv_heads * group
+        base = pipe[0]  # kv ping-pong parity at this program's chunk 0
+        qslot = jax.lax.rem(lb, 2)
 
-        # ---- q tile in
-        q_dma = pltpu.make_async_copy(
-            q_hbm.at[pl.ds(q_start, bq)], q_buf, q_sem)
-        q_dma.start()
+        _, num_chunks = _chunk_bounds(lb_seq_ref, lb_q_start_ref,
+                                      cu_q_lens_ref, seq_lens_ref, lb, bq,
+                                      C)
 
-        # causal upper bound on needed KV: position of the tile's last
-        # valid row + 1 (positions: pos(t) = kv_len - (q_end_seq - t)).
-        last_row_t = jnp.minimum(q_start + bq, q_end_seq) - 1
-        kv_needed = jnp.minimum(kv_len, kv_len - (q_end_seq - last_row_t) + 1)
-        kv_needed = jnp.maximum(kv_needed, 0)
-        num_chunks = pl.cdiv(kv_needed, C)
+        # ---- successor prefetch: q tile now; its first KV chunk after
+        # our last chunk's DMA has been issued (below).
+        nxt = jnp.minimum(lb + 1, maxlb - 1)
+        s_next = jnp.where(lb + 1 < maxlb, lb_seq_ref[nxt], -1)
 
-        def chunk_dma(slot, ci):
-            # CHUNK_PAGES page copies into the slot buffer.
-            copies = []
-            for p in range(chunk_pages):
-                page_pos = ci * chunk_pages + p
-                max_page = pl.cdiv(kv_len, page_size) - 1
-                safe_pos = jnp.clip(page_pos, 0, jnp.maximum(max_page, 0))
-                page_id = block_tables_ref[s, safe_pos]
-                copies.append(
-                    pltpu.make_async_copy(
-                        kv_hbm.at[layer_ref[0], page_id],
-                        kv_buf.at[slot, pl.ds(p * page_size, page_size)],
-                        kv_sems.at[slot, p]))
-            return copies
-
-        @pl.when(num_chunks > 0)
+        @pl.when(s_next >= 0)
         def _():
-            for c in chunk_dma(0, 0):
-                c.start()
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(lb_q_start_ref[nxt], bq)],
+                q_buf.at[1 - qslot], q_sems.at[1 - qslot]).start()
 
-        q_dma.wait()
-        qf = q_buf[...]  # model dtype; scale applied post-dot in fp32
+        _, nc_next = _chunk_bounds(lb_seq_ref, lb_q_start_ref,
+                                   cu_q_lens_ref, seq_lens_ref, nxt, bq, C)
+        next_slot = jax.lax.rem(base + num_chunks, 2)
+
+        @pl.when((s_next >= 0) & (nc_next > 0) & (num_chunks <= 1))
+        def _():
+            # 0- or 1-chunk program: our only in-flight chunk DMA is done
+            # being issued; launch the successor's chunk 0 immediately.
+            for cpy in chunk_dma_for(nxt, next_slot, 0):
+                cpy.start()
+
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds(q_start, bq)], q_buf.at[qslot],
+            q_sems.at[qslot]).wait()
+        qf = q_buf[qslot]  # model dtype; scale applied post-dot in fp32
 
         # row coordinates
         row_t = q_start + jax.lax.broadcasted_iota(
@@ -172,14 +228,23 @@ def _kernel(
 
         def body(ci, carry):
             m_all, l_all, acc_all = carry
-            slot = ci % 2
+            slot = jax.lax.rem(base + ci, 2)
 
             @pl.when(ci + 1 < num_chunks)
             def _():
-                for cpy in chunk_dma((ci + 1) % 2, ci + 1):
+                for cpy in chunk_dma_for(lb, jax.lax.rem(base + ci + 1, 2),
+                                         ci + 1):
                     cpy.start()
 
-            for cpy in chunk_dma(slot, ci):
+            @pl.when((ci + 1 == num_chunks) & (num_chunks >= 2)
+                     & (s_next >= 0) & (nc_next > 0))
+            def _():
+                # last in-seq chunk issued: launch the successor's first
+                # chunk so its data is landing while we finish computing.
+                for cpy in chunk_dma_for(nxt, next_slot, 0):
+                    cpy.start()
+
+            for cpy in chunk_dma_for(lb, slot, ci):
                 cpy.wait()
 
             col = ci * C + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -235,12 +300,36 @@ def _kernel(
         out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, BQ*G, d]
         out = out.reshape(num_kv_heads, bq, group, head_dim)
         out = out.transpose(1, 0, 2, 3).reshape(bq, nq, head_dim)
-        out_buf[...] = out.astype(out_buf.dtype)
 
-        out_dma = pltpu.make_async_copy(
-            out_buf, out_hbm.at[pl.ds(q_start, bq)], out_sem)
-        out_dma.start()
-        out_dma.wait()
+        # double-buffered writeback: drain the DMA issued on this slot
+        # two programs ago, then hand off without waiting on our own.
+        prev_qs = pipe[1 + qslot]
+
+        @pl.when(prev_qs >= 0)
+        def _():
+            pltpu.make_async_copy(
+                out_buf.at[qslot], out_hbm.at[pl.ds(prev_qs, bq)],
+                out_sems.at[qslot]).wait()
+
+        out_buf[qslot] = out.astype(out_buf.dtype)
+        pltpu.make_async_copy(
+            out_buf.at[qslot], out_hbm.at[pl.ds(q_start, bq)],
+            out_sems.at[qslot]).start()
+        pipe[1 + qslot] = q_start
+        pipe[0] = jax.lax.rem(base + num_chunks, 2)
+
+    @pl.when(lb == maxlb - 1)
+    def _drain():
+        # kernel-exit invariant: every started DMA waited. Each out slot
+        # has at most one outstanding writeback.
+        for oslot in (0, 1):
+            prev_qs = pipe[1 + oslot]
+
+            @pl.when(prev_qs >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    out_buf.at[oslot], out_hbm.at[pl.ds(prev_qs, bq)],
+                    out_sems.at[oslot]).wait()
 
 
 @functools.partial(
@@ -294,6 +383,7 @@ def _ragged_paged_attention_impl(
         kv_quant=kv_quant,
         k_scale=k_scale,
         v_scale=v_scale,
+        maxlb=maxlb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -304,11 +394,12 @@ def _ragged_paged_attention_impl(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((bq, nq, d), q.dtype),
+            pltpu.VMEM((2, bq, nq, d), q.dtype),
             pltpu.VMEM((2, C, two_nk, d), kv_cache.dtype),
-            pltpu.VMEM((bq, nq, d), q.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, bq, nq, d), q.dtype),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, chunk_pages)),
         ],
     )
@@ -326,6 +417,246 @@ def _ragged_paged_attention_impl(
         interpret=_INTERPRET,
     )(lb_seq, lb_q_start, query_start_loc, seq_lens, block_tables, layer,
       q_pad, kv_cache)
+    return out_pad[:T]
+
+
+# --------------------------------------------------------- decode kernel
+
+def _decode_kernel(
+    # scalar prefetch
+    row_seq_ref,  # i32[Tpad] seq of each token row (-1 pad)
+    cu_q_lens_ref,  # i32[R+1]
+    seq_lens_ref,  # i32[R]
+    block_tables_ref,  # i32[R, MAXP]
+    layer_ref,  # i32[1]
+    # tensors
+    q_ref,  # [SB, nq, d] auto-pipelined block
+    kv_hbm,  # [L, N, ps, 2nk, d] (ANY)
+    out_ref,  # [SB, nq, d] block
+    # scratch
+    kv_buf,  # VMEM [2, SB, C, 2nk, d]
+    kv_sems,  # DMA [2, SB, chunk_pages]
+    *,
+    sb: int,
+    chunk_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+    kv_quant: bool,
+    k_scale: float,
+    v_scale: float,
+):
+    """Decode-bucket kernel: SB token rows per program, each row
+    streaming its own sequence's KV pages. A Pallas program has ~3us of
+    fixed dispatch overhead (measured no-op kernel); the general kernel's
+    one-sequence-per-program decode grid (R programs) pays it R times,
+    this one R/SB times. All SB rows' chunk DMAs are issued in one batch
+    per chunk with a shared double buffer."""
+    prog = pl.program_id(0)
+    C = chunk_pages * page_size
+    r0 = prog * sb
+    nq = num_kv_heads * group
+
+    def row_params(j):
+        s = row_seq_ref[r0 + j]
+        valid = s >= 0
+        sc = jnp.maximum(s, 0)
+        kv_len = jnp.where(valid, seq_lens_ref[sc], 0)
+        # this row's absolute position (its own causal bound)
+        row_t = r0 + j
+        pos = kv_len - (cu_q_lens_ref[sc + 1] - row_t)
+        kv_needed = jnp.where(valid, jnp.minimum(kv_len, pos + 1), 0)
+        return sc, kv_len, pos, kv_needed
+
+    def chunk_dma(slot, ci):
+        copies = []
+        for j in range(sb):
+            sc, kv_len, _, kv_needed = row_params(j)
+            for p in range(chunk_pages):
+                page_pos = ci * chunk_pages + p
+                max_page = pl.cdiv(kv_len, page_size) - 1
+                safe_pos = jnp.clip(page_pos, 0, jnp.maximum(max_page, 0))
+                page_id = block_tables_ref[sc, safe_pos]
+                copies.append(
+                    pltpu.make_async_copy(
+                        kv_hbm.at[layer_ref[0], page_id],
+                        kv_buf.at[slot, j,
+                                  pl.ds(p * page_size, page_size)],
+                        kv_sems.at[slot, j, p]))
+        return copies
+
+    num_chunks = jnp.int32(0)
+    for j in range(sb):
+        _, _, _, kv_needed = row_params(j)
+        num_chunks = jnp.maximum(num_chunks, pl.cdiv(kv_needed, C))
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cpy in chunk_dma(0, 0):
+            cpy.start()
+
+    # Block-diagonal batching: per KV head, contract ALL SB rows' queries
+    # against the CONCATENATION of their KV chunks in one MXU pass
+    # ([SB*G, d] x [d, SB*C]) and mask the off-diagonal row/chunk pairs.
+    # SBx redundant FLOPs, but one M=SB*G pass replaces SB passes of
+    # M=G=4 whose fixed MXU latency dominated (measured: per-row dots
+    # made the kernel compute-bound at ~1ms/layer).
+    G = group
+
+    # per-row coordinate columns, broadcast over the G query heads
+    kv_len_rows, pos_rows = [], []
+    for j in range(sb):
+        _, kv_len_j, pos_j, _ = row_params(j)
+        kv_len_rows.append(jnp.full((G, 1), kv_len_j, jnp.int32))
+        pos_rows.append(jnp.full((G, 1), pos_j, jnp.int32))
+    kv_len_row = jnp.concatenate(kv_len_rows)  # [SB*G, 1]
+    pos_row = jnp.concatenate(pos_rows)  # [SB*G, 1]
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (sb * G, 1), 0) // G
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, sb * C), 1) // C
+    col_off = jax.lax.broadcasted_iota(jnp.int32, (1, sb * C), 1) % C
+    diag = row_blk == col_blk
+
+    def body(ci, carry):
+        m_all, l_all, acc_all = carry  # [nk, SB*G, 1] / [nk, SB*G, d]
+        slot = ci % 2
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            for cpy in chunk_dma((ci + 1) % 2, ci + 1):
+                cpy.start()
+
+        for cpy in chunk_dma(slot, ci):
+            cpy.wait()
+
+        col_abs = ci * C + col_off
+        ok = diag & (col_abs < kv_len_row) & (col_abs <= pos_row)
+        if sliding_window is not None:
+            ok &= col_abs > pos_row - sliding_window
+
+        kv_all = kv_buf[slot]  # [SB, C, 2nk, d]
+        qt = q_ref[...]  # [SB, nq, d]
+        new_m, new_l, new_acc = [], [], []
+        for h in range(num_kv_heads):
+            k_big = kv_all[:, :, h, :].reshape(sb * C, head_dim)
+            v_big = kv_all[:, :, num_kv_heads + h, :].reshape(
+                sb * C, head_dim)
+            if kv_quant:
+                k_big = (k_big.astype(jnp.float32) * k_scale).astype(
+                    qt.dtype)
+                v_big = (v_big.astype(jnp.float32) * v_scale).astype(
+                    qt.dtype)
+            q_h = qt[:, h * G:(h + 1) * G, :].reshape(sb * G, head_dim)
+            scores = jax.lax.dot_general(
+                q_h, k_big, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if soft_cap is not None:
+                scores = soft_cap * jnp.tanh(scores / soft_cap)
+            scores = jnp.where(ok, scores, NEG_INF)
+
+            m_prev, l_prev, acc_prev = m_all[h], l_all[h], acc_all[h]
+            m_cur = jnp.max(scores, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(scores - m_new)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_new)
+            pv = jax.lax.dot_general(
+                p.astype(v_big.dtype), v_big, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            new_m.append(m_new)
+            new_l.append(l_prev * alpha + l_cur)
+            new_acc.append(acc_prev * alpha + pv)
+        return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
+
+    init = (
+        jnp.full((num_kv_heads, sb * G, 1), NEG_INF, jnp.float32),
+        jnp.zeros((num_kv_heads, sb * G, 1), jnp.float32),
+        jnp.zeros((num_kv_heads, sb * G, head_dim), jnp.float32),
+    )
+    m_all, l_all, acc_all = jax.lax.fori_loop(0, num_chunks, body, init)
+
+    out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, SB*G, d]
+    out = out.reshape(num_kv_heads, sb, G, head_dim)
+    out = out.transpose(1, 0, 2, 3).reshape(sb, nq, head_dim)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_scale_arr", "v_scale_arr", "scale",
+                     "sliding_window", "logits_soft_cap", "chunk_pages"))
+def _decode_attention_impl(
+    q: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    layer: jnp.ndarray,
+    query_start_loc: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    k_scale_arr: Optional[float],
+    v_scale_arr: Optional[float],
+    scale: float,
+    sliding_window: Optional[int],
+    logits_soft_cap: Optional[float],
+    chunk_pages: int,
+) -> jnp.ndarray:
+    T, nq, d = q.shape
+    _, N, ps, two_nk, _ = kv_cache.shape
+    nk = two_nk // 2
+    group = nq // nk
+    R = seq_lens.shape[0]
+    SB = 16
+    num_progs = pl.cdiv(T, SB)
+
+    # row -> seq map (padding rows -> -1)
+    token_ids = jnp.arange(num_progs * SB, dtype=jnp.int32)
+    row_seq = jnp.searchsorted(query_start_loc[1:], token_ids,
+                               side="right").astype(jnp.int32)
+    total = query_start_loc[-1]
+    row_seq = jnp.where((token_ids < total) & (row_seq < R), row_seq, -1)
+
+    q_pad = jnp.pad(q, ((0, num_progs * SB - T), (0, 0), (0, 0)))
+    C = chunk_pages * ps
+    kernel = functools.partial(
+        _decode_kernel,
+        sb=SB,
+        chunk_pages=chunk_pages,
+        page_size=ps,
+        num_kv_heads=nk,
+        group=group,
+        head_dim=d,
+        scale=scale,
+        sliding_window=sliding_window,
+        soft_cap=logits_soft_cap,
+        kv_quant=kv_cache.dtype != q.dtype,
+        k_scale=k_scale_arr if k_scale_arr is not None else 1.0,
+        v_scale=v_scale_arr if v_scale_arr is not None else 1.0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_progs,),
+        in_specs=[
+            pl.BlockSpec((SB, nq, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # kv
+        ],
+        out_specs=pl.BlockSpec((SB, nq, d), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, SB, C, two_nk, d), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, SB, chunk_pages)),
+        ],
+    )
+    out_pad = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_progs * SB, nq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(row_seq, query_start_loc, seq_lens, block_tables, layer, q_pad,
+      kv_cache)
     return out_pad[:T]
 
 
@@ -349,6 +680,15 @@ def ragged_paged_attention(
         kv_cache = kv_cache[None]
         layer = 0
     layer_arr = jnp.asarray([layer if layer is not None else 0], jnp.int32)
+    T = q.shape[0]
+    R = metadata.seq_lens.shape[0]
+    if q_block_size(T, R) == 16:
+        # decode-shaped bucket: the batched-row kernel amortizes the
+        # ~3us fixed per-program cost over SB rows
+        return _decode_attention_impl(
+            q, kv_cache, layer_arr, metadata.query_start_loc,
+            metadata.seq_lens, metadata.block_tables, k_scale, v_scale,
+            scale, sliding_window, logits_soft_cap, chunk_pages)
     return _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
