@@ -74,3 +74,30 @@ def test_spec_with_seeded_sampling_deterministic(tiny_model_dir):
     a = llm.generate(prompt, sp)[0].outputs[0].token_ids
     b = llm.generate(prompt, sp)[0].outputs[0].token_ids
     assert a == b
+
+
+def test_spec_decode_with_logprobs(tiny_model_dir):
+    """Logprobs flow under spec decode (previously silently dropped):
+    greedy logprobs with spec must match plain greedy logprobs."""
+    from vllm_tpu.sampling_params import SamplingParams
+
+    prompt = ("the quick brown fox jumps over the lazy dog the quick "
+              "brown fox jumps over the lazy dog the quick brown")
+    params = SamplingParams(temperature=0.0, max_tokens=12,
+                            ignore_eos=True, logprobs=3)
+
+    plain = make_llm(tiny_model_dir, spec=False)
+    base = plain.generate(prompt, params)[0].outputs[0]
+    del plain
+    spec = make_llm(tiny_model_dir, spec=True)
+    got = spec.generate(prompt, params)[0].outputs[0]
+
+    assert got.token_ids == base.token_ids
+    assert got.logprobs is not None and len(got.logprobs) == len(
+        got.token_ids)
+    for lp_spec, lp_base, tok in zip(got.logprobs, base.logprobs,
+                                     base.token_ids):
+        assert tok in lp_spec
+        a = getattr(lp_spec[tok], "logprob", lp_spec[tok])
+        b = getattr(lp_base[tok], "logprob", lp_base[tok])
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)

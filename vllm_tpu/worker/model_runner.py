@@ -364,8 +364,20 @@ class TPUModelRunner:
                         draft_params, params, draft_kv, input_ids, hidden,
                         metadata, tokens, num_emitted,
                         arrs["spec_num_drafts"], max_model_len)
+                lp = None
+                if num_logprobs > 0:
+                    # logprobs for every verify position (the host keeps
+                    # rows < num_emitted); the emitted tokens ARE the
+                    # per-position samples for the accepted prefix
+                    # (reference: rejection_sampler.py logprobs support)
+                    R_, P_, V_ = logits.shape
+                    flat = compute_logprobs(
+                        logits.reshape(R_ * P_, V_),
+                        tokens.reshape(R_ * P_), num_logprobs)
+                    lp = tuple(
+                        x.reshape(R_, P_, *x.shape[1:]) for x in flat)
                 return (kv_caches, draft_kv), _rep(
-                    (tokens, num_emitted, next_drafts)), None
+                    (tokens, num_emitted, next_drafts)), _rep(lp)
             sel = hidden[logits_indices]
             logits = model.compute_logits(params, sel)
             tokens = sample(logits, sampling)
@@ -442,8 +454,6 @@ class TPUModelRunner:
                 min(max(prep.num_logprobs.max() + 1, 1),
                     self.max_logprobs))
         spec = prep.spec_logits_indices is not None
-        if spec:
-            num_logprobs = 0  # logprobs + spec decode: later milestone
 
         i32_blob, f32_blob, layout = self._pack_blobs(prep)
 
@@ -491,7 +501,8 @@ class TPUModelRunner:
             next_drafts = (np.asarray(tokens_dev[2])
                            if tokens_dev[2] is not None else None)
             return self._build_spec_output(prep, emitted, num_emitted,
-                                           next_drafts)
+                                           next_drafts, lp_dev,
+                                           num_logprobs)
         tokens = np.asarray(tokens_dev[0])
         out = self._build_output(scheduler_output, prep, tokens, lp_dev,
                                  num_logprobs)
@@ -575,11 +586,18 @@ class TPUModelRunner:
     def _build_spec_output(
             self, prep: PreparedInputs, emitted: np.ndarray,
             num_emitted: np.ndarray,
-            next_drafts: Optional[np.ndarray] = None) -> ModelRunnerOutput:
+            next_drafts: Optional[np.ndarray] = None, lp_dev=None,
+            num_logprobs: int = 0) -> ModelRunnerOutput:
         req_ids: list[str] = []
         sampled: list[list[int]] = []
         spec_out: Optional[list[list[int]]] = (
             [] if next_drafts is not None else None)
+        logprobs_out = None
+        if num_logprobs > 0 and lp_dev is not None:
+            topk_vals = np.asarray(lp_dev[0])  # [R, 1+S, K]
+            topk_ids = np.asarray(lp_dev[1])
+            sampled_info = np.asarray(lp_dev[2])
+            logprobs_out = []
         for row, rid in enumerate(prep.req_ids):
             req_ids.append(rid)
             if prep.sample_valid[row]:
@@ -589,13 +607,31 @@ class TPUModelRunner:
                 self.input_batch.append_sampled(rid, toks)
                 if spec_out is not None:
                     spec_out.append(next_drafts[row].tolist())
+                if logprobs_out is not None:
+                    want = int(prep.num_logprobs[row])
+                    if want >= 0:
+                        per_tok = []
+                        for j, tok in enumerate(toks):
+                            d = {
+                                int(topk_ids[row, j, k]):
+                                float(topk_vals[row, j, k])
+                                for k in range(min(want, num_logprobs))
+                            }
+                            d[tok] = float(sampled_info[row, j, 0])
+                            per_tok.append(d)
+                        logprobs_out.append(per_tok)
+                    else:
+                        logprobs_out.append(None)
             else:
                 sampled.append([])
                 if spec_out is not None:
                     spec_out.append([])
+                if logprobs_out is not None:
+                    logprobs_out.append(None)
         return ModelRunnerOutput(req_ids=req_ids,
                                  sampled_token_ids=sampled,
-                                 spec_token_ids=spec_out)
+                                 spec_token_ids=spec_out,
+                                 logprobs=logprobs_out)
 
     def _build_output(self, scheduler_output: SchedulerOutput,
                       prep: PreparedInputs, tokens: np.ndarray, lp_dev,
