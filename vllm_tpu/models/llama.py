@@ -244,8 +244,7 @@ class LlamaForCausalLM:
         if args.qk_norm:
             q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
             k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
-        q, k = apply_rope(q, k, metadata.positions, inv_freq,
-                          args.rope.is_neox_style, self.rope_mscale)
+        q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
         attn_out = attention(q, kv, metadata, self.scale,
                              sliding_window=sliding_window,
@@ -266,6 +265,14 @@ class LlamaForCausalLM:
                          lora_ctx, "down")
         x = x + (ffw if res_mult is None else ffw * res_mult)
         return x, kv
+
+    def _apply_rope_qk(self, q, k, metadata, inv_freq=None):
+        """Positional-encoding hook; MRoPE models override
+        (reference: rotary_embedding.py MRotaryEmbedding)."""
+        if inv_freq is None:
+            inv_freq = self.inv_freq
+        return apply_rope(q, k, metadata.positions, inv_freq,
+                          self.args.rope.is_neox_style, self.rope_mscale)
 
     def compute_logits(self, params: dict,
                        hidden: jnp.ndarray) -> jnp.ndarray:

@@ -45,6 +45,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                              "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
     "OlmoeForCausalLM": ("vllm_tpu.models.mixtral", "OlmoeForCausalLM"),
+    "Qwen2VLForConditionalGeneration": (
+        "vllm_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "XLMRobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),
     "RobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),
     "XLMRobertaForSequenceClassification": (

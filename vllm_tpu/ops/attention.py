@@ -47,6 +47,9 @@ class AttentionMetadata:
     # SSM models: persistent state slot per request row (see
     # models/mamba2.py); attention models ignore it
     state_slots: Optional[jnp.ndarray] = None  # i32[R]
+    # MRoPE models (Qwen2-VL family): 3D positions (temporal, height,
+    # width) per token; None for standard-rope models
+    mrope_positions: Optional[jnp.ndarray] = None  # i32[3, T]
 
 
 def write_kv_cache(

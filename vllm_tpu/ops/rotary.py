@@ -115,6 +115,51 @@ def compute_inv_freq(cfg: RopeConfig) -> tuple[jnp.ndarray, float]:
     return inv_freq, mscale
 
 
+def apply_mrope(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    positions3: jnp.ndarray,  # i32[3, T] (temporal, height, width)
+    inv_freq: jnp.ndarray,
+    mrope_section: tuple[int, ...],  # half-dim split (t, h, w)
+    mscale: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multimodal rotary (MRoPE; reference: rotary_embedding.py
+    MRotaryEmbedding, Qwen2-VL family): each half-dim frequency band
+    takes its angle from the temporal/height/width position row
+    according to ``mrope_section``; text tokens carry identical rows so
+    MRoPE degenerates to standard neox rope for them."""
+    import numpy as np
+
+    half = inv_freq.shape[0]
+    assert sum(mrope_section) == half, (mrope_section, half)
+    # static frequency-band -> position-row selector
+    band = np.concatenate([
+        np.full(s, i, np.int32) for i, s in enumerate(mrope_section)
+    ])
+    angles3 = (positions3.astype(jnp.float32)[:, :, None] *
+               inv_freq[None, None, :])  # [3, T, half]
+    sel = jnp.asarray(band)  # [half]
+    angles = (angles3[0] * (sel == 0)[None, :] +
+              angles3[1] * (sel == 1)[None, :] +
+              angles3[2] * (sel == 2)[None, :])
+    cos = (jnp.cos(angles) * mscale)[:, None, :]
+    sin = (jnp.sin(angles) * mscale)[:, None, :]
+    rotary_dim = 2 * half
+
+    def rotate(x: jnp.ndarray) -> jnp.ndarray:
+        x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+        xf = x_rot.astype(jnp.float32)
+        x1, x2 = jnp.split(xf, 2, axis=-1)
+        out = jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        out = out.astype(x.dtype)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out
+
+    return rotate(q), rotate(k)
+
+
 def apply_rope(
     q: jnp.ndarray,
     k: jnp.ndarray,

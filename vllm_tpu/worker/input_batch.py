@@ -75,6 +75,8 @@ class PreparedInputs:
     # bad_words conditional bans (see SamplingMetadata.banned_tokens)
     banned_tokens: Optional[np.ndarray] = None  # i32[R, B]
     banned_required: Optional[np.ndarray] = None  # i32[R, B]
+    # MRoPE 3D positions (None for standard-rope models)
+    mrope_positions: Optional[np.ndarray] = None  # i32[3, T]
 
 
 class InputBatch:
@@ -127,6 +129,11 @@ class InputBatch:
         # multimodal: raw inputs, placeholder positions, encoded embeds
         self.mm_inputs: list[Optional[dict]] = [None] * max_num_reqs
         self.mm_hashes: list[Optional[list]] = [None] * max_num_reqs
+        # MRoPE (Qwen2-VL family): set by the runner to the model's
+        # compute_mrope; per-slot 3D prompt positions + decode delta
+        self.mrope_fn = None
+        self.mrope_pos: list[Optional[np.ndarray]] = [None] * max_num_reqs
+        self.mrope_delta = np.zeros(max_num_reqs, np.int32)
         self.mm_positions: list[Optional[np.ndarray]] = \
             [None] * max_num_reqs
         self.mm_embeds: list[Optional[np.ndarray]] = [None] * max_num_reqs
@@ -170,6 +177,9 @@ class InputBatch:
         self.mm_inputs[idx] = data.mm_inputs
         self.mm_hashes[idx] = data.mm_hashes
         self.mm_embeds[idx] = None
+        if self.mrope_fn is not None:
+            self.mrope_pos[idx], self.mrope_delta[idx] = self.mrope_fn(
+                data.prompt_token_ids, data.mm_inputs)
         self.mm_positions[idx] = None
         if data.mm_inputs is not None and self.image_token_index is not None:
             self.mm_positions[idx] = np.nonzero(
@@ -190,6 +200,7 @@ class InputBatch:
             self.req_id_to_index[moved_id] = idx
         self.req_ids[last] = None
         self.mm_hashes[last] = None
+        self.mrope_pos[last] = None
         self.sampling_params[last] = None
         self.lora_requests[last] = None
         self.pooling_params[last] = None
@@ -215,6 +226,8 @@ class InputBatch:
         self.pooling_params[dst] = self.pooling_params[src]
         self.mm_inputs[dst] = self.mm_inputs[src]
         self.mm_hashes[dst] = self.mm_hashes[src]
+        self.mrope_pos[dst] = self.mrope_pos[src]
+        self.mrope_delta[dst] = self.mrope_delta[src]
         self.mm_positions[dst] = self.mm_positions[src]
         self.mm_embeds[dst] = self.mm_embeds[src]
 
@@ -359,6 +372,26 @@ class InputBatch:
         qsl[num_active + 1:] = offset
         # padding rows sample garbage at index 0; discarded host-side
         logits_indices[num_active:] = 0
+
+        mrope_positions = None
+        if self.mrope_fn is not None:
+            mrope_positions = np.zeros((3, T), np.int32)
+            off = 0
+            for row, (idx, rid) in enumerate(active):
+                n = num_sched[rid]
+                start = self.num_computed_tokens[idx]
+                ppos = self.mrope_pos[idx]
+                P = ppos.shape[1] if ppos is not None else 0
+                pos = np.arange(start, start + n)
+                n_prompt = max(min(P - start, n), 0)
+                if n_prompt > 0:
+                    mrope_positions[:, off:off + n_prompt] = \
+                        ppos[:, start:start + n_prompt]
+                if n_prompt < n:
+                    tail = pos[n_prompt:] + self.mrope_delta[idx]
+                    mrope_positions[:, off + n_prompt:off + n] = \
+                        tail[None, :]
+                off += n
 
         # Logical q-block assignment for the Pallas ragged kernel.
         from vllm_tpu.ops.pallas.ragged_paged_attention import \
@@ -532,6 +565,7 @@ class InputBatch:
             state_reset=state_reset,
             banned_tokens=banned,
             banned_required=banned_req,
+            mrope_positions=mrope_positions,
             **spec_kw,
         )
 

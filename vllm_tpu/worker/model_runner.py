@@ -208,6 +208,8 @@ class TPUModelRunner:
             if not isinstance(group.kv_cache_spec, MambaSpec):
                 self.input_batch.attn_group = gi
                 break
+        if getattr(self.model, "uses_mrope", False):
+            self.input_batch.mrope_fn = self.model.compute_mrope
 
     # ------------------------------------------------------------- step fn
 
@@ -271,6 +273,7 @@ class TPUModelRunner:
                 lb_seq=arrs["lb_seq"],
                 lb_q_start=arrs["lb_q_start"],
                 state_slots=arrs.get("state_slots"),
+                mrope_positions=arrs.get("mrope_positions"),
             )
             if "state_reset" in arrs:
                 # zero the recurrent state of rows starting (or
@@ -567,6 +570,15 @@ class TPUModelRunner:
                 batch.mm_embeds[idx] = np.concatenate(
                     [self._mm_cache[h] for h in hashes], axis=0)
                 continue
+            if hasattr(self.model, "encode_image_mm"):
+                # grid-aware encoders (Qwen2-VL): the model consumes the
+                # whole mm dict (pixel patches + image_grid_thw)
+                emb = self.model.encode_image_mm(self.params,
+                                                 batch.mm_inputs[idx])
+                if hashes and len(hashes) == 1:
+                    self._mm_cache[hashes[0]] = emb
+                batch.mm_embeds[idx] = emb
+                continue
             pv = np.asarray(batch.mm_inputs[idx]["pixel_values"],
                             np.float32)
             if pv.ndim == 3:
@@ -699,6 +711,8 @@ class TPUModelRunner:
             ("seeds", prep.seeds.view(np.int32)),
             ("block_tables", prep.block_tables),
         ]
+        if prep.mrope_positions is not None:
+            i32_parts.append(("mrope_positions", prep.mrope_positions))
         if prep.token_lora is not None:
             i32_parts.append(("token_lora", prep.token_lora))
         if prep.token_req is not None:
@@ -765,6 +779,7 @@ class TPUModelRunner:
 
         B = cdiv(self.scheduler_config.max_model_len,
                  self.cache_config.block_size)
+        use_mrope = getattr(self.model, "uses_mrope", False)
         qsl = np.zeros(R + 1, np.int32)
         lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
         parts = [
@@ -780,6 +795,8 @@ class TPUModelRunner:
             ("seeds", np.zeros(R, np.int32)),
             ("block_tables", np.zeros((R, B), np.int32)),
         ]
+        if use_mrope:
+            parts.append(("mrope_positions", np.zeros((3, T), np.int32)))
         if self.lora_manager is not None:
             parts.append(("token_lora",
                           np.full(T, self.lora_manager.none_slot,
