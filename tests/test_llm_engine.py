@@ -273,3 +273,24 @@ def test_beam_search(llm, tiny_model_dir):
                                          logprobs=1, ignore_eos=True))[0]
     greedy_lp = greedy.outputs[0].cumulative_logprob
     assert out.sequences[0].cum_logprob >= greedy_lp - 1e-3
+
+
+def test_shared_prefix_batch_cascade_path(llm):
+    """Requests sharing a prompt prefix: prefix caching gives them
+    identical leading blocks. Greedy outputs must equal the same
+    requests run one at a time (the cascade kernel itself is covered by
+    test_pallas_attention.py::test_decode_kernel_cascade...; this
+    exercises the host gating end to end)."""
+    from vllm_tpu.sampling_params import SamplingParams
+
+    shared = ("the quick brown fox jumps over the lazy dog "
+              "all work and no play makes jack a dull boy " * 3)
+    prompts = [shared + suffix for suffix in
+               ["one", "two", "three", "four", "five", "six", "seven",
+                "eight"]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    batch = llm.generate(prompts, sp)
+    batch_toks = [o.outputs[0].token_ids for o in batch]
+    for i in (0, 3, 7):
+        single = llm.generate(prompts[i], sp)[0].outputs[0].token_ids
+        assert single == batch_toks[i]

@@ -253,3 +253,100 @@ def test_decode_row_kernel_sliding_window_and_cap():
     np.testing.assert_allclose(np.asarray(out)[:total_q],
                                np.asarray(ref)[:total_q],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_decode_kernel_cascade_matches_reference():
+    """Shared-prefix (cascade) decode: every sequence's first blocks are
+    the SAME pages; the kernel streams them once per program and must
+    produce identical outputs to the non-cascade reference."""
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        _decode_attention_impl
+
+    rng = np.random.default_rng(11)
+    R = 12
+    page = 16
+    shared_pages = 3  # 48 shared tokens
+    own_tokens = 20
+    ctx = shared_pages * page + own_tokens
+    nq, nk, d = 8, 2, 128
+
+    num_blocks = 1 + shared_pages + R * 2
+    kv = jnp.asarray(
+        rng.standard_normal((1, num_blocks, page, 2 * nk, d)),
+        jnp.float32)
+    q = jnp.asarray(rng.standard_normal((R, nq, d)), jnp.float32)
+    qsl = np.arange(R + 1, dtype=np.int32)
+    seq_lens = np.full(R, ctx, np.int32)
+    bt = np.zeros((R, 8), np.int32)
+    shared = np.arange(1, 1 + shared_pages)
+    nxt = 1 + shared_pages
+    for r in range(R):
+        bt[r, :shared_pages] = shared
+        bt[r, shared_pages:shared_pages + 2] = [nxt, nxt + 1]
+        nxt += 2
+    meta = AttentionMetadata(
+        slot_mapping=jnp.zeros(R, jnp.int32),
+        block_tables=jnp.asarray(bt),
+        query_start_loc=jnp.asarray(qsl),
+        seq_lens=jnp.asarray(seq_lens),
+        positions=jnp.asarray(np.full(R, ctx - 1, np.int32)),
+    )
+    ref = ragged_paged_attention_ref(q, kv[0], meta, scale=0.1)
+
+    cascade_meta = np.zeros(9, np.int32)
+    cascade_meta[0] = shared_pages
+    cascade_meta[1:1 + shared_pages] = shared
+    out = _decode_attention_impl(
+        q, kv, jnp.asarray([0], jnp.int32), meta.query_start_loc,
+        meta.seq_lens, meta.block_tables, None, None, 0.1, None, None, 2,
+        jnp.asarray(cascade_meta))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # and the non-cascade path agrees too
+    out2 = _decode_attention_impl(
+        q, kv, jnp.asarray([0], jnp.int32), meta.query_start_loc,
+        meta.seq_lens, meta.block_tables, None, None, 0.1, None, None, 2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_cascade_gate_in_input_batch():
+    """The InputBatch emits cascade_meta exactly when >=8 decode rows
+    share >=256 tokens of leading blocks."""
+    from vllm_tpu.core.sched.output import NewRequestData, SchedulerOutput
+    from vllm_tpu.worker.input_batch import InputBatch
+
+    rng = np.random.default_rng(0)
+    batch = InputBatch(max_num_reqs=16, max_model_len=1024,
+                       max_blocks_per_req=32, block_size=32)
+    shared = list(range(1, 9))  # 8 shared blocks = 256 tokens
+    num_sched = {}
+    for r in range(10):
+        blocks = shared + [100 + r]
+        data = NewRequestData(
+            req_id=f"r{r}", prompt_token_ids=[1] * 270,
+            sampling_params=None, block_ids=(blocks,),
+            num_computed_tokens=269)
+        batch.add_request(data, rng)
+        num_sched[f"r{r}"] = 1
+    so = SchedulerOutput(num_scheduled_tokens=num_sched,
+                         total_num_scheduled_tokens=10)
+    prep = batch.prepare_inputs(so, token_bucket=16, req_bucket=16)
+    assert prep.cascade_meta is not None
+    # 8 shared + 1 unique, minus the 1-block safety margin
+    assert prep.cascade_meta[0] == 8
+    np.testing.assert_array_equal(prep.cascade_meta[1:9], shared)
+
+    # a differing block table kills the gate
+    batch2 = InputBatch(max_num_reqs=16, max_model_len=1024,
+                        max_blocks_per_req=32, block_size=32)
+    for r in range(10):
+        blocks = ([1, 2, 3, 4, 5, 6, 7, 8] if r else
+                  [1, 2, 99, 4, 5, 6, 7, 8]) + [100 + r]
+        data = NewRequestData(
+            req_id=f"r{r}", prompt_token_ids=[1] * 270,
+            sampling_params=None, block_ids=(blocks,),
+            num_computed_tokens=269)
+        batch2.add_request(data, rng)
+    prep2 = batch2.prepare_inputs(so, token_bucket=16, req_bucket=16)
+    assert prep2.cascade_meta is None

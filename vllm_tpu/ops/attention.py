@@ -50,6 +50,9 @@ class AttentionMetadata:
     # MRoPE models (Qwen2-VL family): 3D positions (temporal, height,
     # width) per token; None for standard-rope models
     mrope_positions: Optional[jnp.ndarray] = None  # i32[3, T]
+    # Cascade attention (shared batch-wide prefix): [0]=num shared
+    # pages, [1:]=their page ids; None when no useful common prefix
+    cascade_meta: Optional[jnp.ndarray] = None  # i32[MAXP+1]
 
 
 def write_kv_cache(

@@ -429,6 +429,7 @@ def _decode_kernel(
     seq_lens_ref,  # i32[R]
     block_tables_ref,  # i32[R, MAXP]
     layer_ref,  # i32[1]
+    cascade_ref,  # i32[MAXP+1]: [0]=num shared pages, [1:]=page ids
     # tensors
     q_ref,  # [SB, nq, d] auto-pipelined block
     kv_hbm,  # [L, N, ps, 2nk, d] (ANY)
@@ -436,6 +437,8 @@ def _decode_kernel(
     # scratch
     kv_buf,  # VMEM [2, SB, C, 2nk, d]
     kv_sems,  # DMA [2, SB, chunk_pages]
+    sh_buf,  # VMEM [2, C, 2nk, d] shared-prefix chunks (cascade)
+    sh_sems,  # DMA [2, chunk_pages]
     *,
     sb: int,
     chunk_pages: int,
@@ -449,6 +452,7 @@ def _decode_kernel(
     kv_quant: bool,
     k_scale: float,
     v_scale: float,
+    cascade: bool,
 ):
     """Decode-bucket kernel: SB token rows per program, each row
     streaming its own sequence's KV pages. A Pallas program has ~3us of
@@ -460,6 +464,11 @@ def _decode_kernel(
     C = chunk_pages * page_size
     r0 = prog * sb
     nq = num_kv_heads * group
+    # cascade: the first ns_pages of EVERY row's context are the same
+    # blocks; they stream once per program (vs once per row) and the
+    # per-row suffix streams start past them.
+    ns_pages = cascade_ref[0] if cascade else jnp.int32(0)
+    ns_tokens = ns_pages * page_size
 
     def row_params(j):
         s = row_seq_ref[r0 + j]
@@ -470,6 +479,8 @@ def _decode_kernel(
         row_t = r0 + j
         pos = kv_len - (cu_q_lens_ref[sc + 1] - row_t)
         kv_needed = jnp.where(valid, jnp.minimum(kv_len, pos + 1), 0)
+        if cascade:
+            kv_needed = jnp.maximum(kv_needed - ns_tokens, 0)
         return sc, kv_len, pos, kv_needed
 
     def chunk_dma(slot, ci):
@@ -477,7 +488,7 @@ def _decode_kernel(
         for j in range(sb):
             sc, kv_len, _, kv_needed = row_params(j)
             for p in range(chunk_pages):
-                page_pos = ci * chunk_pages + p
+                page_pos = ns_pages + ci * chunk_pages + p
                 max_page = pl.cdiv(kv_len, page_size) - 1
                 safe_pos = jnp.clip(page_pos, 0, jnp.maximum(max_page, 0))
                 page_id = block_tables_ref[sc, safe_pos]
@@ -489,10 +500,30 @@ def _decode_kernel(
                         kv_sems.at[slot, j, p]))
         return copies
 
+    def shared_dma(slot, ci):
+        copies = []
+        for p in range(chunk_pages):
+            page_pos = ci * chunk_pages + p
+            safe_pos = jnp.clip(page_pos, 0, jnp.maximum(ns_pages - 1, 0))
+            page_id = cascade_ref[1 + safe_pos]
+            copies.append(
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer_ref[0], page_id],
+                    sh_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    sh_sems.at[slot, p]))
+        return copies
+
     num_chunks = jnp.int32(0)
     for j in range(sb):
         _, _, _, kv_needed = row_params(j)
         num_chunks = jnp.maximum(num_chunks, pl.cdiv(kv_needed, C))
+    num_sh_chunks = pl.cdiv(ns_tokens, C) if cascade else jnp.int32(0)
+
+    if cascade:
+        @pl.when(num_sh_chunks > 0)
+        def _():
+            for cpy in shared_dma(0, 0):
+                cpy.start()
 
     @pl.when(num_chunks > 0)
     def _():
@@ -532,7 +563,7 @@ def _decode_kernel(
         for cpy in chunk_dma(slot, ci):
             cpy.wait()
 
-        col_abs = ci * C + col_off
+        col_abs = ns_tokens + ci * C + col_off
         ok = diag & (col_abs < kv_len_row) & (col_abs <= pos_row)
         if sliding_window is not None:
             ok &= col_abs > pos_row - sliding_window
@@ -576,6 +607,66 @@ def _decode_kernel(
         jnp.zeros((num_kv_heads, sb * G, 1), jnp.float32),
         jnp.zeros((num_kv_heads, sb * G, head_dim), jnp.float32),
     )
+
+    if cascade:
+        # shared-prefix pass first: every valid row attends these keys,
+        # so the score dot needs no block-diagonal structure — a single
+        # FULL [SB*G, C] pass per head, streamed once per program
+        # (reference analog: the flash_attn cascade path's common-prefix
+        # phase + merge_attn_states — merged here by threading the
+        # online-softmax accumulators straight into the suffix loop).
+        def sh_body(ci, carry):
+            m_all, l_all, acc_all = carry
+            slot = ci % 2
+
+            @pl.when(ci + 1 < num_sh_chunks)
+            def _():
+                for cpy in shared_dma((ci + 1) % 2, ci + 1):
+                    cpy.start()
+
+            for cpy in shared_dma(slot, ci):
+                cpy.wait()
+
+            col = ci * C + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+            ok = (col < ns_tokens) & (col <= pos_row)
+            if sliding_window is not None:
+                ok &= col > pos_row - sliding_window
+
+            kv_sh = sh_buf[slot]  # [C, 2nk, d]
+            qt = q_ref[...]
+            new_m, new_l, new_acc = [], [], []
+            for h in range(num_kv_heads):
+                k = kv_sh[:, h, :]
+                v = kv_sh[:, num_kv_heads + h, :]
+                if kv_quant:
+                    k = (k.astype(jnp.float32) * k_scale).astype(qt.dtype)
+                    v = (v.astype(jnp.float32) * v_scale).astype(qt.dtype)
+                q_h = qt[:, h * G:(h + 1) * G, :].reshape(
+                    sb * G, head_dim)
+                scores = jax.lax.dot_general(
+                    q_h, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if soft_cap is not None:
+                    scores = soft_cap * jnp.tanh(scores / soft_cap)
+                scores = jnp.where(ok, scores, NEG_INF)
+
+                m_prev, l_prev, acc_prev = m_all[h], l_all[h], acc_all[h]
+                m_cur = jnp.max(scores, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(scores - m_new)
+                l_cur = jnp.sum(p, axis=-1, keepdims=True)
+                alpha = jnp.exp(m_prev - m_new)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_m.append(m_new)
+                new_l.append(l_prev * alpha + l_cur)
+                new_acc.append(acc_prev * alpha + pv)
+            return (jnp.stack(new_m), jnp.stack(new_l),
+                    jnp.stack(new_acc))
+
+        init = jax.lax.fori_loop(0, num_sh_chunks, sh_body, init)
+
     m_all, l_all, acc_all = jax.lax.fori_loop(0, num_chunks, body, init)
 
     out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, SB*G, d]
@@ -601,6 +692,7 @@ def _decode_attention_impl(
     sliding_window: Optional[int],
     logits_soft_cap: Optional[float],
     chunk_pages: int,
+    cascade_meta: Optional[jnp.ndarray] = None,  # i32[MAXP+1]
 ) -> jnp.ndarray:
     T, nq, d = q.shape
     _, N, ps, two_nk, _ = kv_cache.shape
@@ -633,9 +725,16 @@ def _decode_attention_impl(
         kv_quant=kv_cache.dtype != q.dtype,
         k_scale=k_scale_arr if k_scale_arr is not None else 1.0,
         v_scale=v_scale_arr if v_scale_arr is not None else 1.0,
+        cascade=cascade_meta is not None,
     )
+    if cascade_meta is None:
+        cascade_arr = jnp.zeros(1, jnp.int32)
+        sh_shape = (2, 1, 2, 128)  # untouched placeholder scratch
+    else:
+        cascade_arr = cascade_meta
+        sh_shape = (2, C, two_nk, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_progs,),
         in_specs=[
             pl.BlockSpec((SB, nq, d), lambda i, *_: (i, 0, 0)),
@@ -645,6 +744,8 @@ def _decode_attention_impl(
         scratch_shapes=[
             pltpu.VMEM((2, SB, C, two_nk, d), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, SB, chunk_pages)),
+            pltpu.VMEM(sh_shape, kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, chunk_pages)),
         ],
     )
     out_pad = pl.pallas_call(
@@ -655,8 +756,8 @@ def _decode_attention_impl(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(row_seq, query_start_loc, seq_lens, block_tables, layer, q_pad,
-      kv_cache)
+    )(row_seq, query_start_loc, seq_lens, block_tables, layer,
+      cascade_arr, q_pad, kv_cache)
     return out_pad[:T]
 
 
@@ -684,11 +785,14 @@ def ragged_paged_attention(
     R = metadata.seq_lens.shape[0]
     if q_block_size(T, R) == 16:
         # decode-shaped bucket: the batched-row kernel amortizes the
-        # ~3us fixed per-program cost over SB rows
+        # ~3us fixed per-program cost over SB rows; cascade_meta (when
+        # the scheduler found a batch-wide shared prefix) streams the
+        # shared blocks once per program instead of once per row
         return _decode_attention_impl(
             q, kv_cache, layer_arr, metadata.query_start_loc,
             metadata.seq_lens, metadata.block_tables, k_scale, v_scale,
-            scale, sliding_window, logits_soft_cap, chunk_pages)
+            scale, sliding_window, logits_soft_cap, chunk_pages,
+            cascade_meta=getattr(metadata, "cascade_meta", None))
     return _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,

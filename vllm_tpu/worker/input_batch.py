@@ -77,6 +77,8 @@ class PreparedInputs:
     banned_required: Optional[np.ndarray] = None  # i32[R, B]
     # MRoPE 3D positions (None for standard-rope models)
     mrope_positions: Optional[np.ndarray] = None  # i32[3, T]
+    # cascade attention: [0]=num shared pages, [1:]=page ids
+    cascade_meta: Optional[np.ndarray] = None  # i32[max_blocks+1]
 
 
 class InputBatch:
@@ -373,6 +375,27 @@ class InputBatch:
         # padding rows sample garbage at index 0; discarded host-side
         logits_indices[num_active:] = 0
 
+        # Cascade gate: a batch-wide shared block-table prefix worth
+        # streaming once (reference decision: gpu_model_runner.py:873).
+        # Verified here against the ACTUAL scheduled rows, not just the
+        # scheduler's running-set hint.
+        cascade_meta = None
+        if num_active >= 8 and total <= 2 * num_active:
+            rows_arr = [idx for idx, _ in active]
+            nb = self.num_blocks[self.attn_group, rows_arr]
+            max_nc = int(nb.min()) - 1
+            if max_nc >= max(256 // self.block_size, 1):
+                bt0 = self.block_tables[self.attn_group, rows_arr[0],
+                                        :max_nc]
+                eq = (self.block_tables[self.attn_group, rows_arr,
+                                        :max_nc] == bt0).all(axis=0)
+                nc = int(np.argmin(eq)) if not eq.all() else max_nc
+                if nc * self.block_size >= 256:
+                    cascade_meta = np.zeros(self.max_blocks_per_req + 1,
+                                            np.int32)
+                    cascade_meta[0] = nc
+                    cascade_meta[1:1 + nc] = bt0[:nc]
+
         mrope_positions = None
         if self.mrope_fn is not None:
             mrope_positions = np.zeros((3, T), np.int32)
@@ -566,6 +589,7 @@ class InputBatch:
             banned_tokens=banned,
             banned_required=banned_req,
             mrope_positions=mrope_positions,
+            cascade_meta=cascade_meta,
             **spec_kw,
         )
 

@@ -274,6 +274,7 @@ class TPUModelRunner:
                 lb_q_start=arrs["lb_q_start"],
                 state_slots=arrs.get("state_slots"),
                 mrope_positions=arrs.get("mrope_positions"),
+                cascade_meta=arrs.get("cascade_meta"),
             )
             if "state_reset" in arrs:
                 # zero the recurrent state of rows starting (or
@@ -713,6 +714,8 @@ class TPUModelRunner:
         ]
         if prep.mrope_positions is not None:
             i32_parts.append(("mrope_positions", prep.mrope_positions))
+        if prep.cascade_meta is not None:
+            i32_parts.append(("cascade_meta", prep.cascade_meta))
         if prep.token_lora is not None:
             i32_parts.append(("token_lora", prep.token_lora))
         if prep.token_req is not None:
