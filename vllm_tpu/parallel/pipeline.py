@@ -12,10 +12,12 @@ chunk and passes activations to the next stage with ``lax.ppermute``
 stage 0 after ``pp`` hops; each stage commits its KV-cache chunk only on
 its live iteration.
 
-Per-step utilization is 1/pp, exactly like non-microbatched GPU PP; the
-engine hides the bubble across steps with the batch queue
-(EngineCore.step_with_batch_queue analog) — and unlike the GPU path there
-is no host round-trip between stages: the whole ring is one XLA program.
+Per-step utilization is 1/pp, exactly like non-microbatched GPU PP.
+The async-scheduling engine keeps ONE step in flight (a depth-1 pipeline,
+not the reference's step_with_batch_queue multi-batch queue), so the
+1/pp bubble is NOT hidden today — PP here buys memory capacity across
+stages, not throughput. Unlike the GPU path there is no host round-trip
+between stages: the whole ring is one XLA program.
 """
 
 from __future__ import annotations
