@@ -343,3 +343,195 @@ class Qwen2VLForConditionalGeneration:
             "language": self.language.init_dummy_params(seed),
             "visual": visual,
         }
+
+
+class Qwen25VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    """Qwen2.5-VL (reference parity: vllm .../models/qwen2_5_vl.py):
+    same MRoPE text stack; the ViT swaps LayerNorm->RMSNorm, the MLP for
+    SwiGLU, and runs WINDOW attention in most blocks (full attention only
+    at fullatt_block_indexes), with patches reordered into merged-unit
+    windows and restored before the merger output is consumed."""
+
+    def __init__(self, model_config: ModelConfig) -> None:
+        super().__init__(model_config)
+        hf = model_config.resolve_hf_config()
+        v = hf.vision_config
+        self.v_embed = int(v.hidden_size)
+        self.v_head_dim = self.v_embed // self.v_heads
+        self.v_mlp = int(v.intermediate_size)
+        self.v_out = int(getattr(v, "out_hidden_size", hf.hidden_size))
+        self.patch_in = (self.in_ch * self.temporal_patch *
+                         self.patch_size ** 2)
+        self.window_size = int(getattr(v, "window_size", 112))
+        self.fullatt_idx = set(
+            getattr(v, "fullatt_block_indexes", None) or [])
+
+    # ----------------------------------------------------- window layout
+
+    def _window_index(self, grid: tuple[int, int, int]
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """(window_index over merged units, cu_window_seqlens in PATCHES)
+        — replicates Qwen2_5_VisionTransformer.get_window_index."""
+        t, h, w = grid
+        ms = self.merge
+        lh, lw = h // ms, w // ms
+        unit = ms * ms
+        vit_mw = self.window_size // ms // self.patch_size
+        pad_h = (-lh) % vit_mw
+        pad_w = (-lw) % vit_mw
+        idx = np.arange(t * lh * lw).reshape(t, lh, lw)
+        idx = np.pad(idx, ((0, 0), (0, pad_h), (0, pad_w)),
+                     constant_values=-100)
+        nh, nw = (lh + pad_h) // vit_mw, (lw + pad_w) // vit_mw
+        idx = idx.reshape(t, nh, vit_mw, nw, vit_mw)
+        idx = idx.transpose(0, 1, 3, 2, 4).reshape(t, nh * nw,
+                                                   vit_mw * vit_mw)
+        seqlens = (idx != -100).sum(axis=-1).reshape(-1) * unit
+        flat = idx.reshape(-1)
+        window_index = flat[flat != -100]
+        cu = np.concatenate([[0], np.cumsum(seqlens)])
+        cu = np.unique(cu)  # drop empty windows
+        return window_index.astype(np.int64), cu.astype(np.int64)
+
+    def _encode_one(self, params, patches: jnp.ndarray,
+                    grid: tuple[int, int, int]) -> jnp.ndarray:
+        vp = params["visual"]
+        t, h, w = grid
+        ms = self.merge
+        unit = ms * ms
+        n = patches.shape[0]
+        x = patches @ vp["patch_embed"]
+        angles = np.asarray(self._vision_rotary(grid))  # [n, hd/2]
+
+        window_index, cu_win = self._window_index(grid)
+        # reorder patches (and their rotary angles) by merged unit
+        perm = (window_index[:, None] * unit +
+                np.arange(unit)[None, :]).reshape(-1)
+        x = x[jnp.asarray(perm)]
+        angles = angles[perm]
+        cos = jnp.asarray(np.cos(angles))[:, None, :].astype(jnp.float32)
+        sin = jnp.asarray(np.sin(angles))[:, None, :].astype(jnp.float32)
+
+        # segment ids: windows for windowed blocks, whole image for full
+        win_seg = np.zeros(n, np.int32)
+        for i in range(len(cu_win) - 1):
+            win_seg[cu_win[i]:cu_win[i + 1]] = i
+        win_seg = jnp.asarray(win_seg)
+        full_seg = jnp.zeros(n, jnp.int32)
+
+        nh, hd = self.v_heads, self.v_head_dim
+
+        def rot(v):
+            vf = v.astype(jnp.float32)
+            v1, v2 = jnp.split(vf, 2, axis=-1)
+            return jnp.concatenate(
+                [v1 * cos - v2 * sin, v2 * cos + v1 * sin],
+                axis=-1).astype(v.dtype)
+
+        def rms(v, wt):
+            vf = v.astype(jnp.float32)
+            out = vf * jax.lax.rsqrt(
+                jnp.mean(vf * vf, -1, keepdims=True) + 1e-6)
+            return (out * wt).astype(v.dtype)
+
+        lp = vp["layers"]
+        for li in range(self.v_depth):
+            seg = full_seg if li in self.fullatt_idx else win_seg
+            h1 = rms(x, lp["ln1_w"][li])
+            qkv = h1 @ lp["qkv_w"][li] + lp["qkv_b"][li]
+            q, k, v = jnp.split(qkv.reshape(n, 3, nh, hd), 3, axis=1)
+            q = rot(q[:, 0])
+            k = rot(k[:, 0])
+            v = v[:, 0]
+            scores = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                                k.astype(jnp.float32)) / math.sqrt(hd)
+            mask = (seg[:, None] == seg[None, :])[None]
+            scores = jnp.where(mask, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("hqk,khd->qhd", probs,
+                           v.astype(jnp.float32)).astype(x.dtype)
+            o = o.reshape(n, nh * hd) @ lp["proj_w"][li] + \
+                lp["proj_b"][li]
+            x = x + o
+            h2 = rms(x, lp["ln2_w"][li])
+            gate = h2 @ lp["gate_w"][li] + lp["gate_b"][li]
+            up = h2 @ lp["up_w"][li] + lp["up_b"][li]
+            act = (jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+                   * up)
+            x = x + (act @ lp["down_w"][li] + lp["down_b"][li])
+
+        mg = vp["merger"]
+        x = rms(x, mg["ln_q_w"])
+        x = x.reshape(-1, self.v_embed * unit)
+        x = jax.nn.gelu(
+            (x @ mg["fc1_w"] + mg["fc1_b"]).astype(jnp.float32),
+            approximate=False).astype(x.dtype)
+        x = x @ mg["fc2_w"] + mg["fc2_b"]
+        # restore original merged-unit order
+        inv = np.argsort(window_index)
+        return x[jnp.asarray(inv)]
+
+    # ------------------------------------------------------------ weights
+
+    def _alloc_visual(self, npd) -> dict:
+        E, D, M = self.v_embed, self.v_depth, self.v_mlp
+        merged = E * self.merge ** 2
+        return {
+            "patch_embed": np.zeros((self.patch_in, E), npd),
+            "layers": {
+                "ln1_w": np.zeros((D, E), npd),
+                "ln2_w": np.zeros((D, E), npd),
+                "qkv_w": np.zeros((D, E, 3 * E), npd),
+                "qkv_b": np.zeros((D, 3 * E), npd),
+                "proj_w": np.zeros((D, E, E), npd),
+                "proj_b": np.zeros((D, E), npd),
+                "gate_w": np.zeros((D, E, M), npd),
+                "gate_b": np.zeros((D, M), npd),
+                "up_w": np.zeros((D, E, M), npd),
+                "up_b": np.zeros((D, M), npd),
+                "down_w": np.zeros((D, M, E), npd),
+                "down_b": np.zeros((D, E), npd),
+            },
+            "merger": {
+                "ln_q_w": np.zeros((E,), npd),
+                "fc1_w": np.zeros((merged, merged), npd),
+                "fc1_b": np.zeros((merged,), npd),
+                "fc2_w": np.zeros((merged, self.v_out), npd),
+                "fc2_b": np.zeros((self.v_out,), npd),
+            },
+        }
+
+    _V_MAP = {
+        "norm1.weight": ("ln1_w", False),
+        "norm2.weight": ("ln2_w", False),
+        "attn.qkv.weight": ("qkv_w", True),
+        "attn.qkv.bias": ("qkv_b", False),
+        "attn.proj.weight": ("proj_w", True),
+        "attn.proj.bias": ("proj_b", False),
+        "mlp.gate_proj.weight": ("gate_w", True),
+        "mlp.gate_proj.bias": ("gate_b", False),
+        "mlp.up_proj.weight": ("up_w", True),
+        "mlp.up_proj.bias": ("up_b", False),
+        "mlp.down_proj.weight": ("down_w", True),
+        "mlp.down_proj.bias": ("down_b", False),
+    }
+
+    def init_dummy_params(self, seed: int = 0) -> dict:
+        rng = np.random.default_rng(seed)
+        visual = self._alloc_visual(np.float32)
+
+        def fill(leaf):
+            if leaf.ndim >= 2:
+                return (rng.standard_normal(leaf.shape) * 0.4 /
+                        np.sqrt(leaf.shape[-1])).astype(np.float32)
+            return np.zeros_like(leaf)
+
+        visual = jax.tree.map(fill, visual)
+        for k in ("ln1_w", "ln2_w"):
+            visual["layers"][k] = np.ones_like(visual["layers"][k])
+        visual["merger"]["ln_q_w"] = np.ones_like(
+            visual["merger"]["ln_q_w"])
+        return {
+            "language": self.language.init_dummy_params(seed),
+            "visual": visual,
+        }

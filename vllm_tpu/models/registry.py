@@ -47,6 +47,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "OlmoeForCausalLM": ("vllm_tpu.models.mixtral", "OlmoeForCausalLM"),
     "Qwen2VLForConditionalGeneration": (
         "vllm_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "vllm_tpu.models.qwen2_vl", "Qwen25VLForConditionalGeneration"),
     "XLMRobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),
     "RobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),
     "XLMRobertaForSequenceClassification": (
