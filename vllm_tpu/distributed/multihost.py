@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import logging
 import os
-import pickle
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -91,14 +90,18 @@ def _derive_port(coordinator_address: str, offset: int) -> str:
 
 
 def encode(obj: Any) -> bytes:
-    """Wire encoding for verb broadcast. Pickle over loopback/DCN between
-    trusted engine hosts (reference uses msgspec; a typed codec can slot
-    in here without touching callers)."""
-    return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    """Verb-bus encoding: the engine wire codec (allowlisted unpickler
+    + protocol 5; see engine/serial.py), single-frame variant since the
+    ROUTER framing already carries identity frames."""
+    from vllm_tpu.engine import serial
+
+    return serial.encode_one(obj)
 
 
 def decode(data: bytes) -> Any:
-    return pickle.loads(data)
+    from vllm_tpu.engine import serial
+
+    return serial.decode_one(data)
 
 
 class DriverBus:

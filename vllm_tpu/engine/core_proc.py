@@ -7,7 +7,8 @@ The engine core (scheduler + executor + device loop) runs in its own
 process; the front-end talks to it over ZMQ PAIR sockets with pickled
 messages. This isolates device work from the serving event loop exactly
 like the reference's process split (there: msgspec over ROUTER/PULL; the
-wire format here is pickle since msgspec is not in this environment —
+wire format is engine/serial.py's restricted codec (pickle-5 with an
+allowlisted unpickler + out-of-band numpy buffers) —
 the framing and lifecycle match).
 
 Message types (client -> core): ("add", EngineCoreRequest),
@@ -21,11 +22,12 @@ from __future__ import annotations
 
 import logging
 import multiprocessing as mp
-import pickle
 import queue as thread_queue
 import threading
 import traceback
 from typing import Any, Optional
+
+from vllm_tpu.engine import serial
 
 logger = logging.getLogger(__name__)
 
@@ -41,8 +43,10 @@ def _core_main(engine_config, input_addr: str, output_addr: str) -> None:
     out_sock = ctx.socket(zmq.PUSH)
     out_sock.bind(output_addr)
 
+    from vllm_tpu.engine import serial
+
     def send(msg) -> None:
-        out_sock.send(pickle.dumps(msg))
+        out_sock.send_multipart(serial.encode(msg))
 
     try:
         from vllm_tpu.engine.core import EngineCore
@@ -65,7 +69,7 @@ def _core_main(engine_config, input_addr: str, output_addr: str) -> None:
                 socks = dict(poller.poll(timeout=timeout))
                 if in_sock not in socks:
                     break
-                msg = pickle.loads(in_sock.recv())
+                msg = serial.decode(in_sock.recv_multipart())
                 kind = msg[0]
                 if kind == "add":
                     core.add_request(msg[1])
@@ -159,7 +163,7 @@ class SyncMPClient:
             try:
                 if not dict(poller.poll(timeout=100)):
                     continue
-                msg = pickle.loads(self.output_sock.recv())
+                msg = serial.decode(self.output_sock.recv_multipart())
             except zmq.ZMQError:
                 return
             kind = msg[0]
@@ -186,11 +190,12 @@ class SyncMPClient:
 
     def add_request(self, request) -> None:
         self._check_dead()
-        self.input_sock.send(pickle.dumps(("add", request)))
+        self.input_sock.send_multipart(serial.encode(("add", request)))
 
     def abort_requests(self, request_ids: list[str]) -> None:
         self._check_dead()
-        self.input_sock.send(pickle.dumps(("abort", request_ids)))
+        self.input_sock.send_multipart(
+            serial.encode(("abort", request_ids)))
 
     def get_output(self, timeout: Optional[float] = None):
         """Blocking: next batch of EngineCoreOutputs by client index."""
@@ -213,8 +218,8 @@ class SyncMPClient:
         with self._lock:
             self._call_counter += 1
             call_id = self._call_counter
-        self.input_sock.send(
-            pickle.dumps(("utility", call_id, method, args, kwargs)))
+        self.input_sock.send_multipart(
+            serial.encode(("utility", call_id, method, args, kwargs)))
         import time
 
         deadline = time.monotonic() + timeout
@@ -233,7 +238,8 @@ class SyncMPClient:
     def shutdown(self) -> None:
         try:
             if self.proc.is_alive():
-                self.input_sock.send(pickle.dumps(("shutdown",)))
+                self.input_sock.send_multipart(
+                    serial.encode(("shutdown",)))
                 self.proc.join(timeout=10)
         except Exception:  # noqa: BLE001
             pass

@@ -140,6 +140,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def latent_dim(self) -> int:
         return self.kv_lora + self.qk_rope
 
+    @property
+    def latent_dim_padded(self) -> int:
+        # Mosaic DMA slices need 128-aligned lane dims; the padded tail
+        # is zeros in both q and cache so the score dot is unchanged.
+        d = self.latent_dim
+        return d + (-d) % 128
+
     def forward(self, params, input_ids, kv_caches, metadata, lora=None):
         x = self.embed(params, input_ids)
         kv = kv_caches[0]
@@ -215,9 +222,15 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                                                        write_mla_cache)
 
         # single-copy latent cache: one D-wide row per token; V is the
-        # kv_lora prefix of K (MLASpec — half the bytes of K+V)
-        k_cat = jnp.concatenate([c, k_pe.reshape(T, rope)],
-                                axis=-1)  # [T, D]
+        # kv_lora prefix of K (MLASpec — half the bytes of K+V). Both q
+        # and the cached rows zero-pad D up to a 128 multiple (Mosaic
+        # DMA lane alignment); zeros contribute nothing to the dot.
+        Dp = self.latent_dim_padded
+        pad = Dp - self.latent_dim
+        k_cat = jnp.concatenate([c, k_pe.reshape(T, rope)], axis=-1)
+        if pad:
+            k_cat = jnp.pad(k_cat, ((0, 0), (0, pad)))
+            q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
         kv = write_mla_cache(kv, k_cat, metadata.slot_mapping,
                              layer=li_kv)
 
@@ -255,7 +268,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return {
             f"layers.{i}": MLASpec(block_size=block_size,
                                    num_kv_heads=1,
-                                   head_size=self.latent_dim,
+                                   head_size=self.latent_dim_padded,
                                    dtype=cache_dtype)
             for i in range(self.args.num_layers)
         }

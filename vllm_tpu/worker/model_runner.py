@@ -827,9 +827,7 @@ class TPUModelRunner:
         ])
         return jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout
 
-    def profile_run(self) -> None:
-        """Max-shape dummy forward for memory profiling
-        (reference: gpu_model_runner.py:2377 profile_run)."""
+    def _profile_dummy_args(self):
         T = self.token_buckets[-1]
         R = self.req_buckets[-1]
         from vllm_tpu.core.kv_cache_interface import (MambaSpec, MLASpec,
@@ -858,10 +856,34 @@ class TPUModelRunner:
         i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
         lora_stacks = (self.lora_manager.stacks
                        if self.lora_manager is not None else None)
-        _, tokens, _ = self._compiled_step(
-            self.params, dummy_kv, (), i32_blob, f32_blob, layout, 0,
-            lora_stacks, None, None, None, None)
+        return (self.params, dummy_kv, (), i32_blob, f32_blob, layout, 0,
+                lora_stacks, None, None, None, None)
+
+    def profile_run(self) -> None:
+        """Max-shape dummy forward for memory profiling
+        (reference: gpu_model_runner.py:2377 profile_run)."""
+        args = self._profile_dummy_args()
+        _, tokens, _ = self._compiled_step(*args)
         jax.block_until_ready(tokens)
+
+    def measure_activation_peak(self) -> Optional[int]:
+        """Activation-scratch peak of the largest bucket's compiled
+        step, from XLA's own memory analysis — replaces guessing when
+        the runtime exposes no memory_stats (reference analog:
+        gpu_worker.determine_available_memory's measured profile_run
+        delta)."""
+        try:
+            args = self._profile_dummy_args()
+            compiled = self._compiled_step.lower(*args).compile()
+            ma = compiled.memory_analysis()
+            peak = int(getattr(ma, "temp_size_in_bytes", 0) +
+                       getattr(ma, "output_size_in_bytes", 0))
+            return peak or None
+        except Exception:
+            logger.info("compiled-step memory analysis unavailable; "
+                        "falling back to the activation formula",
+                        exc_info=True)
+            return None
 
     def capture_model(self) -> None:
         """Precompile every (token, req) bucket

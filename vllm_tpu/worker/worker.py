@@ -86,16 +86,21 @@ class Worker:
         if runner.lora_manager is not None:
             used += tree_bytes(runner.lora_manager.stacks)
 
-        # activation peak: logits (+sampling temps) dominate, plus the
-        # forward's live hidden/FFN slices at the largest token bucket
-        a = runner.model.args
-        T = runner.token_buckets[-1]
-        R = runner.req_buckets[-1]
-        vocab = getattr(a, "vocab_size", 131072)
-        inter = getattr(a, "intermediate_size", 4 * a.hidden_size)
-        logits_bytes = max(R, 1) * vocab * 4 * 3
-        fwd_bytes = T * (a.hidden_size * 6 + inter * 2) * 2
-        reserve = max(logits_bytes + fwd_bytes, 1 << 30)
+        # activation peak: prefer XLA's memory analysis of the largest
+        # compiled bucket; fall back to a formula (logits + live
+        # hidden/FFN slices) when the AOT stats aren't exposed
+        measured = runner.measure_activation_peak()
+        if measured is not None:
+            reserve = max(int(measured * 1.1), 1 << 29)
+        else:
+            a = runner.model.args
+            T = runner.token_buckets[-1]
+            R = runner.req_buckets[-1]
+            vocab = getattr(a, "vocab_size", 131072)
+            inter = getattr(a, "intermediate_size", 4 * a.hidden_size)
+            logits_bytes = max(R, 1) * vocab * 4 * 3
+            fwd_bytes = T * (a.hidden_size * 6 + inter * 2) * 2
+            reserve = max(logits_bytes + fwd_bytes, 1 << 30)
 
         budget = int(hbm_gb * (1 << 30) * util) - used - reserve
         return max(budget, 256 * 1024 * 1024)
