@@ -100,6 +100,15 @@ class PrometheusStatLogger:
         self.hist_params_max_tokens = hist(
             "vllm:request_params_max_tokens",
             "Request max_tokens parameter", _hist_buckets_tokens())
+        # spec decode acceptance (reference: loggers.py spec metrics)
+        self.counter_spec_drafts = counter(
+            "vllm:spec_decode_num_drafts", "Draft proposals scheduled")
+        self.counter_spec_draft_tokens = counter(
+            "vllm:spec_decode_num_draft_tokens",
+            "Draft tokens scheduled for verification")
+        self.counter_spec_accepted = counter(
+            "vllm:spec_decode_num_accepted_tokens",
+            "Draft tokens accepted")
         self._last_prefix_queries = 0
         self._last_prefix_hits = 0
         self._last_preempted = 0
@@ -122,6 +131,13 @@ class PrometheusStatLogger:
                 max(scheduler_stats.num_preempted_reqs -
                     self._last_preempted, 0))
             self._last_preempted = scheduler_stats.num_preempted_reqs
+            if scheduler_stats.spec_num_drafts:
+                self.counter_spec_drafts.inc(
+                    scheduler_stats.spec_num_drafts)
+                self.counter_spec_draft_tokens.inc(
+                    scheduler_stats.spec_num_draft_tokens)
+                self.counter_spec_accepted.inc(
+                    scheduler_stats.spec_num_accepted_tokens)
         if iteration_stats is not None:
             self.counter_prompt_tokens.inc(iteration_stats.num_prompt_tokens)
             self.counter_gen_tokens.inc(
