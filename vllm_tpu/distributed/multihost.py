@@ -45,15 +45,16 @@ class MultihostInfo:
 def resolve_multihost(parallel_config) -> Optional[MultihostInfo]:
     """Read the multi-host topology from config or environment
     (VLLM_TPU_NUM_HOSTS / VLLM_TPU_HOST_ID / VLLM_TPU_COORDINATOR)."""
-    num_hosts = parallel_config.num_hosts or int(
-        os.environ.get("VLLM_TPU_NUM_HOSTS", "1"))
+    from vllm_tpu import envs
+
+    num_hosts = parallel_config.num_hosts or envs.VLLM_TPU_NUM_HOSTS
     if num_hosts <= 1:
         return None
     host_id = (parallel_config.host_id
-               if parallel_config.host_id is not None else int(
-                   os.environ.get("VLLM_TPU_HOST_ID", "0")))
+               if parallel_config.host_id is not None else
+               envs.VLLM_TPU_HOST_ID)
     coord = (parallel_config.coordinator_address
-             or os.environ.get("VLLM_TPU_COORDINATOR"))
+             or envs.VLLM_TPU_COORDINATOR)
     if not coord:
         raise ValueError(
             "multi-host launch needs --coordinator-address host:port "

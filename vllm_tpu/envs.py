@@ -1,0 +1,50 @@
+"""Central environment-flag registry (reference: vllm/envs.py — 277
+lazily-resolved VLLM_* flags; this engine keeps the same one-module
+shape with its much smaller surface).
+
+Flags resolve lazily via attribute access (``vllm_tpu.envs.FLAG``) so a
+flag set after import is still honored, matching the reference's
+module-level ``__getattr__`` pattern (vllm/envs.py:651).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+_FLAGS: dict[str, Callable[[], Any]] = {
+    # Run Pallas kernels in interpret mode (CPU kernel unit tests).
+    "VLLM_TPU_PALLAS_INTERPRET":
+    lambda: os.environ.get("VLLM_TPU_PALLAS_INTERPRET", "0") == "1",
+    # Override the per-chip HBM budget (GiB) when the runtime exposes no
+    # memory_stats (worker/worker.py _estimate_tpu_budget).
+    "VLLM_TPU_HBM_GB":
+    lambda: float(os.environ.get("VLLM_TPU_HBM_GB", 0)),
+    # jax.profiler trace output directory (worker profile verb).
+    "VLLM_TPU_PROFILE_DIR":
+    lambda: os.environ.get("VLLM_TPU_PROFILE_DIR",
+                           "/tmp/vllm_tpu_profile"),
+    # Multi-host topology (distributed/multihost.py; CLI args override).
+    "VLLM_TPU_NUM_HOSTS":
+    lambda: int(os.environ.get("VLLM_TPU_NUM_HOSTS", "1")),
+    "VLLM_TPU_HOST_ID":
+    lambda: int(os.environ.get("VLLM_TPU_HOST_ID", "0")),
+    "VLLM_TPU_COORDINATOR":
+    lambda: os.environ.get("VLLM_TPU_COORDINATOR"),
+    # Set by tests/conftest.py: relaxes device expectations.
+    "VLLM_TPU_TEST_MODE":
+    lambda: os.environ.get("VLLM_TPU_TEST_MODE", "0") == "1",
+}
+
+
+def __getattr__(name: str) -> Any:
+    try:
+        return _FLAGS[name]()
+    except KeyError:
+        raise AttributeError(
+            f"unknown vllm_tpu env flag {name!r}; known: "
+            f"{sorted(_FLAGS)}") from None
+
+
+def __dir__() -> list[str]:
+    return sorted(_FLAGS)

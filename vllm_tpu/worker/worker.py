@@ -63,11 +63,11 @@ class Worker:
         memory_stats; budget = chip HBM x util - resident weights -
         an activation-peak reserve sized from the largest compiled
         bucket. Override chip HBM with VLLM_TPU_HBM_GB."""
-        import os
+        from vllm_tpu import envs
 
         device = jax.local_devices()[0]
         kind = getattr(device, "device_kind", "")
-        hbm_gb = float(os.environ.get("VLLM_TPU_HBM_GB", 0))
+        hbm_gb = envs.VLLM_TPU_HBM_GB
         if not hbm_gb:
             table = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v5p": 95,
                      "TPU v4": 32, "TPU v6 lite": 32, "TPU v6e": 32,
@@ -150,10 +150,9 @@ class Worker:
 
     def profile(self, is_start: bool = True) -> None:
         if is_start:
-            import os
+            from vllm_tpu import envs
 
-            trace_dir = os.environ.get("VLLM_TPU_PROFILE_DIR",
-                                       "/tmp/vllm_tpu_profile")
+            trace_dir = envs.VLLM_TPU_PROFILE_DIR
             jax.profiler.start_trace(trace_dir)
         else:
             jax.profiler.stop_trace()
