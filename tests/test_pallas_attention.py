@@ -349,4 +349,6 @@ def test_cascade_gate_in_input_batch():
             num_computed_tokens=269)
         batch2.add_request(data, rng)
     prep2 = batch2.prepare_inputs(so, token_bucket=16, req_bucket=16)
-    assert prep2.cascade_meta is None
+    # slot is always present (stable jit layout); zeros = disabled
+    assert prep2.cascade_meta is not None
+    assert prep2.cascade_meta[0] == 0

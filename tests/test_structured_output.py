@@ -110,3 +110,55 @@ def test_async_compile_waits_for_fsm():
     while not mgr.grammar_ready(req2):
         time.sleep(0.01)
         assert time.monotonic() < deadline
+
+
+def test_compile_failure_fails_request():
+    """A bad grammar raises GrammarCompileError from grammar_ready, and
+    the scheduler finishes the request with an ABORT output instead of
+    serving it unconstrained (ADVICE r02)."""
+    import time
+
+    from tests.utils import create_requests, create_scheduler
+    from vllm_tpu.config import EngineConfig
+    from vllm_tpu.engine import FinishReason
+    from vllm_tpu.request import Request, RequestStatus
+    from vllm_tpu.sampling_params import SamplingParams
+    from vllm_tpu.structured_output.manager import (GrammarCompileError,
+                                                    StructuredOutputManager)
+
+    mgr = StructuredOutputManager(EngineConfig())
+    mgr.attach_tokenizer(_FakeTok())
+    sp = SamplingParams(guided_regex="[unbalanced")  # invalid regex
+    req = Request("bad", [1, 2], sampling_params=sp)
+    mgr.maybe_init_request(req, sp)
+    deadline = time.monotonic() + 10
+    while True:
+        try:
+            ready = mgr.grammar_ready(req)
+        except GrammarCompileError:
+            break
+        assert not ready and time.monotonic() < deadline
+        time.sleep(0.01)
+
+    # scheduler integration: the errored request is finished + reported
+    scheduler = create_scheduler()
+    scheduler.structured_output_manager = mgr
+    bad = create_requests(1, num_tokens=4)[0]
+    bad.sampling_params = sp
+    mgr.maybe_init_request(bad, sp)
+    scheduler.add_request(bad)
+    assert bad.status == RequestStatus.WAITING_FOR_FSM
+    deadline = time.monotonic() + 10
+    while not bad.is_finished:
+        out = scheduler.schedule()
+        assert out.total_num_scheduled_tokens == 0
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    from vllm_tpu.core.sched.output import ModelRunnerOutput
+
+    ec = scheduler.update_from_output(out, ModelRunnerOutput())
+    eco = ec[0].outputs[0]
+    assert eco.request_id == bad.request_id
+    assert eco.finish_reason == FinishReason.ABORT
+    assert "grammar compilation failed" in str(eco.stop_reason)
+    assert not scheduler.has_unfinished_requests()

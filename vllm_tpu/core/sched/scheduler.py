@@ -108,6 +108,9 @@ class Scheduler:
         # req ids finished since the last schedule() per client; the runner
         # uses this to release persistent-batch slots.
         self.finished_req_ids: set[str] = set()
+        # Requests failed outside a model step (e.g. grammar-compile
+        # errors) awaiting an EngineCoreOutput in update_from_output.
+        self._error_outputs: list[Request] = []
         # Accumulated stats
         self.num_preempted_reqs_total = 0
         self._step_spec_stats = [0, 0, 0]  # drafts, draft tokens, accepted
@@ -225,9 +228,24 @@ class Scheduler:
                 request = self.waiting.peek_request()
 
                 if request.status == RequestStatus.WAITING_FOR_FSM:
-                    if (self.structured_output_manager is not None
-                            and self.structured_output_manager.grammar_ready(
-                                request)):
+                    from vllm_tpu.structured_output.manager import \
+                        GrammarCompileError
+
+                    try:
+                        ready = (self.structured_output_manager is not None
+                                 and self.structured_output_manager.
+                                 grammar_ready(request))
+                    except GrammarCompileError as e:
+                        # Fail the request: a bad guided_json/regex/
+                        # grammar must error, not silently serve
+                        # unconstrained output (ADVICE r02).
+                        self.waiting.pop_request()
+                        request.status = RequestStatus.FINISHED_ABORTED
+                        request.stop_reason = str(e)
+                        self._free_request(request)
+                        self._error_outputs.append(request)
+                        continue
+                    if ready:
                         request.status = RequestStatus.WAITING
                     else:
                         break
@@ -437,6 +455,17 @@ class Scheduler:
         outputs_by_client: dict[int, list[EngineCoreOutput]] = {}
         stopped_reqs: list[Request] = []
         spec_stats = self._step_spec_stats
+
+        for request in self._error_outputs:
+            outputs_by_client.setdefault(request.client_index, []).append(
+                EngineCoreOutput(
+                    request_id=request.request_id,
+                    new_token_ids=[],
+                    finish_reason=FinishReason.ABORT,
+                    stop_reason=request.stop_reason,
+                    events=request.take_events(),
+                ))
+        self._error_outputs = []
 
         for i, req_id in enumerate(runner_output.req_ids):
             request = self.requests.get(req_id)

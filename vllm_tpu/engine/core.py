@@ -191,15 +191,28 @@ class EngineCore:
         tokens materialize one step late; placeholder inputs substitute
         from the previous step's device tokens inside the jitted step."""
         scheduled = None
+        zero_so = None
         if self.scheduler.has_requests():
             so = self.scheduler.schedule()
-            self.executor.execute_model(so)  # dispatch, no fetch
-            scheduled = so
+            if so.total_num_scheduled_tokens > 0:
+                self.executor.execute_model(so)  # dispatch, no fetch
+                scheduled = so
+            else:
+                # Nothing ran (all waiting blocked, or a request errored
+                # in schedule()): there is no pending device step to
+                # finalize, but scheduler-side outputs (grammar errors,
+                # stats) must still flush.
+                zero_so = so
         outputs: dict[int, EngineCoreOutputs] = {}
         if self._inflight is not None:
             prev_so = self._inflight
             prev_ro = self.executor.collective_rpc("finalize_pending")[0]
             outputs = self.scheduler.update_from_output(prev_so, prev_ro)
+        elif zero_so is not None:
+            from vllm_tpu.core.sched.output import ModelRunnerOutput
+
+            outputs = self.scheduler.update_from_output(
+                zero_so, ModelRunnerOutput())
         self._inflight = scheduled
         return outputs
 

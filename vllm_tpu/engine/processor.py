@@ -77,8 +77,13 @@ class Processor:
                 hashlib.sha256(np.ascontiguousarray(img).tobytes())
                 .hexdigest()[:32] for img in imgs
             ]
-            itok = getattr(getattr(self.model_config, "hf_config", None),
-                           "image_token_index", None)
+            # Resolve the image placeholder token the way the models do:
+            # LLaVA-family configs call it image_token_index, Qwen2-VL
+            # image_token_id (ADVICE r02: using only the former made the
+            # encoder budget count 0 tokens/image for Qwen2-VL).
+            hf = getattr(self.model_config, "hf_config", None)
+            itok = (getattr(hf, "image_token_index", None)
+                    or getattr(hf, "image_token_id", None))
             if itok is not None:
                 encoder_token_count = sum(
                     1 for t in prompt_token_ids if t == itok)

@@ -25,14 +25,20 @@ from typing import Any
 _SAFE_BUILTINS = {
     "list", "dict", "tuple", "set", "frozenset", "bytes", "bytearray",
     "str", "int", "float", "bool", "complex", "slice", "range",
-    "getattr", "object",
+    # NOTE: "getattr" and "object" are deliberately NOT here — together
+    # they form the classic gadget chain getattr(object,
+    # '__subclasses__')() -> arbitrary class -> __init__.__globals__ ->
+    # os.system (ADVICE r02 high finding).
 }
 
+# Exact module names OR dotted prefixes (trailing "." so e.g.
+# "numpy_evil" / "jaxlib" never match).
+_SAFE_MODULES = {"numpy", "collections", "jax"}
 _SAFE_MODULE_PREFIXES = (
     "vllm_tpu.",
-    "numpy",
-    "collections",
-    "jax",  # jnp scalars/dtypes occasionally ride in configs
+    "numpy.",
+    "collections.",
+    "jax.",  # jnp scalars/dtypes occasionally ride in configs
 )
 
 
@@ -44,7 +50,8 @@ class _RestrictedUnpickler(pickle.Unpickler):
                 return super().find_class(module, name)
             raise pickle.UnpicklingError(
                 f"blocked builtins.{name} on the engine wire")
-        if module.startswith(_SAFE_MODULE_PREFIXES):
+        if module in _SAFE_MODULES or module.startswith(
+                _SAFE_MODULE_PREFIXES):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"blocked {module}.{name} on the engine wire "

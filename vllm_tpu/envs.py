@@ -34,7 +34,30 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # Set by tests/conftest.py: relaxes device expectations.
     "VLLM_TPU_TEST_MODE":
     lambda: os.environ.get("VLLM_TPU_TEST_MODE", "0") == "1",
+    # Persistent XLA compilation cache directory ("" disables). Cuts
+    # engine rebuild from minutes to seconds (TPU analog of CUDA-graph
+    # capture reuse; reference: gpu_worker.py:288 warmup reuse intent).
+    "VLLM_TPU_COMPILE_CACHE_DIR":
+    lambda: os.environ.get(
+        "VLLM_TPU_COMPILE_CACHE_DIR",
+        os.path.expanduser("~/.cache/vllm_tpu/jax_cache")),
 }
+
+
+def enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at
+    VLLM_TPU_COMPILE_CACHE_DIR (idempotent; no-op when disabled)."""
+    cache_dir = __getattr__("VLLM_TPU_COMPILE_CACHE_DIR")
+    if not cache_dir:
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir == cache_dir:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def __getattr__(name: str) -> Any:

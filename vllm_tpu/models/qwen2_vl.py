@@ -171,6 +171,15 @@ class Qwen2VLForConditionalGeneration:
         sin = jnp.sin(angles)[:, None, :].astype(jnp.float32)
         nh, hd = self.v_heads, self.v_head_dim
         n = x.shape[0]
+        # ViT attention is restricted WITHIN each temporal frame (HF
+        # cu_seqlens per t; patches are frame-major after blockify), so
+        # video inputs (t>1) don't attend across frames (ADVICE r02).
+        frame_mask = None
+        t_frames = grid[0]
+        if t_frames > 1:
+            seg = jnp.arange(n, dtype=jnp.int32) // (grid[1] * grid[2])
+            frame_mask = jnp.where(seg[:, None] == seg[None, :], 0.0,
+                                   -jnp.inf).astype(jnp.float32)
 
         def rot(v):
             vf = v.astype(jnp.float32)
@@ -196,6 +205,8 @@ class Qwen2VLForConditionalGeneration:
             v = v[:, 0]
             scores = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
                                 k.astype(jnp.float32)) / math.sqrt(hd)
+            if frame_mask is not None:
+                scores = scores + frame_mask[None]
             probs = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("hqk,khd->qhd", probs,
                            v.astype(jnp.float32)).astype(x.dtype)

@@ -27,6 +27,11 @@ if TYPE_CHECKING:
 logger = logging.getLogger(__name__)
 
 
+class GrammarCompileError(ValueError):
+    """A guided-decoding grammar failed to compile; the request must be
+    finished with an error, not served unconstrained."""
+
+
 def wants_structured_output(params: SamplingParams) -> bool:
     return any((params.guided_json, params.guided_regex,
                 params.guided_choice, params.guided_grammar))
@@ -102,18 +107,21 @@ class StructuredOutputManager:
                                                             self)
 
     def grammar_ready(self, request: "Request") -> bool:
+        """True when compiled; False while pending. Raises
+        GrammarCompileError on compile failure — the scheduler fails the
+        request rather than silently serving unconstrained output
+        (reference behavior: the request errors; ADVICE r02 medium)."""
         state = request.structured_output_request
         if isinstance(state, _PendingGrammar):
             try:
                 grammar = state.poll()
-            except Exception:
-                # Compile failure: log and serve unconstrained rather
-                # than wedging the engine loop.
+            except Exception as e:
                 logger.exception(
-                    "grammar compilation failed for request %s; "
-                    "serving without the constraint", request.request_id)
+                    "grammar compilation failed for request %s",
+                    request.request_id)
                 request.structured_output_request = None
-                return True
+                raise GrammarCompileError(
+                    f"grammar compilation failed: {e}") from e
             if grammar is None:
                 return False
             request.structured_output_request = grammar.new_state()

@@ -379,7 +379,10 @@ class InputBatch:
         # streaming once (reference decision: gpu_model_runner.py:873).
         # Verified here against the ACTUAL scheduled rows, not just the
         # scheduler's running-set hint.
-        cascade_meta = None
+        # Always emitted (zeros = disabled): a conditional slot would
+        # change the static jit `layout` and trigger a mid-serving
+        # recompile on the first cascade-eligible batch (ADVICE r02).
+        cascade_meta = np.zeros(self.max_blocks_per_req + 1, np.int32)
         if num_active >= 8 and total <= 2 * num_active:
             rows_arr = [idx for idx, _ in active]
             nb = self.num_blocks[self.attn_group, rows_arr]
@@ -391,8 +394,6 @@ class InputBatch:
                                         :max_nc] == bt0).all(axis=0)
                 nc = int(np.argmin(eq)) if not eq.all() else max_nc
                 if nc * self.block_size >= 256:
-                    cascade_meta = np.zeros(self.max_blocks_per_req + 1,
-                                            np.int32)
                     cascade_meta[0] = nc
                     cascade_meta[1:1 + nc] = bt0[:nc]
 

@@ -46,6 +46,9 @@ _CACHE_DTYPES = {
 class TPUModelRunner:
 
     def __init__(self, engine_config: EngineConfig, mesh=None) -> None:
+        from vllm_tpu import envs
+
+        envs.enable_compilation_cache()
         self.config = engine_config
         self.model_config = engine_config.model_config
         self.cache_config = engine_config.cache_config
@@ -715,6 +718,8 @@ class TPUModelRunner:
         if prep.mrope_positions is not None:
             i32_parts.append(("mrope_positions", prep.mrope_positions))
         if prep.cascade_meta is not None:
+            # always present for attention batches (zeros = disabled) so
+            # the static layout — and the compiled variant — is stable
             i32_parts.append(("cascade_meta", prep.cascade_meta))
         if prep.token_lora is not None:
             i32_parts.append(("token_lora", prep.token_lora))
@@ -800,6 +805,7 @@ class TPUModelRunner:
         ]
         if use_mrope:
             parts.append(("mrope_positions", np.zeros((3, T), np.int32)))
+        parts.append(("cascade_meta", np.zeros(B + 1, np.int32)))
         if self.lora_manager is not None:
             parts.append(("token_lora",
                           np.full(T, self.lora_manager.none_slot,
