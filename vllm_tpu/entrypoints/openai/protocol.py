@@ -211,6 +211,10 @@ class ChatCompletionResponse(BaseModel):
 class DeltaMessage(BaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
+    reasoning_content: Optional[str] = None
+    # incremental tool-call fragments: [{"index", "id"?, "type"?,
+    # "function": {"name"?, "arguments" fragment}}]
+    tool_calls: Optional[list[dict]] = None
 
 
 class ChatCompletionChunkChoice(BaseModel):

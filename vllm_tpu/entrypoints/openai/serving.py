@@ -240,6 +240,9 @@ class OpenAIServingChat(OpenAIServing):
                            request_id: str, prompt: str,
                            params: SamplingParams
                            ) -> AsyncGenerator[str, None]:
+        """SSE chat stream with INCREMENTAL reasoning + tool-call deltas
+        (reference: serving_chat.py chat_completion_stream_generator +
+        abstract_tool_parser.py:61 extract_tool_calls_streaming)."""
         model = request.model or self.model_name
         first = ChatCompletionChunk(
             id=request_id, model=model,
@@ -249,18 +252,77 @@ class OpenAIServingChat(OpenAIServing):
                                               role="assistant", content=""))
             ])
         yield f"data: {first.model_dump_json()}\n\n"
-        async for out in self.engine.generate(
-                prompt, params, request_id,
-                lora_request=self._lora_for(request.model),
-                priority=request.priority):
-            c = out.outputs[0]
+
+        tool_stream = None
+        if (self.tool_parser is not None and request.tools
+                and request.tool_choice != "none"):
+            from vllm_tpu.entrypoints.openai.streaming_tools import \
+                get_streaming_tool_parser
+
+            tool_stream = get_streaming_tool_parser(self.tool_parser.name)
+        reason_stream = None
+        if self.reasoning_parser is not None:
+            from vllm_tpu.reasoning import StreamingReasoningSplitter
+
+            reason_stream = StreamingReasoningSplitter(
+                self.reasoning_parser)
+
+        def chunk_json(content=None, reasoning=None, tool_calls=None,
+                       finish_reason=None, stop_reason=None) -> str:
             chunk = ChatCompletionChunk(
                 id=request_id, model=model,
                 choices=[
                     ChatCompletionChunkChoice(
                         index=0,
-                        delta=DeltaMessage(content=c.text),
-                        finish_reason=c.finish_reason)
+                        delta=DeltaMessage(
+                            content=content or None,
+                            reasoning_content=reasoning or None,
+                            tool_calls=tool_calls or None),
+                        finish_reason=finish_reason,
+                        stop_reason=stop_reason)
                 ])
-            yield f"data: {chunk.model_dump_json()}\n\n"
+            return f"data: {chunk.model_dump_json()}\n\n"
+
+        finish_reason = None
+        stop_reason = None
+        async for out in self.engine.generate(
+                prompt, params, request_id,
+                lora_request=self._lora_for(request.model),
+                priority=request.priority):
+            c = out.outputs[0]
+            text = c.text
+            reasoning = None
+            if reason_stream is not None:
+                reasoning, text = reason_stream.push(text)
+            if tool_stream is not None:
+                d = tool_stream.push(text) if text else None
+                content, tool_calls = ((d.content, d.tool_calls)
+                                       if d is not None else (None, None))
+            else:
+                content, tool_calls = text, None
+            if c.finish_reason:
+                finish_reason, stop_reason = c.finish_reason, c.stop_reason
+            if content or reasoning or tool_calls:
+                yield chunk_json(content, reasoning, tool_calls)
+
+        # flush held-back text / buffered formats, then the finish chunk
+        tail_reason = tail_content = ""
+        if reason_stream is not None:
+            tail_reason, tail_content = reason_stream.finish()
+        tail_calls = None
+        if tool_stream is not None:
+            if tail_content:
+                d = tool_stream.push(tail_content)
+                if d.content or d.tool_calls:
+                    yield chunk_json(d.content, tail_reason or None,
+                                     d.tool_calls)
+                    tail_reason = ""
+            d = tool_stream.finish()
+            tail_content, tail_calls = d.content, d.tool_calls
+            if tool_stream.tools_called:
+                finish_reason = "tool_calls"
+        if tail_reason or tail_content or tail_calls:
+            yield chunk_json(tail_content, tail_reason, tail_calls)
+        yield chunk_json(finish_reason=finish_reason,
+                         stop_reason=stop_reason)
         yield "data: [DONE]\n\n"

@@ -44,6 +44,61 @@ class ThinkTagReasoningParser(ReasoningParser):
                                   tail.lstrip("\n") or None)
 
 
+class StreamingReasoningSplitter:
+    """Splits an SSE delta stream into (reasoning_delta, content_delta)
+    pairs as tokens arrive (reference:
+    vllm/reasoning/deepseek_r1_reasoning_parser.py streaming path —
+    everything before the end tag is reasoning; the opening tag is
+    optional because the chat template may have emitted it)."""
+
+    def __init__(self, parser: ReasoningParser):
+        self.start = getattr(parser, "start", "<think>")
+        self.end = getattr(parser, "end", "</think>")
+        self._buf = ""
+        self._mode = "head"  # head -> reasoning -> content
+
+    def _held(self, marker: str) -> int:
+        for k in range(min(len(marker) - 1, len(self._buf)), 0, -1):
+            if self._buf.endswith(marker[:k]):
+                return k
+        return 0
+
+    def push(self, delta: str) -> tuple[str, str]:
+        self._buf += delta
+        reasoning, content = [], []
+        if self._mode == "head":
+            s = self._buf.lstrip()
+            if s.startswith(self.start):
+                ws = len(self._buf) - len(s)
+                self._buf = self._buf[ws + len(self.start):]
+                self._mode = "reasoning"
+            elif not s or self.start.startswith(s[:len(self.start)]) \
+                    and len(s) < len(self.start):
+                return "", ""  # could still become the opening tag
+            else:
+                self._mode = "reasoning"
+        if self._mode == "reasoning":
+            pos = self._buf.find(self.end)
+            if pos >= 0:
+                reasoning.append(self._buf[:pos])
+                self._buf = self._buf[pos + len(self.end):].lstrip("\n")
+                self._mode = "content"
+            else:
+                keep = self._held(self.end)
+                reasoning.append(self._buf[:len(self._buf) - keep])
+                self._buf = self._buf[len(self._buf) - keep:]
+        if self._mode == "content":
+            content.append(self._buf)
+            self._buf = ""
+        return "".join(reasoning), "".join(content)
+
+    def finish(self) -> tuple[str, str]:
+        buf, self._buf = self._buf, ""
+        if self._mode == "content":
+            return "", buf
+        return buf, ""  # unterminated thought: stays reasoning
+
+
 _PARSERS = {
     "deepseek_r1": ThinkTagReasoningParser,
     "qwen3": ThinkTagReasoningParser,
