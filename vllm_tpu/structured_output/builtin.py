@@ -139,15 +139,28 @@ def compile_grammar(params: SamplingParams, tokenizer) -> TokenGrammar:
         return TokenGrammar(regex_to_dfa(params.guided_regex), tokenizer,
                             eos)
     if params.guided_json is not None:
-        from vllm_tpu.structured_output.regex_dfa import (
-            json_schema_to_regex, regex_to_dfa)
+        # pushdown backend: honors arbitrary nesting and recursive
+        # $ref schemas (the regex approximation could not; reference:
+        # backend_xgrammar.py:33)
+        from vllm_tpu.structured_output.json_schema import schema_to_ebnf
+        from vllm_tpu.structured_output.pushdown import compile_pushdown
 
-        pattern = json_schema_to_regex(params.guided_json)
-        return TokenGrammar(regex_to_dfa(pattern), tokenizer, eos)
+        return compile_pushdown(schema_to_ebnf(params.guided_json),
+                                tokenizer)
     if params.guided_grammar is not None:
         from vllm_tpu.structured_output.ebnf import ebnf_to_regex
         from vllm_tpu.structured_output.regex_dfa import regex_to_dfa
 
-        pattern = ebnf_to_regex(params.guided_grammar)
+        try:
+            pattern = ebnf_to_regex(params.guided_grammar)
+        except ValueError as e:
+            if "recursive" not in str(e):
+                raise
+            # recursive grammar: the DFA cannot express it — compile to
+            # the pushdown automaton instead
+            from vllm_tpu.structured_output.pushdown import \
+                compile_pushdown
+
+            return compile_pushdown(params.guided_grammar, tokenizer)
         return TokenGrammar(regex_to_dfa(pattern), tokenizer, eos)
     raise ValueError("no structured-output constraint in params")

@@ -102,9 +102,19 @@ class TPUModelRunner:
         # evicted when the scheduler ships freed_mm_hashes
         # (reference: EncoderCacheManager + mm_input_cache)
         self._mm_cache: dict[str, Any] = {}
-        # async scheduling: dispatched-but-unfetched steps (FIFO)
+        # async scheduling: dispatched-but-unfetched steps (FIFO). The
+        # device->host fetch is a fixed ~26ms RTT on remote-tunnel
+        # runtimes; a worker thread runs it concurrently with the next
+        # step's schedule/prepare/dispatch so it leaves the engine
+        # loop's critical path entirely.
         self.async_mode = self.scheduler_config.async_scheduling
         self._pending_steps: list[tuple] = []
+        self._fetch_pool = None
+        if self.async_mode:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="vtpu-fetch")
         self.kv_connector = None
         if engine_config.kv_transfer_config is not None:
             from vllm_tpu.distributed.kv_transfer import (KVConnectorRole,
@@ -496,10 +506,14 @@ class TPUModelRunner:
 
         if self.async_mode and not spec:
             # dispatch-only: the engine core fetches via
-            # finalize_pending() one step later
+            # finalize_pending() one step later; the D2H fetch itself
+            # starts NOW on the worker thread
+            fut = self._fetch_pool.submit(self._fetch_step,
+                                          tokens_dev[0], tokens_dev[1],
+                                          lp_dev)
             self._pending_steps.append(
-                (prep, tokens_dev[0], tokens_dev[1], lp_dev,
-                 num_logprobs, scheduler_output))
+                (prep, tokens_dev[0], fut, num_logprobs,
+                 scheduler_output))
             return ModelRunnerOutput()
 
         if spec:
@@ -518,16 +532,28 @@ class TPUModelRunner:
                 prep, tokens_dev[1])
         return out
 
-    def finalize_pending(self) -> ModelRunnerOutput:
-        """Fetch + build the oldest dispatched step's output (async
-        scheduling; reference: vllm async sampled-token lag)."""
-        prep, tokens_dev, pooled_dev, lp_dev, num_logprobs, so = \
-            self._pending_steps.pop(0)
+    @staticmethod
+    def _fetch_step(tokens_dev, pooled_dev, lp_dev):
+        """Worker-thread D2H fetch of one step's outputs -> numpy."""
         tokens = np.asarray(tokens_dev)
-        out = self._build_output(so, prep, tokens, lp_dev, num_logprobs)
+        pooled = None
         if pooled_dev is not None:
-            out.pooler_output = self._build_pooler_output(prep,
-                                                          pooled_dev)
+            pooled = tuple(np.asarray(p) for p in pooled_dev)
+        lp = None
+        if lp_dev is not None:
+            lp = tuple(np.asarray(x) for x in lp_dev)
+        return tokens, pooled, lp
+
+    def finalize_pending(self) -> ModelRunnerOutput:
+        """Join the prefetched oldest dispatched step and build its
+        output (async scheduling; reference: vllm async sampled-token
+        lag)."""
+        prep, _tokens_dev, fut, num_logprobs, so = \
+            self._pending_steps.pop(0)
+        tokens, pooled, lp = fut.result()
+        out = self._build_output(so, prep, tokens, lp, num_logprobs)
+        if pooled is not None:
+            out.pooler_output = self._build_pooler_output(prep, pooled)
         return out
 
     def _build_pooler_output(self, prep: PreparedInputs,
