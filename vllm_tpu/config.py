@@ -178,10 +178,15 @@ class SchedulerConfig:
     policy: str = "fcfs"  # fcfs | priority
     num_lookahead_tokens: int = 0  # spec-decode lookahead slots
     disable_hybrid_kv_cache_manager: bool = False
-    # One-step-lagged sampling: schedule step N before fetching step
-    # N-1's sampled tokens; placeholders substitute on device
-    # (reference: vllm --async-scheduling).
+    # Lagged sampling: schedule step N before fetching earlier steps'
+    # sampled tokens; placeholders substitute on device (reference:
+    # vllm --async-scheduling). async_depth = number of dispatched-but-
+    # unfetched steps kept in flight. Depth 2 fully hides the fixed D2H
+    # fetch RTT behind a whole extra device step (depth 1 leaves the
+    # RTT on the loop's critical path: the fetch cannot begin until the
+    # step completes, so it serializes with the next dispatch).
     async_scheduling: bool = False
+    async_depth: int = 2
 
     def __post_init__(self) -> None:
         if self.max_num_batched_tokens < 1:

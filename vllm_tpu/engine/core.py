@@ -95,7 +95,11 @@ class EngineCore:
 
         self.async_scheduling = \
             engine_config.scheduler_config.async_scheduling
-        self._inflight = None  # (scheduler_output,) awaiting finalize
+        self.async_depth = max(
+            1, engine_config.scheduler_config.async_depth)
+        from collections import deque
+
+        self._inflight = deque()  # scheduler outputs awaiting finalize
 
         # ngram speculative proposer runs host-side in the core
         self.spec_proposer = None
@@ -197,6 +201,7 @@ class EngineCore:
             if so.total_num_scheduled_tokens > 0:
                 self.executor.execute_model(so)  # dispatch, no fetch
                 scheduled = so
+                self._inflight.append(so)
             else:
                 # Nothing ran (all waiting blocked, or a request errored
                 # in schedule()): there is no pending device step to
@@ -204,8 +209,11 @@ class EngineCore:
                 # stats) must still flush.
                 zero_so = so
         outputs: dict[int, EngineCoreOutputs] = {}
-        if self._inflight is not None:
-            prev_so = self._inflight
+        # Drain the oldest in-flight step once the pipeline is full, or
+        # whenever nothing new was dispatched (drain-down / blocked).
+        if self._inflight and (len(self._inflight) > self.async_depth
+                               or scheduled is None):
+            prev_so = self._inflight.popleft()
             prev_ro = self.executor.collective_rpc("finalize_pending")[0]
             outputs = self.scheduler.update_from_output(prev_so, prev_ro)
         elif zero_so is not None:
@@ -213,14 +221,13 @@ class EngineCore:
 
             outputs = self.scheduler.update_from_output(
                 zero_so, ModelRunnerOutput())
-        self._inflight = scheduled
         return outputs
 
     # ------------------------------------------------------------- control
 
     def has_unfinished_requests(self) -> bool:
         return (self.scheduler.has_unfinished_requests()
-                or self._inflight is not None)
+                or len(self._inflight) > 0)
 
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.reset_prefix_cache()

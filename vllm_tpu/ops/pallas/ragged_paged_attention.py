@@ -439,6 +439,7 @@ def _decode_kernel(
     kv_sems,  # DMA [2, SB, chunk_pages]
     sh_buf,  # VMEM [2, C, 2nk, d] shared-prefix chunks (cascade)
     sh_sems,  # DMA [2, chunk_pages]
+    slot_smem,  # SMEM [1]: slot parity carried ACROSS programs
     *,
     sb: int,
     chunk_pages: int,
@@ -459,10 +460,18 @@ def _decode_kernel(
     fixed dispatch overhead (measured no-op kernel); the general kernel's
     one-sequence-per-program decode grid (R programs) pays it R times,
     this one R/SB times. All SB rows' chunk DMAs are issued in one batch
-    per chunk with a shared double buffer."""
+    per chunk with a shared double buffer.
+
+    CROSS-PROGRAM software pipeline: at short decode contexts a program
+    has a single KV chunk, so within-program double buffering never
+    engages and every program serialized (issue + DMA wait) with its
+    compute. Each program therefore issues the NEXT program's first
+    chunk before computing; the slot parity rides across programs in
+    SMEM scratch (programs on the 1-D "arbitrary" grid run
+    sequentially, so the handoff is race-free)."""
     prog = pl.program_id(0)
+    num_progs = pl.num_programs(0)
     C = chunk_pages * page_size
-    r0 = prog * sb
     nq = num_kv_heads * group
     # cascade: the first ns_pages of EVERY row's context are the same
     # blocks; they stream once per program (vs once per row) and the
@@ -470,7 +479,9 @@ def _decode_kernel(
     ns_pages = cascade_ref[0] if cascade else jnp.int32(0)
     ns_tokens = ns_pages * page_size
 
-    def row_params(j):
+    def row_params(j, dp=0):
+        # clamped so the dp=1 lookahead never reads past the scalar ref
+        r0 = jnp.minimum((prog + dp) * sb, num_progs * sb - sb)
         s = row_seq_ref[r0 + j]
         valid = s >= 0
         sc = jnp.maximum(s, 0)
@@ -483,10 +494,10 @@ def _decode_kernel(
             kv_needed = jnp.maximum(kv_needed - ns_tokens, 0)
         return sc, kv_len, pos, kv_needed
 
-    def chunk_dma(slot, ci):
+    def chunk_dma(slot, ci, dp=0):
         copies = []
         for j in range(sb):
-            sc, kv_len, _, kv_needed = row_params(j)
+            sc, kv_len, _, kv_needed = row_params(j, dp)
             for p in range(chunk_pages):
                 page_pos = ns_pages + ci * chunk_pages + p
                 max_page = pl.cdiv(kv_len, page_size) - 1
@@ -525,10 +536,35 @@ def _decode_kernel(
             for cpy in shared_dma(0, 0):
                 cpy.start()
 
-    @pl.when(num_chunks > 0)
+    # slot parity handoff: program 0 bootstraps its own first chunk;
+    # later programs find it already in flight (issued by prog-1).
+    @pl.when(prog == 0)
     def _():
-        for cpy in chunk_dma(0, 0):
-            cpy.start()
+        slot_smem[0] = 0
+
+        @pl.when(num_chunks > 0)
+        def _():
+            for cpy in chunk_dma(0, 0):
+                cpy.start()
+
+    slot0 = slot_smem[0]
+    # next program's first chunk 0 target slot continues the alternation
+    slot_smem[0] = jax.lax.rem(slot0 + num_chunks, 2)
+    # padding rows form a suffix: the next program has work iff its
+    # first row is valid (and it then has >= 1 chunk unless cascade ate
+    # the whole context — handled by the num_chunks==0 fallback below)
+    nxt_has_work = jnp.logical_and(
+        prog + 1 < num_progs,
+        row_seq_ref[jnp.minimum((prog + 1) * sb,
+                                num_progs * sb - 1)] >= 0)
+    nxt_num_chunks = jnp.int32(0)
+    for j in range(sb):
+        _, _, _, kv_needed = row_params(j, dp=1)
+        nxt_num_chunks = jnp.maximum(nxt_num_chunks,
+                                     pl.cdiv(kv_needed, C))
+    nxt_has_work = jnp.logical_and(nxt_has_work, nxt_num_chunks > 0)
+
+    eff_scale = scale * k_scale if kv_quant else scale
 
     # Block-diagonal batching: per KV head, contract ALL SB rows' queries
     # against the CONCATENATION of their KV chunks in one MXU pass
@@ -553,11 +589,20 @@ def _decode_kernel(
 
     def body(ci, carry):
         m_all, l_all, acc_all = carry  # [nk, SB*G, 1] / [nk, SB*G, d]
-        slot = ci % 2
+        slot = jax.lax.rem(slot0 + ci, 2)
+        nxt_slot = jax.lax.rem(slot0 + ci + 1, 2)
 
         @pl.when(ci + 1 < num_chunks)
         def _():
-            for cpy in chunk_dma((ci + 1) % 2, ci + 1):
+            for cpy in chunk_dma(nxt_slot, ci + 1):
+                cpy.start()
+
+        @pl.when(jnp.logical_and(ci + 1 == num_chunks, nxt_has_work))
+        def _():
+            # last chunk: prefetch the NEXT program's first chunk so its
+            # DMA overlaps this program's compute (nxt_slot equals the
+            # next program's slot0 by the parity handoff above)
+            for cpy in chunk_dma(nxt_slot, 0, dp=1):
                 cpy.start()
 
         for cpy in chunk_dma(slot, ci):
@@ -576,14 +621,15 @@ def _decode_kernel(
             v_big = kv_all[:, :, num_kv_heads + h, :].reshape(
                 sb * C, head_dim)
             if kv_quant:
-                k_big = (k_big.astype(jnp.float32) * k_scale).astype(
-                    qt.dtype)
-                v_big = (v_big.astype(jnp.float32) * v_scale).astype(
-                    qt.dtype)
+                # dequant fold: int8/fp8 values convert to bf16 RAW (one
+                # VPU pass); k_scale folds into the score scale and
+                # v_scale is applied once on the epilogue accumulator
+                k_big = k_big.astype(qt.dtype)
+                v_big = v_big.astype(qt.dtype)
             q_h = qt[:, h * G:(h + 1) * G, :].reshape(sb * G, head_dim)
             scores = jax.lax.dot_general(
                 q_h, k_big, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32) * eff_scale
             if soft_cap is not None:
                 scores = soft_cap * jnp.tanh(scores / soft_cap)
             scores = jnp.where(ok, scores, NEG_INF)
@@ -639,13 +685,13 @@ def _decode_kernel(
                 k = kv_sh[:, h, :]
                 v = kv_sh[:, num_kv_heads + h, :]
                 if kv_quant:
-                    k = (k.astype(jnp.float32) * k_scale).astype(qt.dtype)
-                    v = (v.astype(jnp.float32) * v_scale).astype(qt.dtype)
+                    k = k.astype(qt.dtype)
+                    v = v.astype(qt.dtype)
                 q_h = qt[:, h * G:(h + 1) * G, :].reshape(
                     sb * G, head_dim)
                 scores = jax.lax.dot_general(
                     q_h, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32) * eff_scale
                 if soft_cap is not None:
                     scores = soft_cap * jnp.tanh(scores / soft_cap)
                 scores = jnp.where(ok, scores, NEG_INF)
@@ -669,7 +715,18 @@ def _decode_kernel(
 
     m_all, l_all, acc_all = jax.lax.fori_loop(0, num_chunks, body, init)
 
+    @pl.when(jnp.logical_and(num_chunks == 0, nxt_has_work))
+    def _():
+        # this program ran no suffix chunks (all-padding rows, or the
+        # cascade prefix covered the whole context): still hand the
+        # next program its first chunk (target slot = our slot0 since
+        # the parity advanced by 0)
+        for cpy in chunk_dma(slot0, 0, dp=1):
+            cpy.start()
+
     out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, SB*G, d]
+    if kv_quant:
+        out = out * v_scale  # dequant fold (see body)
     out = out.reshape(num_kv_heads, sb, G, head_dim)
     out = out.transpose(1, 0, 2, 3).reshape(sb, nq, head_dim)
     out_ref[...] = out.astype(out_ref.dtype)
@@ -746,6 +803,7 @@ def _decode_attention_impl(
             pltpu.SemaphoreType.DMA((2, SB, chunk_pages)),
             pltpu.VMEM(sh_shape, kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_pages)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out_pad = pl.pallas_call(

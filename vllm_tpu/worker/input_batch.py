@@ -327,7 +327,10 @@ class InputBatch:
 
         subst_idx = None
         if async_prev is not None:
-            prev_rows, r_prev = async_prev
+            # async_prev: [(row_map, size), ...] newest pending step
+            # first; subst_idx addresses the CONCATENATION of their
+            # token arrays (total size = out-of-range = no substitution)
+            r_prev = sum(r for _, r in async_prev)
             subst_idx = np.full(T, r_prev, np.int32)
 
         # SSM state routing: slot = persistent batch row (stable across
@@ -350,10 +353,18 @@ class InputBatch:
                 self.token_ids[idx, start:start + n]
             if subst_idx is not None and \
                     start + n > self.num_tokens[idx]:
-                # trailing positions are un-materialized samples from the
-                # in-flight step: substitute on device from its tokens
+                # trailing positions are un-materialized samples from an
+                # in-flight step: substitute on device from the newest
+                # pending step that sampled this request
                 n_known = max(self.num_tokens[idx] - start, 0)
-                prev_row = prev_rows.get(rid, r_prev)
+                prev_row = r_prev
+                base = 0
+                for row_map, size in async_prev:
+                    r = row_map.get(rid)
+                    if r is not None:
+                        prev_row = base + r
+                        break
+                    base += size
                 subst_idx[offset + n_known:offset + n] = prev_row
                 input_ids[offset + n_known:offset + n] = 0
             pos = np.arange(start, start + n, dtype=np.int32)

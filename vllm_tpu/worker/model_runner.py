@@ -317,12 +317,19 @@ class TPUModelRunner:
 
             input_ids = arrs["input_ids"]
             if "subst_idx" in arrs and prev_tokens is not None:
-                # async scheduling: placeholder inputs take the previous
-                # step's sampled tokens, still resident on device
+                # async scheduling: placeholder inputs take earlier
+                # steps' sampled tokens, still resident on device;
+                # subst_idx indexes the virtual concatenation of the
+                # pending steps' token arrays (newest first)
+                if isinstance(prev_tokens, (tuple, list)):
+                    cat = (prev_tokens[0] if len(prev_tokens) == 1 else
+                           jnp.concatenate(prev_tokens))
+                else:
+                    cat = prev_tokens
                 si = arrs["subst_idx"]
-                r_prev = prev_tokens.shape[0]
+                r_prev = cat.shape[0]
                 safe = jnp.minimum(si, r_prev - 1)
-                input_ids = jnp.where(si < r_prev, prev_tokens[safe],
+                input_ids = jnp.where(si < r_prev, cat[safe],
                                       input_ids)
             logits_indices = arrs["logits_indices"]
             if banned_extra is not None:
@@ -451,13 +458,20 @@ class TPUModelRunner:
         async_prev = None
         prev_tokens_dev = None
         if self.async_mode and self._pending_steps:
-            p_prep, p_tokens, *_ = self._pending_steps[-1]
-            row_map = {
-                rid: r for r, rid in enumerate(p_prep.req_ids)
-                if p_prep.sample_valid[r]
-            }
-            async_prev = (row_map, len(p_prep.temperature))
-            prev_tokens_dev = p_tokens
+            # newest pending step first: a row's un-materialized input
+            # token comes from the most recent step that sampled it
+            # (with async_depth=2 that can be EITHER of the last two)
+            maps = []
+            toks = []
+            for p_prep, p_tokens, *_ in self._pending_steps[::-1]:
+                row_map = {
+                    rid: r for r, rid in enumerate(p_prep.req_ids)
+                    if p_prep.sample_valid[r]
+                }
+                maps.append((row_map, len(p_prep.temperature)))
+                toks.append(p_tokens)
+            async_prev = maps
+            prev_tokens_dev = tuple(toks)
         prep = batch.prepare_inputs(scheduler_output, token_bucket,
                                     req_bucket, self.num_spec_tokens,
                                     lora_slots=lora_slots,
