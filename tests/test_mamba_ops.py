@@ -190,3 +190,47 @@ def test_conv1d_segmented_matches_per_request():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(st)[r], np.asarray(ref_st),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_selective_scan_segmented_matches_naive():
+    """Mamba-1 packed scan vs per-token reference recurrence."""
+    import numpy as np
+
+    from vllm_tpu.ops.mamba import selective_scan_segmented
+
+    rng = np.random.default_rng(3)
+    T, D, N, R = 128, 8, 4, 3
+    x = rng.normal(size=(T, D)).astype(np.float32)
+    dt = np.abs(rng.normal(size=(T, D))).astype(np.float32) * 0.5
+    A = -np.abs(rng.normal(size=(D, N))).astype(np.float32)
+    B = rng.normal(size=(T, N)).astype(np.float32)
+    C = rng.normal(size=(T, N)).astype(np.float32)
+    # three segments + padding tail
+    seg = np.full(T, R, np.int32)
+    spans = [(0, 50, 0), (50, 90, 1), (90, 120, 2)]
+    for a, b_, r in spans:
+        seg[a:b_] = r
+    dt[120:] = 0.0
+    states0 = rng.normal(size=(R + 1, D, N)).astype(np.float32) * 0.1
+
+    y, states = selective_scan_segmented(
+        jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(seg), jnp.asarray(states0))
+    y = np.asarray(y)
+    states = np.asarray(states)
+
+    # naive reference
+    exp_states = states0.copy()
+    y_ref = np.zeros((T, D), np.float32)
+    for a, b_, r in spans:
+        h = states0[r].copy()
+        for t in range(a, b_):
+            da = np.exp(dt[t][:, None] * A)
+            h = da * h + (dt[t] * x[t])[:, None] * B[t][None, :]
+            y_ref[t] = h @ C[t]
+        exp_states[r] = h
+
+    np.testing.assert_allclose(y[:120], y_ref[:120], rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(states[:R], exp_states[:R], rtol=2e-4,
+                               atol=2e-4)

@@ -87,6 +87,7 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     # state-space models
     "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
+    "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),

@@ -242,3 +242,77 @@ def gated_rms_norm(x: jnp.ndarray, gate: jnp.ndarray, weight: jnp.ndarray,
     xf = x.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+# ------------------------------------------------------------------ mamba-1
+
+def selective_scan_segmented(
+    x: jnp.ndarray,  # [T, D] packed multi-request stream (post-conv/silu)
+    dt: jnp.ndarray,  # [T, D] (post-softplus; forced 0 on padding rows)
+    A: jnp.ndarray,  # [D, N] (negative)
+    B: jnp.ndarray,  # [T, N]
+    C: jnp.ndarray,  # [T, N]
+    seg: jnp.ndarray,  # i32[T] request row per token (R for padding)
+    states: jnp.ndarray,  # [R+1, D, N] per-request carry-in
+    chunk_size: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mamba-1 selective scan over a PACKED batch (reference:
+    csrc/mamba/mamba_ssm/selective_scan_fwd.cu — re-derived for TPU as a
+    chunked associative scan: per-channel decays a_t = exp(dt_t ⊙ A)
+    compose associatively, so each chunk scans in log2(Q) vectorized
+    passes and only the [R+1, D, N] state crosses chunks).
+
+    Recurrence per channel d: h_t = exp(dt_td A_d) h_{t-1} +
+    dt_td x_td B_t ; y_t = h_t · C_t. Unlike the Mamba-2 SSD path, A is
+    per-(channel, state-dim) so the attention-like chunk dual does not
+    apply. Returns (y [T, D], states updated per present request).
+    """
+    T, D = x.shape
+    N = B.shape[1]
+    R1 = states.shape[0]
+    if T % chunk_size != 0:
+        raise ValueError(f"T={T} not a multiple of chunk {chunk_size}")
+    nc = T // chunk_size
+    Q = chunk_size
+    xc = x.reshape(nc, Q, D).astype(jnp.float32)
+    dtc = dt.reshape(nc, Q, D).astype(jnp.float32)
+    Bc = B.reshape(nc, Q, N).astype(jnp.float32)
+    Cc = C.reshape(nc, Q, N).astype(jnp.float32)
+    segc = seg.reshape(nc, Q)
+    Af = A.astype(jnp.float32)
+    idx = jnp.arange(Q)
+
+    def combine(l, r):
+        la, lb = l
+        ra, rb = r
+        return la * ra, lb * ra + rb
+
+    def chunk_step(carry, inp):
+        states, prev_seg = carry
+        xq, dtq, Bq, Cq, sq = inp
+        a = jnp.exp(dtq[:, :, None] * Af[None])  # [Q, D, N]
+        b = (dtq * xq)[:, :, None] * Bq[:, None, :]  # [Q, D, N]
+        # first token of each segment within this chunk (including a
+        # segment continuing from the previous chunk: its updated carry
+        # is in `states`, so every chunk re-injects at its local start)
+        prev = jnp.concatenate([prev_seg[None], sq[:-1]])
+        first = sq != prev
+        first = first.at[0].set(True)
+        inject = states[sq]  # [Q, D, N]
+        b = jnp.where(first[:, None, None], b + a * inject, b)
+        a = jnp.where(first[:, None, None], 0.0, a)
+        _, hh = jax.lax.associative_scan(combine, (a, b), axis=0)
+        y = jnp.einsum("qdn,qn->qd", hh, Cq)
+        # per-request state = h at the segment's last token in the chunk
+        last = jax.ops.segment_max(idx, sq, num_segments=R1)  # [R1]
+        n_tok = jax.ops.segment_sum(jnp.ones_like(sq), sq,
+                                    num_segments=R1)
+        present = n_tok > 0
+        new_states = jnp.where(present[:, None, None],
+                               hh[jnp.clip(last, 0, Q - 1)], states)
+        return (new_states, sq[-1]), y
+
+    (states, _), ys = jax.lax.scan(
+        chunk_step, (states.astype(jnp.float32), jnp.int32(-1)),
+        (xc, dtc, Bc, Cc, segc))
+    return ys.reshape(T, D).astype(x.dtype), states
