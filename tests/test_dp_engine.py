@@ -66,3 +66,79 @@ def test_dp_engine_end_to_end(tiny_model_dir):  # noqa: F811
                     out.new_token_ids)
     assert out2["a1"] == out2["a2"]
     engine.shutdown()
+
+
+def test_wave_lockstep_idle_replica_steps(tiny_model_dir):  # noqa: F811
+    """While ANY replica is busy, idle replicas still step each wave
+    tick (reference: coordinator.py wave lockstep + idle-rank dummy
+    batches) — and the coordinator tracks the wave state machine."""
+    from vllm_tpu.engine.args import EngineArgs
+    from vllm_tpu.engine.dp_engine import DPLLMEngine
+
+    args = EngineArgs(model=tiny_model_dir, dtype="float32",
+                      max_model_len=128, max_num_seqs=4,
+                      max_num_batched_tokens=128, block_size=16,
+                      num_gpu_blocks_override=32, enforce_eager=True,
+                      skip_tokenizer_init=True)
+    engine = DPLLMEngine(args.create_engine_config(), dp_size=2,
+                         in_process=True)
+    step_counts = [0, 0]
+    for rank, core in enumerate(engine.cores):
+        orig = core.step
+
+        def wrapped(orig=orig, rank=rank):
+            step_counts[rank] += 1
+            return orig()
+
+        core.step = wrapped
+
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    # pin one request to rank 0 only
+    engine.add_request(EngineCoreRequest(request_id="only",
+                                         prompt_token_ids=[2, 4, 6],
+                                         sampling_params=sp))
+    assert engine.router.rank_of("only") == 0
+    while engine.has_unfinished_requests():
+        engine.step()
+    # rank 1 was idle but stepped every wave tick alongside rank 0
+    assert step_counts[0] > 0
+    assert step_counts[1] == step_counts[0]
+    snap = engine.coordinator.snapshot()
+    assert snap["current_wave"] == 1
+    assert not snap["wave_active"]
+    assert snap["load"] == [0, 0]
+    # after the wave drains, nobody steps
+    engine.step()
+    assert step_counts[1] == step_counts[0]
+
+
+def test_coordinator_wave_counting():
+    from vllm_tpu.engine.coordinator import DPCoordinator
+
+    c = DPCoordinator(2)
+    assert c.snapshot()["current_wave"] == 0
+    c.report(0, waiting=1, running=0)
+    assert c.snapshot()["wave_active"]
+    assert c.snapshot()["current_wave"] == 1
+    c.report(1, waiting=0, running=3, kv_usage=0.5)
+    assert c.least_loaded() == 0
+    c.report(0, 0, 0)
+    assert c.snapshot()["wave_active"]  # rank 1 still busy
+    c.report(1, 0, 0)
+    snap = c.snapshot()
+    assert not snap["wave_active"]
+    c.report(0, 2, 0)
+    assert c.snapshot()["current_wave"] == 2
+
+
+def test_dp_async_lb_client_routes_by_reported_load():
+    """DPAsyncMPClient routing: coordinator stats outweigh the local
+    in-flight guess (reference: core_client.py:1057)."""
+    from vllm_tpu.engine.dp_engine import DPEngineRouter
+
+    r = DPEngineRouter(2)
+    # local guess says rank 0 is empty, but the coordinator reports it
+    # drowning in work -> route to rank 1
+    assert r.assign("x", reported_load=[10, 0]) == 1
+    assert r.assign("y", reported_load=[10, 0]) == 1
+    assert r.assign("z", reported_load=[10, 7]) == 1  # 10 vs 7+2

@@ -35,7 +35,7 @@ def build_engine(out_len: int = 2048):
         model_kwargs = dict(hidden_size=4096, intermediate_size=14336,
                             num_hidden_layers=32, num_attention_heads=32,
                             num_key_value_heads=8, head_dim=128)
-        max_seqs, max_tokens, max_model_len = 256, 4096, 4096
+        max_seqs, max_tokens, max_model_len = 256, 4096, 1024
         quant, dtype, kv_dtype = "int4", "bfloat16", "int8"
     else:
         model_kwargs = dict(hidden_size=256, intermediate_size=512,
@@ -184,31 +184,35 @@ def report_trace(trace_dir: str, n_steps: int) -> None:
         except OSError:
             pass
         data = data.decode()
-    rows = json.loads(data)
-    # rows: list of dicts with keys incl. 'name'/'occurrences'/'self_time'
-    stats = [r for r in rows if isinstance(r, dict)]
-    key_time = None
-    for cand in ("total_self_time", "self_time", "totalSelfTimeUs",
-                 "avg_self_time"):
-        if stats and cand in stats[0]:
-            key_time = cand
-            break
-    if key_time is None:
-        print(json.dumps(stats[:5], indent=1)[:2000])
+    obj = json.loads(data)
+    # gviz DataTable: {"cols": [{"id": ...}], "rows": [{"c": [{"v":}]}]}
+    tables = obj if isinstance(obj, list) else [obj]
+    stats = []
+    for table in tables:
+        if not isinstance(table, dict) or "cols" not in table:
+            continue
+        cols = [c["id"] for c in table["cols"]]
+        for r in table.get("rows", []):
+            vals = [c.get("v") if isinstance(c, dict) else c
+                    for c in r["c"]]
+            stats.append(dict(zip(cols, vals)))
+        break
+    if not stats:
+        print(json.dumps(obj, indent=1)[:1500])
         return
-    stats.sort(key=lambda r: -float(r.get(key_time, 0)))
-    print(f"\n=== top device ops by {key_time} "
-          f"(us, over {n_steps} steps) ===")
-    total = sum(float(r.get(key_time, 0)) for r in stats
-                if not r.get("is_op_on_host", r.get("host", False)))
-    for r in stats[:25]:
-        name = r.get("name", r.get("op_name", "?"))[:70]
-        t = float(r.get(key_time, 0))
-        occ = r.get("occurrences", r.get("count", "?"))
-        host = r.get("is_op_on_host", r.get("host", ""))
-        print(f"  {t / max(n_steps, 1):10.1f} us/step  x{occ:>5}  "
-              f"{'HOST ' if host else ''}{name}")
-    print(f"  (device total {total / max(n_steps, 1) / 1e3:.2f} ms/step)")
+    key = "total_self_time"
+    stats.sort(key=lambda d: -(d.get(key) or 0))
+    dev = [d for d in stats
+           if str(d.get("host_or_device", "")).lower() != "host"]
+    total = sum((d.get(key) or 0) for d in dev
+                if "IDLE" not in str(d.get("operation", "")))
+    print(f"\n=== top device ops ({key}, over {n_steps} steps) ===")
+    for d in dev[:20]:
+        t = (d.get(key) or 0) / max(n_steps, 1)
+        print(f"  {t:10.1f} us/step x{d.get('occurrences', '?'):>6}  "
+              f"{str(d.get('operation', '?'))[:70]}")
+    print(f"  (device busy total {total / max(n_steps, 1) / 1e3:.2f} "
+          "ms/step)")
 
 
 if __name__ == "__main__":

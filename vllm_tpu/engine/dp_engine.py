@@ -28,8 +28,16 @@ class DPEngineRouter:
         self.in_flight = [0] * num_ranks
         self.req_rank: dict[str, int] = {}
 
-    def assign(self, request_id: str) -> int:
-        rank = min(range(self.num_ranks), key=lambda r: self.in_flight[r])
+    def assign(self, request_id: str,
+               reported_load: Optional[list[int]] = None) -> int:
+        """Least-loaded rank; `reported_load` (coordinator scheduler
+        stats) is added to the local in-flight guess when available
+        (reference: DPLBAsyncMPClient routing off coordinator stats)."""
+        def key(r: int) -> int:
+            extra = reported_load[r] if reported_load else 0
+            return self.in_flight[r] + extra
+
+        rank = min(range(self.num_ranks), key=key)
         self.in_flight[rank] += 1
         self.req_rank[request_id] = rank
         return rank
@@ -53,9 +61,12 @@ class DPLLMEngine:
 
     def __init__(self, engine_config: EngineConfig, dp_size: int,
                  in_process: bool = False) -> None:
+        from vllm_tpu.engine.coordinator import DPCoordinator
+
         self.config = engine_config
         self.dp_size = dp_size
         self.router = DPEngineRouter(dp_size)
+        self.coordinator = DPCoordinator(dp_size)
         self.in_process = in_process
         self.cores: list[Any] = []
         if in_process:
@@ -87,16 +98,35 @@ class DPLLMEngine:
             self.cores[rank].abort_requests(rids)
 
     def step(self) -> dict[int, EngineCoreOutputs]:
-        """One wave: step every rank with unfinished work; merge outputs
-        (reference: DP wave lockstep, coordinator.py)."""
+        """One wave tick: while ANY rank is busy, EVERY rank steps —
+        idle ranks run an empty step that still drains their async
+        pipeline and refreshes their stats (reference: DP wave
+        lockstep + idle-rank dummy batches, coordinator.py:21,
+        core.py:874; here each replica owns its own jit program so the
+        empty step is cheap and never runs the device)."""
         merged: dict[int, EngineCoreOutputs] = {}
+        wave_active = any(
+            c.has_unfinished_requests() for c in self.cores
+        ) if self.in_process else bool(self.router.req_rank)
         for rank, core in enumerate(self.cores):
             if self.in_process:
-                if not core.has_unfinished_requests():
+                if not wave_active:
                     continue
                 outs = core.step()
+                sched = core.scheduler
+                self.coordinator.report(
+                    rank, len(sched.waiting), len(sched.running),
+                    sched.kv_cache_manager.usage)
             else:
                 outs = core.poll_output() or {}
+                stats = None
+                for eco in outs.values():
+                    stats = eco.scheduler_stats or stats
+                if stats is not None:
+                    self.coordinator.report(
+                        rank, getattr(stats, "num_waiting_reqs", 0),
+                        getattr(stats, "num_running_reqs", 0),
+                        getattr(stats, "kv_cache_usage", 0.0))
             for client_idx, eco in outs.items():
                 for out in eco.outputs:
                     if out.finish_reason is not None:
@@ -115,7 +145,97 @@ class DPLLMEngine:
     def shutdown(self) -> None:
         for core in self.cores:
             core.shutdown()
+        self.coordinator.shutdown()
 
     @property
     def load(self) -> list[int]:
         return list(self.router.in_flight)
+
+
+class DPAsyncMPClient:
+    """Async DP-LB client over N EngineCoreProc replicas (reference:
+    core_client.py:1057 DPLBAsyncMPClient): per-rank AsyncMPClient,
+    least-loaded routing off the coordinator's scheduler stats (freshest
+    per-rank waiting/running counts from each rank's own output stream)
+    plus the local in-flight guess, and a fan-in output stream."""
+
+    def __init__(self, engine_config: EngineConfig, dp_size: int) -> None:
+        from vllm_tpu.engine.coordinator import DPCoordinator
+        from vllm_tpu.engine.core_proc import AsyncMPClient
+
+        self.dp_size = dp_size
+        self.router = DPEngineRouter(dp_size)
+        self.coordinator = DPCoordinator(dp_size)
+        self.cores = [AsyncMPClient(engine_config)
+                      for _ in range(dp_size)]
+
+    async def add_request_async(self, request: EngineCoreRequest) -> int:
+        snap = self.coordinator.snapshot()
+        rank = self.router.assign(request.request_id, snap["load"])
+        await self.cores[rank].add_request_async(request)
+        return rank
+
+    async def abort_requests_async(self, request_ids: list[str]) -> None:
+        by_rank: dict[int, list[str]] = {}
+        for rid in request_ids:
+            rank = self.router.rank_of(rid)
+            if rank is not None:
+                by_rank.setdefault(rank, []).append(rid)
+                self.router.finished(rid)
+        for rank, rids in by_rank.items():
+            await self.cores[rank].abort_requests_async(rids)
+
+    async def get_output_async(self, timeout: Optional[float] = None
+                               ) -> dict[int, EngineCoreOutputs]:
+        """Merge whatever any replica has ready (poll round-robin with a
+        short executor-parked wait on the first)."""
+        import asyncio
+
+        merged: dict[int, EngineCoreOutputs] = {}
+
+        def drain_into(rank: int, outs) -> None:
+            stats = None
+            for client_idx, eco in (outs or {}).items():
+                stats = eco.scheduler_stats or stats
+                for out in eco.outputs:
+                    if out.finish_reason is not None:
+                        self.router.finished(out.request_id)
+                if client_idx in merged:
+                    merged[client_idx].outputs.extend(eco.outputs)
+                else:
+                    merged[client_idx] = eco
+            if stats is not None:
+                self.coordinator.report(rank, stats.num_waiting_reqs,
+                                        stats.num_running_reqs,
+                                        stats.kv_cache_usage)
+
+        for rank, core in enumerate(self.cores):
+            drain_into(rank, core.poll_output())
+        if merged:
+            return merged
+        # nothing ready: park on each replica briefly until one speaks
+        per = (timeout / self.dp_size) if timeout else 0.1
+        for _ in range(200 if timeout is None else 1):
+            for rank, core in enumerate(self.cores):
+                try:
+                    outs = await self.cores[rank].get_output_async(
+                        timeout=per)
+                except Exception:
+                    outs = None
+                drain_into(rank, outs)
+                if merged:
+                    return merged
+            await asyncio.sleep(0)
+        return merged
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.router.req_rank)
+
+    @property
+    def load(self) -> list[int]:
+        return list(self.router.in_flight)
+
+    def shutdown(self) -> None:
+        for core in self.cores:
+            core.shutdown()
+        self.coordinator.shutdown()
