@@ -352,3 +352,38 @@ def test_cascade_gate_in_input_batch():
     # slot is always present (stable jit layout); zeros = disabled
     assert prep2.cascade_meta is not None
     assert prep2.cascade_meta[0] == 0
+
+
+def test_kernel_alibi_matches_reference():
+    """ALiBi bias in BOTH Pallas kernels (prefill-shaped general grid +
+    decode-row grid) vs the jnp reference (VERDICT r02: Bloom/MPT no
+    longer take the unpaged fallback)."""
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        ragged_paged_attention
+
+    rng = np.random.default_rng(11)
+    nq, nk = 4, 2
+    slopes = jnp.asarray([0.5, 0.25, 0.125, 0.0625], jnp.float32)
+
+    # prefill-shaped (general kernel)
+    q, kv, meta, total = make_case(rng, [(30, 30), (17, 17)], nq, nk,
+                                   128, 8, 8, token_pad=64, req_pad=4)
+    out = ragged_paged_attention(q, kv, meta, scale=0.125,
+                                 chunk_pages=2, alibi_slopes=slopes)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.125,
+                                     alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out[:total]),
+                               np.asarray(ref[:total]), rtol=2e-3,
+                               atol=2e-3)
+
+    # decode-shaped (batched-row kernel)
+    q, kv, meta, total = make_case(rng, [(1, 17), (1, 32), (1, 5),
+                                         (1, 64)], nq, nk, 128, 8, 8,
+                                   token_pad=16, req_pad=16)
+    out = ragged_paged_attention(q, kv, meta, scale=0.125,
+                                 chunk_pages=2, alibi_slopes=slopes)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.125,
+                                     alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out[:total]),
+                               np.asarray(ref[:total]), rtol=2e-3,
+                               atol=2e-3)

@@ -2,9 +2,9 @@
 (reference behavior parity: vllm/model_executor/models/{falcon,gpt_j,
 persimmon,bloom,mpt}.py; each re-expressed as a small NeoxArgs reshuffle).
 
-Bloom and MPT use ALiBi position bias (no rope); the attention dispatch
-routes ALiBi models through the jnp path until the Pallas kernels grow
-the bias hook.
+Bloom and MPT use ALiBi position bias (no rope); both Pallas kernels
+carry the bias hook (slope_h * (col - pos) on the score matrix), so
+ALiBi models serve paged like everyone else (r03; VERDICT r02 item 9).
 """
 
 from __future__ import annotations

@@ -216,7 +216,7 @@ def attention(
     kernel like the reference backend (v1/attention/backends/pallas.py
     head pad to 128) instead of falling back.
     """
-    if causal and local_chunk is None and alibi_slopes is None \
+    if causal and local_chunk is None \
             and _use_pallas() and q.shape[-1] % 128 == 0:
         try:
             from vllm_tpu.ops.pallas.ragged_paged_attention import (
@@ -228,7 +228,8 @@ def attention(
                 q, kv_cache, metadata, scale,
                 sliding_window=sliding_window,
                 logits_soft_cap=logits_soft_cap,
-                k_scale=k_scale, v_scale=v_scale, layer=layer)
+                k_scale=k_scale, v_scale=v_scale, layer=layer,
+                alibi_slopes=alibi_slopes)
     return ragged_paged_attention_ref(
         q, kv_cache, metadata, scale,
         sliding_window=sliding_window,

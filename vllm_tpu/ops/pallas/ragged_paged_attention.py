@@ -85,6 +85,17 @@ def build_logical_blocks(query_start_loc: np.ndarray, num_tokens: int,
     return lb_seq, lb_q_start
 
 
+def _alibi_col(alibi: tuple, h: int, group: int, rows: int):
+    """Per-row ALiBi slope column [rows, 1] built from scalar constants
+    (Pallas kernels cannot capture array constants): row r serves query
+    head h*group + r % group."""
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % group
+    slope = jnp.zeros((rows, 1), jnp.float32)
+    for g in range(group):
+        slope = jnp.where(gidx == g, float(alibi[h * group + g]), slope)
+    return slope
+
+
 def _chunk_bounds(lb_seq_ref, lb_q_start_ref, cu_q_lens_ref, seq_lens_ref,
                   lb, bq: int, C: int):
     """(kv_len, num_chunks) for logical block lb (clamped to valid)."""
@@ -132,6 +143,7 @@ def _kernel(
     k_scale: float,
     v_scale: float,
     maxlb: int,
+    alibi: Optional[tuple] = None,
 ):
     """Decode is DMA-LATENCY-bound, not bandwidth-bound: at bs=256 the
     grid runs ~270 sequential programs of ~1 chunk each, so per-program
@@ -266,6 +278,13 @@ def _kernel(
                     qh, k,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
+                if alibi is not None:
+                    # ALiBi bias: slope_h * (col - pos), 0 at the query
+                    # position (reference: csrc attention kernels'
+                    # alibi path; Bloom/MPT/Baichuan-13B)
+                    slope = _alibi_col(alibi, h, group, bq * group)
+                    scores = scores + slope * (
+                        col - row_pos).astype(jnp.float32)
                 if soft_cap is not None:
                     scores = soft_cap * jnp.tanh(scores / soft_cap)
                 scores = jnp.where(col_ok & row_valid, scores, NEG_INF)
@@ -335,7 +354,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k_scale_arr", "v_scale_arr", "scale",
-                     "sliding_window", "logits_soft_cap", "chunk_pages"))
+                     "sliding_window", "logits_soft_cap", "chunk_pages",
+                     "alibi"))
 def _ragged_paged_attention_impl(
     q: jnp.ndarray,
     kv_cache: jnp.ndarray,  # [L, N, ps, 2nk, d]
@@ -351,6 +371,7 @@ def _ragged_paged_attention_impl(
     sliding_window: Optional[int],
     logits_soft_cap: Optional[float],
     chunk_pages: int,
+    alibi: Optional[tuple] = None,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
     _, N, ps, two_nk, _ = kv_cache.shape
@@ -384,6 +405,7 @@ def _ragged_paged_attention_impl(
         k_scale=k_scale,
         v_scale=v_scale,
         maxlb=maxlb,
+        alibi=alibi,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -454,6 +476,7 @@ def _decode_kernel(
     k_scale: float,
     v_scale: float,
     cascade: bool,
+    alibi: Optional[tuple] = None,
 ):
     """Decode-bucket kernel: SB token rows per program, each row
     streaming its own sequence's KV pages. A Pallas program has ~3us of
@@ -630,6 +653,10 @@ def _decode_kernel(
             scores = jax.lax.dot_general(
                 q_h, k_big, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * eff_scale
+            if alibi is not None:
+                slope = _alibi_col(alibi, h, G, sb * G)
+                scores = scores + slope * (
+                    col_abs - pos_row).astype(jnp.float32)
             if soft_cap is not None:
                 scores = soft_cap * jnp.tanh(scores / soft_cap)
             scores = jnp.where(ok, scores, NEG_INF)
@@ -692,6 +719,10 @@ def _decode_kernel(
                 scores = jax.lax.dot_general(
                     q_h, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * eff_scale
+                if alibi is not None:
+                    slope = _alibi_col(alibi, h, G, sb * G)
+                    scores = scores + slope * (
+                        col - pos_row).astype(jnp.float32)
                 if soft_cap is not None:
                     scores = soft_cap * jnp.tanh(scores / soft_cap)
                 scores = jnp.where(ok, scores, NEG_INF)
@@ -735,7 +766,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k_scale_arr", "v_scale_arr", "scale",
-                     "sliding_window", "logits_soft_cap", "chunk_pages"))
+                     "sliding_window", "logits_soft_cap", "chunk_pages",
+                     "alibi"))
 def _decode_attention_impl(
     q: jnp.ndarray,
     kv_cache: jnp.ndarray,
@@ -750,6 +782,7 @@ def _decode_attention_impl(
     logits_soft_cap: Optional[float],
     chunk_pages: int,
     cascade_meta: Optional[jnp.ndarray] = None,  # i32[MAXP+1]
+    alibi: Optional[tuple] = None,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
     _, N, ps, two_nk, _ = kv_cache.shape
@@ -783,6 +816,7 @@ def _decode_attention_impl(
         k_scale=k_scale_arr if k_scale_arr is not None else 1.0,
         v_scale=v_scale_arr if v_scale_arr is not None else 1.0,
         cascade=cascade_meta is not None,
+        alibi=alibi,
     )
     if cascade_meta is None:
         cascade_arr = jnp.zeros(1, jnp.int32)
@@ -830,7 +864,12 @@ def ragged_paged_attention(
     v_scale: Optional[jnp.ndarray] = None,
     chunk_pages: int = 8,
     layer=None,
+    alibi_slopes=None,
 ) -> jnp.ndarray:
+    alibi = None
+    if alibi_slopes is not None:
+        # static per-model constants: baked into the kernel as weights
+        alibi = tuple(float(x) for x in np.asarray(alibi_slopes))
     if metadata.lb_seq is None:
         raise ValueError(
             "AttentionMetadata.lb_seq/lb_q_start must be populated for the "
@@ -845,14 +884,21 @@ def ragged_paged_attention(
         # decode-shaped bucket: the batched-row kernel amortizes the
         # ~3us fixed per-program cost over SB rows; cascade_meta (when
         # the scheduler found a batch-wide shared prefix) streams the
-        # shared blocks once per program instead of once per row
+        # shared blocks once per program instead of once per row.
+        # Keep KV chunks near 256 tokens regardless of page size: the
+        # per-program cost is dominated by serially ISSUING the
+        # (rows x pages) DMA descriptors, so bigger pages want
+        # proportionally fewer pages per chunk.
+        ps = kv_cache.shape[2]
+        dec_chunk = max(1, min(chunk_pages, 256 // ps))
         return _decode_attention_impl(
             q, kv_cache, layer_arr, metadata.query_start_loc,
             metadata.seq_lens, metadata.block_tables, k_scale, v_scale,
-            scale, sliding_window, logits_soft_cap, chunk_pages,
-            cascade_meta=getattr(metadata, "cascade_meta", None))
+            scale, sliding_window, logits_soft_cap, dec_chunk,
+            cascade_meta=getattr(metadata, "cascade_meta", None),
+            alibi=alibi)
     return _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
         k_scale, v_scale, scale, sliding_window, logits_soft_cap,
-        chunk_pages)
+        chunk_pages, alibi=alibi)
