@@ -27,6 +27,9 @@ class EngineCore:
                  executor_class: Optional[type[Executor]] = None,
                  log_stats: bool = True) -> None:
         self.config = engine_config
+        from vllm_tpu.plugins import load_general_plugins
+
+        load_general_plugins()
         executor_class = executor_class or Executor.get_class(engine_config)
         self.executor = executor_class(engine_config)
 

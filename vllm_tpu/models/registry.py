@@ -105,6 +105,12 @@ def resolve_model_cls(arch: str) -> Callable:
         return _EXTRA_MODELS[arch]
     entry = _TEXT_GENERATION_MODELS.get(arch)
     if entry is None:
+        # out-of-tree archs registered via entry points (reference:
+        # vllm/plugins OOT model registration)
+        from vllm_tpu.plugins import load_model_plugins
+
+        entry = load_model_plugins().get(arch)
+    if entry is None:
         raise ValueError(
             f"Model architecture {arch!r} is not supported. Supported: "
             f"{sorted(_TEXT_GENERATION_MODELS)}")
