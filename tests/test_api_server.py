@@ -246,3 +246,22 @@ def test_guided_choice(server):
     assert status == 200
     text = json.loads(body)["choices"][0]["text"]
     assert text.replace(" ", "") in ("onetwo", "threefourfive"), text
+
+
+def test_audio_route_wired_400_without_file(server):
+    """/v1/audio/transcriptions exists and rejects a missing upload
+    cleanly (full ASR e2e lives in test_whisper_model.py)."""
+    import urllib.request
+
+    body = (b"--b0\r\nContent-Disposition: form-data; "
+            b"name=\"language\"\r\n\r\nen\r\n--b0--\r\n")
+    req = urllib.request.Request(
+        f"{server}/v1/audio/transcriptions", data=body,
+        headers={"Content-Type": "multipart/form-data; boundary=b0"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        err = json.loads(e.read().decode())
+        assert "file" in err["error"]["message"]

@@ -71,12 +71,24 @@ class Processor:
 
             import numpy as np
 
-            pv = np.asarray(mm_inputs.get("pixel_values"))
-            imgs = pv if pv.ndim == 4 else pv[None]
-            mm_hashes = [
-                hashlib.sha256(np.ascontiguousarray(img).tobytes())
-                .hexdigest()[:32] for img in imgs
-            ]
+            if "input_features" in mm_inputs:
+                # audio (Whisper-family): hash the mel features; the
+                # encoder budget counts encoder positions (frames/2)
+                feats = np.asarray(mm_inputs["input_features"])
+                mm_hashes = [
+                    hashlib.sha256(
+                        np.ascontiguousarray(feats).tobytes())
+                    .hexdigest()[:32]
+                ]
+                encoder_token_count = int(feats.shape[-1]) // 2
+                imgs = []
+            else:
+                pv = np.asarray(mm_inputs.get("pixel_values"))
+                imgs = pv if pv.ndim == 4 else pv[None]
+                mm_hashes = [
+                    hashlib.sha256(np.ascontiguousarray(img).tobytes())
+                    .hexdigest()[:32] for img in imgs
+                ]
             # Resolve the image placeholder token the way the models do:
             # LLaVA-family configs call it image_token_index, Qwen2-VL
             # image_token_id (ADVICE r02: using only the former made the

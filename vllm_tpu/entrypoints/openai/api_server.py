@@ -72,7 +72,8 @@ async def _stream_response(request: web.Request,
 def build_app(engine: AsyncLLM, served_model_name: str,
               max_model_len: int,
               tool_call_parser: Optional[str] = None,
-              reasoning_parser: Optional[str] = None) -> web.Application:
+              reasoning_parser: Optional[str] = None,
+              model_path: Optional[str] = None) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app[ENGINE_KEY] = engine
     lora_registry: dict = {}  # adapter name -> LoRARequest
@@ -82,6 +83,9 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     chat = OpenAIServingChat(engine, served_model_name, lora_registry,
                              tool_call_parser=tool_call_parser,
                              reasoning_parser=reasoning_parser)
+    from vllm_tpu.entrypoints.openai.speech import OpenAIServingAudio
+    audio = OpenAIServingAudio(engine, served_model_name,
+                               model_path or served_model_name)
 
     async def health(request: web.Request) -> web.Response:
         try:
@@ -346,6 +350,43 @@ def build_app(engine: AsyncLLM, served_model_name: str,
         await engine.stop_profile()
         return web.Response(text="")
 
+    async def _audio_endpoint(request: web.Request,
+                              task: str) -> web.Response:
+        """multipart/form-data: file=<wav>, model, language, temperature,
+        response_format (reference: api_server.py:838,879)."""
+        try:
+            form = await request.post()
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid multipart body: {e}")
+        upload = form.get("file")
+        if upload is None or not hasattr(upload, "file"):
+            return _json_error("missing 'file' form field")
+        audio_bytes = upload.file.read()
+        language = form.get("language") or None
+        response_format = form.get("response_format", "json")
+        try:
+            temperature = float(form.get("temperature", 0) or 0)
+        except ValueError:
+            return _json_error("temperature must be a number")
+        try:
+            result = await audio.create(
+                audio_bytes, task=task, language=language,
+                temperature=temperature,
+                response_format=response_format)
+        except ValueError as e:
+            return _json_error(str(e))
+        except NotImplementedError as e:
+            return _json_error(str(e), 501, "NotImplementedError")
+        if "_text" in result:
+            return web.Response(text=result["_text"])
+        return web.json_response(result)
+
+    async def transcriptions(request: web.Request) -> web.Response:
+        return await _audio_endpoint(request, "transcribe")
+
+    async def translations(request: web.Request) -> web.Response:
+        return await _audio_endpoint(request, "translate")
+
     app.router.add_get("/health", health)
     app.router.add_get("/ping", health)
     app.router.add_post("/ping", health)
@@ -370,6 +411,8 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     app.router.add_post("/stop_profile", stop_profile)
     app.router.add_post("/v1/load_lora_adapter", load_lora_adapter)
     app.router.add_post("/v1/unload_lora_adapter", unload_lora_adapter)
+    app.router.add_post("/v1/audio/transcriptions", transcriptions)
+    app.router.add_post("/v1/audio/translations", translations)
     app.router.add_post("/invocations", completions)
     return app
 
@@ -383,7 +426,8 @@ def run_server(args: argparse.Namespace) -> None:
                     tool_call_parser=getattr(args, "tool_call_parser",
                                              None),
                     reasoning_parser=getattr(args, "reasoning_parser",
-                                             None))
+                                             None),
+                    model_path=config.model_config.model)
     logger.info("vllm-tpu API server on %s:%d", args.host, args.port)
     try:
         web.run_app(app, host=args.host, port=args.port,

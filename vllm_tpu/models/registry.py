@@ -88,6 +88,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
+    "WhisperForConditionalGeneration":
+    ("vllm_tpu.models.whisper", "WhisperForConditionalGeneration"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),

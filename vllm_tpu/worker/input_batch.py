@@ -79,6 +79,8 @@ class PreparedInputs:
     mrope_positions: Optional[np.ndarray] = None  # i32[3, T]
     # cascade attention: [0]=num shared pages, [1:]=page ids
     cascade_meta: Optional[np.ndarray] = None  # i32[max_blocks+1]
+    # encoder-decoder: state slots needing a cross-KV write this step
+    cross_slots: Optional[np.ndarray] = None  # i32[B]
 
 
 class InputBatch:

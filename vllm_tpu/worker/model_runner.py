@@ -98,6 +98,7 @@ class TPUModelRunner:
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
         self._encode_image_fn = None  # lazy jit of the vision tower
+        self._encode_audio_fn = None  # lazy jit of the audio encoder
         # encoder outputs keyed by content hash: dedup across requests,
         # evicted when the scheduler ships freed_mm_hashes
         # (reference: EncoderCacheManager + mm_input_cache)
@@ -259,7 +260,7 @@ class TPUModelRunner:
                  layout: tuple, num_logprobs: int, lora_stacks=None,
                  draft_params=None, penalties_extra=None,
                  grammar_bitmask=None, embed_vecs=None, prev_tokens=None,
-                 banned_extra=None):
+                 banned_extra=None, cross_embeds=None):
             arrs: dict[str, jnp.ndarray] = {}
             off = 0
             for name, shape in layout:
@@ -295,7 +296,7 @@ class TPUModelRunner:
                 # tuple-valued cache entries
                 rs = arrs["state_reset"]
                 kv_caches = [
-                    (c[0].at[:, rs].set(0), c[1].at[:, rs].set(0))
+                    tuple(x.at[:, rs].set(0) for x in c)
                     if isinstance(c, tuple) else c for c in kv_caches
                 ]
             skw: dict[str, Any] = {}
@@ -314,6 +315,10 @@ class TPUModelRunner:
             kw = {}
             if "embed_idx" in arrs:
                 kw["embed_override"] = (arrs["embed_idx"], embed_vecs)
+            if "cross_slots" in arrs and cross_embeds is not None:
+                # encoder-decoder: new audio requests' encoder states,
+                # projected + persisted at their state slots in-forward
+                kw["cross_embed"] = (arrs["cross_slots"], cross_embeds)
 
             input_ids = arrs["input_ids"]
             if "subst_idx" in arrs and prev_tokens is not None:
@@ -441,7 +446,8 @@ class TPUModelRunner:
         # run the vision encoder for newly-scheduled image requests
         # (reference: encoder budget / EncoderCacheManager — here the
         # encoder output caches host-side per request)
-        if getattr(self.model, "image_token_index", None) is not None:
+        if getattr(self.model, "image_token_index", None) is not None \
+                or hasattr(self.model, "encode_audio"):
             self._encode_pending_mm(scheduler_output)
 
         token_bucket = self._pick_bucket(
@@ -449,6 +455,18 @@ class TPUModelRunner:
         req_bucket = self._pick_bucket(
             self.req_buckets,
             max(len(scheduler_output.num_scheduled_tokens), 1))
+        # encoder-decoder: requests whose cross-KV must be (re)written
+        # this step (first computation step, incl. preempt restarts)
+        cross_items = None
+        if getattr(self.model, "uses_cross_embed", False):
+            cross_items = []
+            for idx, rid in enumerate(batch.req_ids):
+                if (rid is None or rid not in
+                        scheduler_output.num_scheduled_tokens):
+                    continue
+                if (batch.mm_embeds[idx] is not None
+                        and batch.num_computed_tokens[idx] == 0):
+                    cross_items.append((idx, batch.mm_embeds[idx]))
         lora_slots: Optional[dict[int, int]] = None
         num_lora_slots = 0
         if self.lora_manager is not None:
@@ -486,6 +504,24 @@ class TPUModelRunner:
                     self.max_logprobs))
         spec = prep.spec_logits_indices is not None
 
+        cross_embeds = None
+        if cross_items:
+            # pad the item count to a power of two (bounded compile
+            # variants) and the time axis to the model's source length
+            B = 1 << (len(cross_items) - 1).bit_length()
+            T_src = getattr(self.model.args, "max_source_positions",
+                            cross_items[0][1].shape[0])
+            H = cross_items[0][1].shape[-1]
+            slots = np.full(B, self.scheduler_config.max_num_seqs,
+                            np.int32)
+            embs = np.zeros((B, T_src, H), np.float32)
+            for j, (idx, emb) in enumerate(cross_items):
+                slots[j] = idx
+                n = min(emb.shape[0], T_src)
+                embs[j, :n] = emb[:n]
+            prep.cross_slots = slots
+            cross_embeds = jnp.asarray(embs)
+
         i32_blob, f32_blob, layout = self._pack_blobs(prep)
 
         penalties_extra = None
@@ -515,7 +551,7 @@ class TPUModelRunner:
                 jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout,
                 num_logprobs, lora_stacks, self.draft_params,
                 penalties_extra, grammar, embed_vecs, prev_tokens_dev,
-                banned_extra)
+                banned_extra, cross_embeds)
         self.step_counter += 1
 
         if self.async_mode and not spec:
@@ -613,6 +649,21 @@ class TPUModelRunner:
             if hashes and all(h in self._mm_cache for h in hashes):
                 batch.mm_embeds[idx] = np.concatenate(
                     [self._mm_cache[h] for h in hashes], axis=0)
+                continue
+            if (hasattr(self.model, "encode_audio")
+                    and "input_features" in batch.mm_inputs[idx]):
+                feats = jnp.asarray(
+                    np.asarray(batch.mm_inputs[idx]["input_features"],
+                               np.float32))
+                if self._encode_audio_fn is None:
+                    self._encode_audio_fn = jax.jit(
+                        self.model.encode_audio)
+                emb = np.asarray(
+                    self._encode_audio_fn(self.params, feats),
+                    np.float32)
+                if hashes and len(hashes) == 1:
+                    self._mm_cache[hashes[0]] = emb
+                batch.mm_embeds[idx] = emb
                 continue
             if hasattr(self.model, "encode_image_mm"):
                 # grid-aware encoders (Qwen2-VL): the model consumes the
@@ -767,6 +818,8 @@ class TPUModelRunner:
             i32_parts.append(("token_req", prep.token_req))
         if prep.embed_idx is not None:
             i32_parts.append(("embed_idx", prep.embed_idx))
+        if getattr(prep, "cross_slots", None) is not None:
+            i32_parts.append(("cross_slots", prep.cross_slots))
         if prep.subst_idx is not None:
             i32_parts.append(("subst_idx", prep.subst_idx))
         if prep.state_slots is not None:
