@@ -265,3 +265,26 @@ def test_audio_route_wired_400_without_file(server):
         assert e.code == 400
         err = json.loads(e.read().decode())
         assert "file" in err["error"]["message"]
+
+
+def test_responses_api_e2e(server):
+    """/v1/responses + retrieve (reference: api_server.py:564,599)."""
+    status, body = _post(server, "/v1/responses", {
+        "input": "hello",
+        "max_output_tokens": 8,
+        "temperature": 0.0,
+    })
+    assert status == 200
+    data = json.loads(body)
+    assert data["object"] == "response"
+    assert data["status"] in ("completed", "incomplete")
+    assert data["output"][0]["content"][0]["type"] == "output_text"
+    rid = data["id"]
+    status, body = _get(server, f"/v1/responses/{rid}")
+    assert status == 200
+    assert json.loads(body)["id"] == rid
+    try:
+        _get(server, "/v1/responses/resp_missing")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -86,6 +86,10 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     from vllm_tpu.entrypoints.openai.speech import OpenAIServingAudio
     audio = OpenAIServingAudio(engine, served_model_name,
                                model_path or served_model_name)
+    from vllm_tpu.entrypoints.openai.responses import (
+        OpenAIServingResponses, ResponsesRequest)
+    responses_handler = OpenAIServingResponses(engine, served_model_name,
+                                               lora_registry)
 
     async def health(request: web.Request) -> web.Response:
         try:
@@ -381,6 +385,42 @@ def build_app(engine: AsyncLLM, served_model_name: str,
             return web.Response(text=result["_text"])
         return web.json_response(result)
 
+    async def create_responses(request: web.Request) -> web.StreamResponse:
+        """/v1/responses (reference: api_server.py:564)."""
+        try:
+            req = ResponsesRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        try:
+            result = await responses_handler.create_responses(req)
+        except ValueError as e:
+            return _json_error(str(e))
+        except EngineDeadError as e:
+            return _json_error(str(e), 500, "EngineDeadError")
+        if inspect.isasyncgen(result):
+            return await _stream_response(request, result)
+        if isinstance(result, ErrorResponse):
+            return web.json_response(
+                json.loads(result.model_dump_json()),
+                status=result.error.code or 400)
+        return await _respond(result)
+
+    async def retrieve_responses(request: web.Request) -> web.Response:
+        result = await responses_handler.retrieve_responses(
+            request.match_info["response_id"])
+        if isinstance(result, ErrorResponse):
+            return web.json_response(json.loads(result.model_dump_json()),
+                                     status=result.error.code or 400)
+        return await _respond(result)
+
+    async def cancel_responses(request: web.Request) -> web.Response:
+        result = await responses_handler.cancel_responses(
+            request.match_info["response_id"])
+        if isinstance(result, ErrorResponse):
+            return web.json_response(json.loads(result.model_dump_json()),
+                                     status=result.error.code or 400)
+        return await _respond(result)
+
     async def transcriptions(request: web.Request) -> web.Response:
         return await _audio_endpoint(request, "transcribe")
 
@@ -413,6 +453,10 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     app.router.add_post("/v1/unload_lora_adapter", unload_lora_adapter)
     app.router.add_post("/v1/audio/transcriptions", transcriptions)
     app.router.add_post("/v1/audio/translations", translations)
+    app.router.add_post("/v1/responses", create_responses)
+    app.router.add_get("/v1/responses/{response_id}", retrieve_responses)
+    app.router.add_post("/v1/responses/{response_id}/cancel",
+                        cancel_responses)
     app.router.add_post("/invocations", completions)
     return app
 
