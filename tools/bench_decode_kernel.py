@@ -16,7 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_case(bs, ctx, page, nq=32, nk=8, d=128, iters=20, layers=8):
+def run_case(bs, ctx, page, nq=32, nk=8, d=128, iters=20, layers=8,
+             mg=None):
+    if mg is not None:
+        os.environ["VLLM_TPU_DECODE_MG"] = str(mg)
     from vllm_tpu.ops.attention import AttentionMetadata
     from vllm_tpu.ops.pallas.ragged_paged_attention import (
         build_logical_blocks, ragged_paged_attention)
@@ -80,6 +83,11 @@ def main():
     # batch sweep
     for bs in (64, 128, 256):
         run_case(bs, 192, 32)
+    # block-diagonal group-size sweep (MG x redundant FLOPs vs fixed
+    # per-dot MXU latency) at the flagship decode shape
+    for mg in (1, 2, 4, 8, 16):
+        print(f"# mg={mg}")
+        run_case(256, 192, 32, mg=mg)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     lambda: os.environ.get(
         "VLLM_TPU_COMPILE_CACHE_DIR",
         os.path.expanduser("~/.cache/vllm_tpu/jax_cache")),
+    # Decode-kernel block-diagonal group size (rows contracted per MXU
+    # pass). MG trades redundant FLOPs (MGx) against fixed per-dot MXU
+    # latency; sweep with tools/bench_decode_kernel.py. Must divide 16.
+    "VLLM_TPU_DECODE_MG":
+    lambda: int(os.environ.get("VLLM_TPU_DECODE_MG", "4")),
 }
 
 

@@ -44,6 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vllm_tpu import envs
 from vllm_tpu.ops.attention import AttentionMetadata
 
 NEG_INF = -1e30
@@ -464,6 +465,7 @@ def _decode_kernel(
     slot_smem,  # SMEM [1]: slot parity carried ACROSS programs
     *,
     sb: int,
+    mg: int,
     chunk_pages: int,
     page_size: int,
     num_kv_heads: int,
@@ -589,13 +591,17 @@ def _decode_kernel(
 
     eff_scale = scale * k_scale if kv_quant else scale
 
-    # Block-diagonal batching: per KV head, contract ALL SB rows' queries
-    # against the CONCATENATION of their KV chunks in one MXU pass
-    # ([SB*G, d] x [d, SB*C]) and mask the off-diagonal row/chunk pairs.
-    # SBx redundant FLOPs, but one M=SB*G pass replaces SB passes of
-    # M=G=4 whose fixed MXU latency dominated (measured: per-row dots
-    # made the kernel compute-bound at ~1ms/layer).
+    # Block-diagonal batching: per KV head, contract a GROUP of MG rows'
+    # queries against the concatenation of those rows' KV chunks in one
+    # MXU pass ([MG*G, d] x [d, MG*C]) and mask the off-diagonal
+    # row/chunk pairs. MGx redundant FLOPs; MG trades that waste against
+    # per-dot fixed MXU latency (measured r2: per-row dots of M=G=4 made
+    # the kernel compute-bound at ~1ms/layer; measured r3: MG=SB=16 made
+    # redundant FLOPs dominate at ~0.5ms/layer — the sweet spot sits
+    # between, sweep with tools/bench_decode_kernel.py).
     G = group
+    ngrp = sb // mg
+    assert sb % mg == 0, (sb, mg)
 
     # per-row coordinate columns, broadcast over the G query heads
     kv_len_rows, pos_rows = [], []
@@ -605,10 +611,17 @@ def _decode_kernel(
         pos_rows.append(jnp.full((G, 1), pos_j, jnp.int32))
     kv_len_row = jnp.concatenate(kv_len_rows)  # [SB*G, 1]
     pos_row = jnp.concatenate(pos_rows)  # [SB*G, 1]
-    row_blk = jax.lax.broadcasted_iota(jnp.int32, (sb * G, 1), 0) // G
-    col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, sb * C), 1) // C
-    col_off = jax.lax.broadcasted_iota(jnp.int32, (1, sb * C), 1) % C
+    # group-local coordinates ([MG*G, 1] rows x [1, MG*C] cols)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (mg * G, 1), 0) // G
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, mg * C), 1) // C
+    col_off = jax.lax.broadcasted_iota(jnp.int32, (1, mg * C), 1) % C
     diag = row_blk == col_blk
+    kv_len_grp = [
+        kv_len_row[ig * mg * G:(ig + 1) * mg * G] for ig in range(ngrp)
+    ]
+    pos_grp = [
+        pos_row[ig * mg * G:(ig + 1) * mg * G] for ig in range(ngrp)
+    ]
 
     def body(ci, carry):
         m_all, l_all, acc_all = carry  # [nk, SB*G, 1] / [nk, SB*G, d]
@@ -631,48 +644,64 @@ def _decode_kernel(
         for cpy in chunk_dma(slot, ci):
             cpy.wait()
 
-        col_abs = ns_tokens + ci * C + col_off
-        ok = diag & (col_abs < kv_len_row) & (col_abs <= pos_row)
-        if sliding_window is not None:
-            ok &= col_abs > pos_row - sliding_window
+        col_base = ns_tokens + ci * C + col_off  # [1, MG*C]
+        oks = []
+        for ig in range(ngrp):
+            ok = (diag & (col_base < kv_len_grp[ig])
+                  & (col_base <= pos_grp[ig]))
+            if sliding_window is not None:
+                ok &= col_base > pos_grp[ig] - sliding_window
+            oks.append(ok)
 
         kv_all = kv_buf[slot]  # [SB, C, 2nk, d]
         qt = q_ref[...]  # [SB, nq, d]
         new_m, new_l, new_acc = [], [], []
         for h in range(num_kv_heads):
-            k_big = kv_all[:, :, h, :].reshape(sb * C, head_dim)
-            v_big = kv_all[:, :, num_kv_heads + h, :].reshape(
-                sb * C, head_dim)
-            if kv_quant:
-                # dequant fold: int8/fp8 values convert to bf16 RAW (one
-                # VPU pass); k_scale folds into the score scale and
-                # v_scale is applied once on the epilogue accumulator
-                k_big = k_big.astype(qt.dtype)
-                v_big = v_big.astype(qt.dtype)
-            q_h = qt[:, h * G:(h + 1) * G, :].reshape(sb * G, head_dim)
-            scores = jax.lax.dot_general(
-                q_h, k_big, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * eff_scale
-            if alibi is not None:
-                slope = _alibi_col(alibi, h, G, sb * G)
-                scores = scores + slope * (
-                    col_abs - pos_row).astype(jnp.float32)
-            if soft_cap is not None:
-                scores = soft_cap * jnp.tanh(scores / soft_cap)
-            scores = jnp.where(ok, scores, NEG_INF)
+            gm, gl, gacc = [], [], []
+            for ig in range(ngrp):
+                kv_g = kv_all[ig * mg:(ig + 1) * mg]  # [MG, C, 2nk, d]
+                k_big = kv_g[:, :, h, :].reshape(mg * C, head_dim)
+                v_big = kv_g[:, :, num_kv_heads + h, :].reshape(
+                    mg * C, head_dim)
+                if kv_quant:
+                    # dequant fold: int8/fp8 values convert to bf16 RAW
+                    # (one VPU pass); k_scale folds into the score scale
+                    # and v_scale applies once on the epilogue
+                    k_big = k_big.astype(qt.dtype)
+                    v_big = v_big.astype(qt.dtype)
+                q_h = qt[ig * mg:(ig + 1) * mg,
+                         h * G:(h + 1) * G, :].reshape(mg * G, head_dim)
+                scores = jax.lax.dot_general(
+                    q_h, k_big, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * eff_scale
+                if alibi is not None:
+                    slope = _alibi_col(alibi, h, G, mg * G)
+                    scores = scores + slope * (
+                        col_base - pos_grp[ig]).astype(jnp.float32)
+                if soft_cap is not None:
+                    scores = soft_cap * jnp.tanh(scores / soft_cap)
+                scores = jnp.where(oks[ig], scores, NEG_INF)
 
-            m_prev, l_prev, acc_prev = m_all[h], l_all[h], acc_all[h]
-            m_cur = jnp.max(scores, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(scores - m_new)
-            l_cur = jnp.sum(p, axis=-1, keepdims=True)
-            alpha = jnp.exp(m_prev - m_new)
-            pv = jax.lax.dot_general(
-                p.astype(v_big.dtype), v_big, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            new_m.append(m_new)
-            new_l.append(l_prev * alpha + l_cur)
-            new_acc.append(acc_prev * alpha + pv)
+                sl = slice(ig * mg * G, (ig + 1) * mg * G)
+                m_prev = m_all[h, sl]
+                l_prev = l_all[h, sl]
+                acc_prev = acc_all[h, sl]
+                m_cur = jnp.max(scores, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(scores - m_new)
+                l_cur = jnp.sum(p, axis=-1, keepdims=True)
+                alpha = jnp.exp(m_prev - m_new)
+                pv = jax.lax.dot_general(
+                    p.astype(v_big.dtype), v_big,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                gm.append(m_new)
+                gl.append(l_prev * alpha + l_cur)
+                gacc.append(acc_prev * alpha + pv)
+            new_m.append(jnp.concatenate(gm) if ngrp > 1 else gm[0])
+            new_l.append(jnp.concatenate(gl) if ngrp > 1 else gl[0])
+            new_acc.append(
+                jnp.concatenate(gacc) if ngrp > 1 else gacc[0])
         return (jnp.stack(new_m), jnp.stack(new_l), jnp.stack(new_acc))
 
     init = (
@@ -767,7 +796,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=("k_scale_arr", "v_scale_arr", "scale",
                      "sliding_window", "logits_soft_cap", "chunk_pages",
-                     "alibi"))
+                     "alibi", "sb", "mg"))
 def _decode_attention_impl(
     q: jnp.ndarray,
     kv_cache: jnp.ndarray,
@@ -783,13 +812,19 @@ def _decode_attention_impl(
     chunk_pages: int,
     cascade_meta: Optional[jnp.ndarray] = None,  # i32[MAXP+1]
     alibi: Optional[tuple] = None,
+    sb: int = 16,
+    mg: int = 4,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
     _, N, ps, two_nk, _ = kv_cache.shape
     nk = two_nk // 2
     group = nq // nk
     R = seq_lens.shape[0]
-    SB = 16
+    SB = sb
+    # rows per MXU pass: the block-diagonal dot computes MG x redundant
+    # FLOPs, so smaller MG cuts MXU waste at the cost of more (fixed-
+    # latency) dots; MG=SB reproduces the r2 single-pass behavior
+    MG = min(mg, SB)
     num_progs = pl.cdiv(T, SB)
 
     # row -> seq map (padding rows -> -1)
@@ -804,6 +839,7 @@ def _decode_attention_impl(
     kernel = functools.partial(
         _decode_kernel,
         sb=SB,
+        mg=MG,
         chunk_pages=chunk_pages,
         page_size=ps,
         num_kv_heads=nk,
@@ -896,7 +932,7 @@ def ragged_paged_attention(
             metadata.seq_lens, metadata.block_tables, k_scale, v_scale,
             scale, sliding_window, logits_soft_cap, dec_chunk,
             cascade_meta=getattr(metadata, "cascade_meta", None),
-            alibi=alibi)
+            alibi=alibi, mg=envs.VLLM_TPU_DECODE_MG)
     return _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
