@@ -98,6 +98,11 @@ class ModelRunnerOutput:
     prompt_logprobs_dict: dict[str, Any] = field(default_factory=dict)
     # Pooling outputs for embedding models.
     pooler_output: Optional[list[Any]] = None
+    # PP streaming (resident ring): request ids still inside the device
+    # pipeline after this dispatch — the engine must not reschedule them
+    # until their batch exits (their next input token does not exist yet
+    # anywhere, even on device).
+    inflight_req_ids: Optional[list[str]] = None
 
 
 EMPTY_MODEL_RUNNER_OUTPUT = ModelRunnerOutput()

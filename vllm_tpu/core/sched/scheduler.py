@@ -114,6 +114,11 @@ class Scheduler:
         # Accumulated stats
         self.num_preempted_reqs_total = 0
         self._step_spec_stats = [0, 0, 0]  # drafts, draft tokens, accepted
+        # Requests whose activations are still inside the worker's
+        # resident PP ring (ModelRunnerOutput.inflight_req_ids): their
+        # next input token does not exist yet anywhere, so they can be
+        # neither rescheduled nor preempted until their batch exits.
+        self.runner_inflight: set[str] = set()
 
     # ------------------------------------------------------------------ admin
 
@@ -174,6 +179,9 @@ class Scheduler:
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
             request = self.running[req_index]
+            if request.request_id in self.runner_inflight:
+                req_index += 1
+                continue
             num_new_tokens = (request.num_tokens_with_spec +
                               request.num_pending_samples -
                               request.num_computed_tokens)
@@ -425,11 +433,20 @@ class Scheduler:
             data.resumed_req_token_ids.append(list(request.all_token_ids))
         return data
 
+    def set_runner_inflight(self, req_ids: set[str]) -> None:
+        self.runner_inflight = req_ids
+
     def _choose_preemption_victim(self) -> Request:
+        # Ring-resident requests cannot be preempted (their in-flight
+        # stages still write KV through their current block tables); the
+        # requesting request itself is never ring-resident, so an
+        # eligible victim always exists.
+        eligible = [r for r in self.running
+                    if r.request_id not in self.runner_inflight]
         if self.scheduler_config.policy == "priority":
-            return max(self.running,
+            return max(eligible,
                        key=lambda r: (r.priority, r.arrival_time))
-        return self.running[-1]
+        return eligible[-1]
 
     def _preempt(self, request: Request) -> None:
         self.running.remove(request)

@@ -100,6 +100,14 @@ class EngineCore:
             engine_config.scheduler_config.async_scheduling
         self.async_depth = max(
             1, engine_config.scheduler_config.async_depth)
+        # PP resident-ring streaming (model_runner._execute_stream)
+        # keeps pp batches in flight on device; the oldest dispatched
+        # step only EXITS the ring after pp-1 further dispatches, so
+        # the finalize lag must be at least pp or every finalize would
+        # force bubble hops and collapse the ring.
+        pp = engine_config.parallel_config.pipeline_parallel_size
+        if pp > 1 and self.async_scheduling:
+            self.async_depth = max(self.async_depth, pp)
         from collections import deque
 
         self._inflight = deque()  # scheduler outputs awaiting finalize
@@ -202,7 +210,12 @@ class EngineCore:
         if self.scheduler.has_requests():
             so = self.scheduler.schedule()
             if so.total_num_scheduled_tokens > 0:
-                self.executor.execute_model(so)  # dispatch, no fetch
+                # dispatch, no fetch; the immediate output only carries
+                # the runner's PP-ring occupancy (if streaming)
+                ro = self.executor.execute_model(so)
+                self.scheduler.set_runner_inflight(
+                    set(ro.inflight_req_ids or ())
+                    if ro is not None else set())
                 scheduled = so
                 self._inflight.append(so)
             else:
@@ -218,6 +231,11 @@ class EngineCore:
                                or scheduled is None):
             prev_so = self._inflight.popleft()
             prev_ro = self.executor.collective_rpc("finalize_pending")[0]
+            if prev_ro.inflight_req_ids is not None:
+                # the drain may have bubble-hopped batches out of the
+                # PP ring — refresh occupancy so they reschedule
+                self.scheduler.set_runner_inflight(
+                    set(prev_ro.inflight_req_ids))
             outputs = self.scheduler.update_from_output(prev_so, prev_ro)
         elif zero_so is not None:
             from vllm_tpu.core.sched.output import ModelRunnerOutput

@@ -170,6 +170,29 @@ class LlamaForCausalLM:
         x = rms_norm(x, params["final_ln"], self.args.rms_eps)
         return x, [new_kv]
 
+    def forward_stream(
+        self,
+        params: dict,
+        input_ids: jnp.ndarray,  # i32[T] NEW batch (stage-0 injection)
+        kv_caches: list[jnp.ndarray],
+        md_stacked,  # AttentionMetadata with every array [pp, ...]
+        resident: jnp.ndarray,  # [pp, T, H] in-flight activations
+    ) -> tuple[jnp.ndarray, list[jnp.ndarray], jnp.ndarray]:
+        """One resident-ring PP hop (see parallel/pipeline.py
+        ``pipeline_stream_layers``): inject the new batch at stage 0,
+        advance every in-flight batch one stage, and return the
+        final-norm'ed hidden state of the batch that completed the
+        stack this step (injected pp-1 steps ago)."""
+        from vllm_tpu.parallel.pipeline import pipeline_stream_layers
+
+        pp = self.pp_size
+        x_in = self.embed(params, input_ids)
+        exit_x, new_kv, resident = pipeline_stream_layers(
+            self._run_layers, params["layers"], kv_caches[0], x_in,
+            resident, md_stacked, self.mesh, pp)
+        exit_x = rms_norm(exit_x, params["final_ln"], self.args.rms_eps)
+        return exit_x, [new_kv], resident
+
     def _run_layers(self, layer_params: dict, kv_stack: jnp.ndarray,
                     x: jnp.ndarray, metadata: AttentionMetadata,
                     lora=None) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -89,3 +89,58 @@ def pipeline_layers(
                       axis_names={"pp"}, check_vma=False)
     xs, new_kv = f(layers, kv, x, metadata, lora_params, token_lora)
     return xs[0], new_kv
+
+
+def pipeline_stream_layers(
+    run_layers,  # fn(layers_chunk, kv_chunk, x, metadata, lora) -> (x, kv)
+    layers: Any,  # stacked [L, ...] pytree, leading axis pp-sharded
+    kv: jnp.ndarray,  # [L, N, page, 2K, D]
+    x_inject: jnp.ndarray,  # [T, H] embedded inputs of the NEW batch
+    resident: jnp.ndarray,  # [pp, T, H] per-stage in-flight activations
+    md_stacked: Any,  # AttentionMetadata, every array [pp, ...]
+    mesh,
+    pp: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ONE ring hop of the resident streaming pipeline.
+
+    This is the TPU answer to the reference's PP batch-queue
+    (vllm/v1/engine/core.py:290 ``step_with_batch_queue``): instead of
+    rotating a single live batch through all ``pp`` stages inside one
+    step (which makes every stage read its weight chunk ``pp`` times per
+    completed batch — no faster than a single chip for bandwidth-bound
+    decode), the engine keeps ``pp`` DISJOINT batches in flight, one per
+    stage, with their activations resident on device between steps.
+    Every step each stage applies its layer chunk ONCE to the batch it
+    currently holds (metadata slot s = the batch injected s steps ago),
+    then the ring advances by one ``ppermute`` hop.  Per engine step a
+    stage reads only W/pp weight bytes, so steady-state decode
+    throughput approaches ``pp``x the single-live-batch ring.
+
+    Returns ``(exit_hidden [T, H], new_kv, new_resident [pp, T, H])``
+    where ``exit_hidden`` is the final (pre-final-norm) hidden state of
+    the batch injected ``pp-1`` steps ago, now fully through the stack.
+    """
+    perm = [(j, (j + 1) % pp) for j in range(pp)]
+
+    def stage_fn(layers_local, kv_local, x_in, res_local, md_local):
+        stage = jax.lax.axis_index("pp")
+        # strip the leading pp axis of this stage's metadata slot
+        md = jax.tree.map(lambda a: a[0], md_local)
+        x = jnp.where(stage == 0, _pvary(x_in, "pp"), res_local[0])
+        y, kv_local = run_layers(layers_local, kv_local, x, md, None)
+        y = jax.lax.ppermute(y, "pp", perm)
+        return y[None], kv_local
+
+    in_specs = (
+        jax.tree.map(lambda _: P("pp"), layers),
+        P("pp"),
+        P(),
+        P("pp"),
+        jax.tree.map(lambda _: P("pp"), md_stacked),
+    )
+    f = jax.shard_map(stage_fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=(P("pp"), P("pp")),
+                      axis_names={"pp"}, check_vma=False)
+    new_resident, new_kv = f(layers, kv, x_inject, resident, md_stacked)
+    # after the hop, stage 0 holds the exiting batch's final hiddens
+    return new_resident[0], new_kv, new_resident

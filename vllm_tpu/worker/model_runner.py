@@ -129,6 +129,25 @@ class TPUModelRunner:
 
         self._compiled_step = self._build_step_fn()
 
+        # PP streaming (resident ring; see parallel/pipeline.py
+        # pipeline_stream_layers): decode-shaped steps keep pp disjoint
+        # batches in flight, one per stage, so each stage reads only its
+        # W/pp weight chunk per engine step. TPU answer to the
+        # reference's batch-queue PP (vllm/v1/engine/core.py:290).
+        self.pp_stream = (self.model.pp_size > 1 and self.async_mode
+                          and self.num_spec_tokens == 0
+                          and not self.is_ssm
+                          and hasattr(self.model, "forward_stream"))
+        # newest-first; slot s of the next dispatch = _stream_ring[s-1];
+        # None entries are bubbles (nothing was injected that step)
+        self._stream_ring: list = []
+        self._stream_resident = None
+        self._stream_layout = None
+        self._stream_hops = 0     # total ring hops dispatched
+        self._stream_bubbles = 0  # hops that injected nothing
+        self._compiled_stream = (self._build_stream_step_fn()
+                                 if self.pp_stream else None)
+
     # ------------------------------------------------------------ model load
 
     def load_model(self) -> None:
@@ -419,6 +438,234 @@ class TPUModelRunner:
         return jax.jit(step, donate_argnums=(1, 2),
                        static_argnums=(5, 6))
 
+    def _build_stream_step_fn(self):
+        """One resident-ring PP hop (pp in-flight batches, one per
+        stage; see pipeline_stream_layers).  Takes the pp slots' packed
+        blobs stacked on a leading axis — slot 0 is the batch injected
+        THIS step, slot pp-1 the one exiting — plus the donated
+        device-resident activations.  Samples only the exiting slot."""
+        model = self.model
+        pp = model.pp_size
+
+        replicate_out = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicate_out = NamedSharding(self.mesh, PartitionSpec())
+
+        def _rep(tree):
+            if replicate_out is None or tree is None:
+                return tree
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, replicate_out), tree)
+
+        def step(params, kv_caches, resident, i32_blobs, f32_blobs,
+                 layout: tuple, num_logprobs: int, penalties_extra=None,
+                 grammar_bitmask=None, prev_tokens=None):
+            arrs: dict[str, jnp.ndarray] = {}
+            off = 0
+            for name, shape in layout:
+                size = 1
+                for s in shape:
+                    size *= s
+                arrs[name] = i32_blobs[:, off:off + size].reshape(
+                    (pp,) + shape)
+                off += size
+            R = arrs["seq_lens"].shape[1]
+            md_stacked = AttentionMetadata(
+                slot_mapping=arrs["slot_mapping"],
+                block_tables=arrs["block_tables"],
+                query_start_loc=arrs["query_start_loc"],
+                seq_lens=arrs["seq_lens"],
+                positions=arrs["positions"],
+                lb_seq=arrs["lb_seq"],
+                lb_q_start=arrs["lb_q_start"],
+                cascade_meta=arrs.get("cascade_meta"),
+            )
+            input_ids = arrs["input_ids"][0]
+            if "subst_idx" in arrs and prev_tokens is not None:
+                cat = (prev_tokens[0] if len(prev_tokens) == 1 else
+                       jnp.concatenate(prev_tokens))
+                si = arrs["subst_idx"][0]
+                r_prev = cat.shape[0]
+                safe = jnp.minimum(si, r_prev - 1)
+                input_ids = jnp.where(si < r_prev, cat[safe], input_ids)
+            exit_x, kv_caches, resident = model.forward_stream(
+                params, input_ids, kv_caches, md_stacked, resident)
+
+            # sampling metadata of the EXITING slot
+            ex = {n: a[pp - 1] for n, a in arrs.items()}
+            f32 = {}
+            foff = 0
+            for name in ("temperature", "top_p", "min_p",
+                         "presence_penalty", "frequency_penalty",
+                         "repetition_penalty"):
+                f32[name] = f32_blobs[pp - 1, foff:foff + R]
+                foff += R
+            skw: dict[str, Any] = {}
+            if penalties_extra is not None:
+                counts, prompt_mask = penalties_extra
+                skw.update(presence_penalty=f32["presence_penalty"],
+                           frequency_penalty=f32["frequency_penalty"],
+                           repetition_penalty=f32["repetition_penalty"],
+                           output_counts=counts, prompt_mask=prompt_mask)
+            if grammar_bitmask is not None:
+                skw["grammar_bitmask"] = grammar_bitmask
+            sampling = SamplingMetadata(
+                temperature=f32["temperature"],
+                top_k=ex["top_k"],
+                top_p=f32["top_p"],
+                min_p=f32["min_p"],
+                seeds=jax.lax.bitcast_convert_type(ex["seeds"],
+                                                   jnp.uint32),
+                step=ex["seq_lens"],
+                **skw,
+            )
+            logits = model.compute_logits(params,
+                                          exit_x[ex["logits_indices"]])
+            tokens = sample(logits, sampling)
+            lp = (compute_logprobs(logits, tokens, num_logprobs)
+                  if num_logprobs > 0 else None)
+            return (kv_caches, resident), _rep((tokens, None)), _rep(lp)
+
+        return jax.jit(step, donate_argnums=(1, 2),
+                       static_argnums=(5, 6))
+
+    # --------------------------------------------------- PP stream path
+
+    def _stream_compatible(self, so: SchedulerOutput) -> bool:
+        """A step can ride the resident ring iff it is pure decode (one
+        token per request) with none of the prefill-only features."""
+        if not self.pp_stream or so.total_num_scheduled_tokens == 0:
+            return False
+        if so.scheduled_spec_decode_tokens:
+            return False
+        if so.kv_connector_metadata is not None:
+            return False
+        if self.lora_manager is not None:
+            return False
+        # pooling requests never decode, but a fully-prefix-cached
+        # 1-token new request could look like one — the stream step has
+        # no pooler outputs, so keep those on the normal path
+        if any(r.pooling_params is not None for r in so.scheduled_new_reqs):
+            return False
+        return all(n == 1 for n in so.num_scheduled_tokens.values())
+
+    def _ring_req_ids(self) -> list[str]:
+        ids: list[str] = []
+        for e in self._stream_ring:
+            if e is not None:
+                ids.extend(e["prep"].req_ids)
+        return [r for r in ids if r is not None]
+
+    def _execute_stream(
+            self, so: SchedulerOutput) -> ModelRunnerOutput:
+        batch = self.input_batch
+        batch.update_states(so, self.rng)
+        token_bucket = self._pick_bucket(self.token_buckets,
+                                         so.total_num_scheduled_tokens)
+        req_bucket = self._pick_bucket(
+            self.req_buckets, max(len(so.num_scheduled_tokens), 1))
+        # async placeholder maps (always non-None so subst_idx stays in
+        # the layout and the ring's compiled variant is stable)
+        maps, toks = [], []
+        for p_prep, p_tokens, *_ in self._pending_steps[::-1]:
+            row_map = {
+                rid: r for r, rid in enumerate(p_prep.req_ids)
+                if p_prep.sample_valid[r]
+            }
+            maps.append((row_map, len(p_prep.temperature)))
+            toks.append(p_tokens)
+        prep = batch.prepare_inputs(so, token_bucket, req_bucket, 0,
+                                    async_prev=maps)
+        i32_blob, f32_blob, layout = self._pack_blobs(prep)
+        if self._stream_ring and layout != self._stream_layout:
+            self._flush_stream()
+        self._stream_layout = layout
+
+        penalties_extra = None
+        if prep.presence_penalty is not None:
+            vocab = self.model.args.vocab_size
+            counts, prompt_mask = batch.make_penalty_arrays(
+                prep.req_ids, len(prep.temperature), vocab)
+            penalties_extra = (jnp.asarray(counts),
+                               jnp.asarray(prompt_mask))
+        num_logprobs = 0
+        if prep.num_logprobs is not None:
+            num_logprobs = int(
+                min(max(prep.num_logprobs.max() + 1, 1),
+                    self.max_logprobs))
+        entry = dict(prep=prep, so=so, i32=i32_blob, f32=f32_blob,
+                     penalties=penalties_extra,
+                     grammar=self._grammar_bitmask(prep, so),
+                     num_logprobs=num_logprobs)
+        self._dispatch_stream(entry, tuple(toks) if toks else None)
+        return ModelRunnerOutput(inflight_req_ids=self._ring_req_ids())
+
+    def _dispatch_stream(self, entry, prev_tokens=None) -> None:
+        """Advance the ring one hop; ``entry`` is the injected batch
+        (None = bubble).  Exits (and submits the fetch of) the batch
+        that was at slot pp-1."""
+        pp = self.model.pp_size
+        self._stream_hops += 1
+        if entry is None:
+            self._stream_bubbles += 1
+        layout = self._stream_layout
+        T = dict(layout)["input_ids"][0]
+        R = dict(layout)["seq_lens"][0]
+        if (self._stream_resident is None
+                or self._stream_resident.shape[1] != T):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            H = self.model.args.hidden_size
+            sh = (NamedSharding(self.mesh, PartitionSpec("pp"))
+                  if self.mesh is not None else None)
+            self._stream_resident = jnp.zeros(
+                (pp, T, H), self.model.dtype, device=sh)
+        slots = [entry] + list(self._stream_ring[:pp - 1])
+        while len(slots) < pp:
+            slots.append(None)
+        size_i32 = sum(
+            int(np.prod(shape)) if shape else 1 for _, shape in layout)
+        zero_i32 = np.zeros(size_i32, np.int32)
+        zero_f32 = np.zeros(6 * R, np.float32)
+        i32_stack = np.stack(
+            [s["i32"] if s is not None else zero_i32 for s in slots])
+        f32_stack = np.stack(
+            [s["f32"] if s is not None else zero_f32 for s in slots])
+        exiting = slots[pp - 1] if len(self._stream_ring) == pp - 1 \
+            else None
+        nlp = exiting["num_logprobs"] if exiting is not None else 0
+        (self.kv_caches, self._stream_resident), tokens_dev, lp_dev = \
+            self._compiled_stream(
+                self.params, self.kv_caches, self._stream_resident,
+                jnp.asarray(i32_stack), jnp.asarray(f32_stack), layout,
+                nlp,
+                exiting["penalties"] if exiting is not None else None,
+                exiting["grammar"] if exiting is not None else None,
+                prev_tokens)
+        self.step_counter += 1
+        if len(self._stream_ring) == pp - 1:
+            out_entry = self._stream_ring.pop()
+        else:
+            out_entry = None
+        self._stream_ring.insert(0, entry)
+        if out_entry is not None:
+            fut = self._fetch_pool.submit(self._fetch_step,
+                                          tokens_dev[0], None, lp_dev)
+            self._pending_steps.append(
+                (out_entry["prep"], tokens_dev[0], fut,
+                 out_entry["num_logprobs"], out_entry["so"]))
+
+    def _flush_stream(self) -> None:
+        """Drain every real batch out of the ring with bubble hops (the
+        leftover resident activations are dead weight: later injections
+        overwrite slot 0 and bubble slots carry zeroed metadata)."""
+        while any(e is not None for e in self._stream_ring):
+            self._dispatch_stream(None)
+        self._stream_ring = []
+
     def _pick_bucket(self, buckets: list[int], n: int) -> int:
         i = bisect.bisect_left(buckets, n)
         if i == len(buckets):
@@ -429,6 +676,13 @@ class TPUModelRunner:
 
     def execute_model(
             self, scheduler_output: SchedulerOutput) -> ModelRunnerOutput:
+        if self._stream_compatible(scheduler_output):
+            return self._execute_stream(scheduler_output)
+        if self.pp_stream and any(e is not None
+                                  for e in self._stream_ring):
+            # a prefill-bearing (or otherwise incompatible) step: drain
+            # the ring first so exit order keeps matching dispatch order
+            self._flush_stream()
         batch = self.input_batch
         batch.update_states(scheduler_output, self.rng)
 
@@ -598,12 +852,20 @@ class TPUModelRunner:
         """Join the prefetched oldest dispatched step and build its
         output (async scheduling; reference: vllm async sampled-token
         lag)."""
+        if self.pp_stream and not self._pending_steps:
+            # drain-down: force exits out of the resident ring with
+            # bubble hops until the oldest dispatched batch surfaces
+            while (not self._pending_steps
+                   and any(e is not None for e in self._stream_ring)):
+                self._dispatch_stream(None)
         prep, _tokens_dev, fut, num_logprobs, so = \
             self._pending_steps.pop(0)
         tokens, pooled, lp = fut.result()
         out = self._build_output(so, prep, tokens, lp, num_logprobs)
         if pooled is not None:
             out.pooler_output = self._build_pooler_output(prep, pooled)
+        if self.pp_stream:
+            out.inflight_req_ids = self._ring_req_ids()
         return out
 
     def _build_pooler_output(self, prep: PreparedInputs,
