@@ -19,8 +19,15 @@ from vllm_tpu.sampling_params import SamplingParams
 
 
 def compute_patch_ppl(model, params, tokenizer, text: str, ctx: int,
-                      sample: int, patches: int, block_size: int = 16):
-    """Teacher-forced log-loss via direct model forwards."""
+                      sample: int, patches: int, block_size: int = 16,
+                      kv_dtype: str = "auto"):
+    """Teacher-forced log-loss via direct model forwards.
+
+    ``kv_dtype`` mirrors CacheConfig.cache_dtype ("auto" | "int8" |
+    "fp8_e4m3" | "fp8_e5m2"): prefill attention reads back the KV rows it
+    just quantized into the cache, so a low-precision cache's accuracy
+    cost shows up in the score (quantization canary, reference
+    tests/tpu/test_quantization_accuracy.py)."""
     import jax.numpy as jnp
 
     from vllm_tpu.ops.attention import AttentionMetadata
@@ -56,15 +63,21 @@ def compute_patch_ppl(model, params, tokenizer, text: str, ctx: int,
             lb_q_start=jnp.asarray(lb_q_start))
         from vllm_tpu.core.kv_cache_interface import MLASpec
 
-        kv_dtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16
-                    else jnp.float32)
+        if kv_dtype in ("auto", None):
+            kv_jdtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16
+                         else jnp.float32)
+        else:
+            kv_jdtype = {"int8": jnp.int8,
+                         "fp8": jnp.float8_e4m3fn,
+                         "fp8_e4m3": jnp.float8_e4m3fn,
+                         "fp8_e5m2": jnp.float8_e5m2}[kv_dtype]
         if isinstance(spec, MLASpec):
             kv = jnp.zeros((a.num_layers, nb + 2, block_size,
-                            spec.head_size), kv_dtype)
+                            spec.head_size), kv_jdtype)
         else:
             kv = jnp.zeros((a.num_layers, nb + 2, block_size,
                             2 * spec.num_kv_heads, spec.head_size),
-                           kv_dtype)
+                           kv_jdtype)
         hidden, _ = model.forward(params,
                                   jnp.asarray(window, jnp.int32), [kv],
                                   md)
@@ -106,7 +119,8 @@ def main(argv=None) -> None:
         text = f.read()
     ppl, n = compute_patch_ppl(model, params, tokenizer, text,
                                args.context_size, args.sample_size,
-                               args.patch_size)
+                               args.patch_size,
+                               kv_dtype=config.model_config.kv_cache_dtype)
     print(json.dumps({"metric": "ppl", "value": round(ppl, 4),
                       "tokens_scored": n}))
 
