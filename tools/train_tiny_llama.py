@@ -32,14 +32,16 @@ import sys
 
 import numpy as np
 
-HIDDEN = 256
-LAYERS = 4
-Q_HEADS = 8
-KV_HEADS = 4
-HEAD_DIM = 32
-INTER = 768
-VOCAB = 2048
-SEQ = 256
+import os as _os
+
+HIDDEN = int(_os.environ.get("TT_HIDDEN", 256))
+LAYERS = int(_os.environ.get("TT_LAYERS", 4))
+Q_HEADS = int(_os.environ.get("TT_QHEADS", 8))
+KV_HEADS = int(_os.environ.get("TT_KVHEADS", 4))
+HEAD_DIM = HIDDEN // Q_HEADS
+INTER = int(_os.environ.get("TT_INTER", 768))
+VOCAB = int(_os.environ.get("TT_VOCAB", 2048))
+SEQ = int(_os.environ.get("TT_SEQ", 256))
 ROPE_THETA = 10000.0
 RMS_EPS = 1e-6
 

@@ -75,6 +75,10 @@ def deepseek_routing(router_logits: jnp.ndarray, top_k: int,
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
+    # MLA latent cache, not the standard [L, N, page, 2K, D] layout —
+    # the loader's per-kv-head scale calibration does not apply.
+    kv_scale_calibration = False
+
     def parse_args(self, hf) -> ModelArgs:
         self.qk_nope = int(getattr(hf, "qk_nope_head_dim", 128))
         self.qk_rope = int(getattr(hf, "qk_rope_head_dim", 64))

@@ -122,11 +122,10 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
             k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale,
-                             sliding_window=sliding_window,
-                             logits_soft_cap=args.attn_soft_cap,
-                             layer=li)
+        attn_out, kv = self._cached_attention(
+            lp, li, q, k, v, kv, metadata,
+            sliding_window=sliding_window,
+            logits_soft_cap=args.attn_soft_cap)
         attn_flat = attn_out.reshape(T, nq * d)
         attn_out = apply_lora(attn_flat, linear(attn_flat, lp["o"],
                                                 layer=li), lora_ctx, "o")

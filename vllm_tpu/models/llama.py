@@ -103,6 +103,12 @@ def _np_dtype(dtype: str):
 class LlamaForCausalLM:
     """Functional model: all methods taking params are pure/jittable."""
 
+    # Standard stacked KV cache: the loader can self-calibrate
+    # per-layer per-head dequant scales for low-precision caches
+    # (models/loader.py calibrate_kv_scales). Subclasses with exotic
+    # caches (MLA latents, SSM states) opt out.
+    kv_scale_calibration = True
+
     # HF checkpoint name templates (subclasses override)
     _EMBED = "model.embed_tokens.weight"
     _FINAL_NORM = "model.norm.weight"
@@ -268,11 +274,10 @@ class LlamaForCausalLM:
             q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
             k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
         q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale,
-                             sliding_window=sliding_window,
-                             logits_soft_cap=args.attn_soft_cap,
-                             layer=li)
+        attn_out, kv = self._cached_attention(
+            lp, li, q, k, v, kv, metadata,
+            sliding_window=sliding_window,
+            logits_soft_cap=args.attn_soft_cap)
         res_mult = (jnp.asarray(args.residual_multiplier, x.dtype)
                     if args.residual_multiplier else None)
         attn_flat = attn_out.reshape(T, nq * d)
@@ -288,6 +293,29 @@ class LlamaForCausalLM:
                          lora_ctx, "down")
         x = x + (ffw if res_mult is None else ffw * res_mult)
         return x, kv
+
+    def _cached_attention(self, lp: dict, li, q, k, v, kv, metadata,
+                          sliding_window=None, logits_soft_cap=None,
+                          alibi_slopes=None, local_chunk=None,
+                          scale=None):
+        """KV-cache write + paged attention with the loader's calibrated
+        per-layer per-head dequant scales when the cache is
+        low-precision (models/loader.py calibrate_kv_scales; absent for
+        full-precision caches). Shared by every arch that keeps the
+        standard stacked [L, N, page, 2K, D] cache."""
+        ksc = lp.get("kv_scale_k")
+        k_scale = ksc[li] if ksc is not None else None
+        v_scale = lp["kv_scale_v"][li] if ksc is not None else None
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping,
+                            k_scale=k_scale, v_scale=v_scale, layer=li)
+        out = attention(q, kv, metadata,
+                        self.scale if scale is None else scale,
+                        sliding_window=sliding_window,
+                        logits_soft_cap=logits_soft_cap,
+                        k_scale=k_scale, v_scale=v_scale, layer=li,
+                        local_chunk=local_chunk,
+                        alibi_slopes=alibi_slopes)
+        return out, kv
 
     def _apply_rope_qk(self, q, k, metadata, inv_freq=None):
         """Positional-encoding hook; MRoPE models override

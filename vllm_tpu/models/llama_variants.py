@@ -63,8 +63,8 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn = attention(q, kv, metadata, self.scale, layer=li)
+        attn, kv = self._cached_attention(lp, li, q, k, v, kv,
+                                          metadata)
         attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)
         x = x + rms_norm(attn, lp["post_ln"][li], args.rms_eps)
 
@@ -142,8 +142,8 @@ class Glm4ForCausalLM(LlamaForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn = attention(q, kv, metadata, self.scale, layer=li)
+        attn, kv = self._cached_attention(lp, li, q, k, v, kv,
+                                          metadata)
         attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)
         x = x + rms_norm(attn, lp["post_attn_ln"][li], args.rms_eps)
 

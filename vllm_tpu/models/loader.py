@@ -251,7 +251,78 @@ def load_model_params(model, engine_config: EngineConfig,
         params = jax.tree.map(put, params, shardings)
     else:
         params = jax.tree.map(put, params)
+
+    cache_dtype = engine_config.cache_config.cache_dtype
+    if (cache_dtype in ("int8", "fp8", "fp8_e4m3", "fp8_e5m2")
+            and getattr(model, "kv_scale_calibration", False)
+            and isinstance(params, dict) and "layers" in params):
+        if jax.process_count() > 1:
+            logger.warning(
+                "kv-scale calibration skipped under multi-host launch; "
+                "low-precision KV cache runs at unit scale")
+        else:
+            t0 = time.perf_counter()
+            ks, vs = calibrate_kv_scales(model, params, cache_dtype)
+            params["layers"]["kv_scale_k"] = jax.device_put(ks)
+            params["layers"]["kv_scale_v"] = jax.device_put(vs)
+            logger.info("kv %s scales calibrated in %.1fs", cache_dtype,
+                        time.perf_counter() - t0)
     return params
+
+
+def calibrate_kv_scales(model, params, cache_dtype: str,
+                        num_tokens: int = 256, block_size: int = 16,
+                        seed: int = 0):
+    """Per-layer per-head dequant scales for a low-precision KV cache.
+
+    One full-precision-cache forward over random token ids (real
+    embedding/weight statistics; K/V magnitudes are position-independent
+    under RoPE) leaves every layer's K/V rows in the returned cache —
+    reduce abs-max per (layer, kv_head) and map the observed range onto
+    the cache dtype's. Write-side quantization divides by these scales
+    (ops/attention.py write_kv_cache) and the read side folds them into
+    q / the attention output exactly (ops/attention.py attention()).
+    Reference analog: checkpoint-provided k_scale/v_scale consumed by
+    csrc paged attention; here the engine self-calibrates at load
+    because TPU serving must not depend on CUDA-tool-produced scales.
+    """
+    import numpy as np
+
+    from vllm_tpu.ops.attention import AttentionMetadata
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        build_logical_blocks
+    from vllm_tpu.utils import cdiv
+
+    a = model.args
+    T = int(min(num_tokens, getattr(a, "max_position", 2048)))
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, a.vocab_size, T, dtype=np.int64).astype(np.int32)
+    nb = cdiv(T, block_size) + 1
+    qsl = np.array([0, T], np.int32)
+    lb_seq, lb_q_start = build_logical_blocks(qsl, T, 1)
+    bt = np.arange(1, nb + 1, dtype=np.int32)[None]
+    pos = np.arange(T, dtype=np.int32)
+    slots = (bt[0][pos // block_size] * block_size +
+             pos % block_size).astype(np.int32)
+    md = AttentionMetadata(
+        slot_mapping=jnp.asarray(slots),
+        block_tables=jnp.asarray(bt),
+        query_start_loc=jnp.asarray(qsl),
+        seq_lens=jnp.asarray(np.array([T], np.int32)),
+        positions=jnp.asarray(pos),
+        lb_seq=jnp.asarray(lb_seq),
+        lb_q_start=jnp.asarray(lb_q_start))
+    kv = jnp.zeros((a.num_layers, nb + 2, block_size,
+                    2 * a.num_kv_heads, a.head_dim), model.dtype)
+    _, new_kv = model.forward(params, jnp.asarray(ids), [kv], md)
+    cache = np.asarray(new_kv[0].astype(jnp.float32))
+    amax = np.abs(cache).max(axis=(1, 2, 4))  # [L, 2K]
+    denom = {"int8": 127.0, "fp8": 448.0, "fp8_e4m3": 448.0,
+             "fp8_e5m2": 57344.0}[cache_dtype]
+    scales = np.maximum(amax, 1e-6) / denom
+    K = a.num_kv_heads
+    return (jnp.asarray(scales[:, :K], jnp.float32),
+            jnp.asarray(scales[:, K:], jnp.float32))
 
 
 # --------------------------------------------------------------- sharded state

@@ -50,9 +50,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale,
-                             sliding_window=args.sliding_window, layer=li)
+        attn_out, kv = self._cached_attention(
+            lp, li, q, k, v, kv, metadata,
+            sliding_window=args.sliding_window)
         attn_flat = attn_out.reshape(T, nq * d)
         x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
                                              layer=li), lora_ctx, "o")
@@ -267,8 +267,8 @@ class OlmoeForCausalLM(MixtralForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale, layer=li)
+        attn_out, kv = self._cached_attention(lp, li, q, k, v, kv,
+                                              metadata)
         x = x + linear(attn_out.reshape(T, nq * d), lp["o"], layer=li)
 
         h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
@@ -337,8 +337,8 @@ class GraniteMoeForCausalLM(MixtralForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale, layer=li)
+        attn_out, kv = self._cached_attention(lp, li, q, k, v, kv,
+                                              metadata)
         x = x + linear(attn_out.reshape(T, nq * d), lp["o"],
                        layer=li) * res_mult
 
@@ -385,8 +385,8 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
         v = v.reshape(T, nk, d)
         q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
                           args.rope.is_neox_style, self.rope_mscale)
-        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=li)
-        attn_out = attention(q, kv, metadata, self.scale, layer=li)
+        attn_out, kv = self._cached_attention(lp, li, q, k, v, kv,
+                                              metadata)
         attn_flat = attn_out.reshape(T, nq * d)
         x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
                                              layer=li), lora_ctx, "o")

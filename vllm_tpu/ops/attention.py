@@ -84,9 +84,13 @@ def write_kv_cache(
                 jnp.broadcast_to(v_scale, v.shape[1:2]),
             ])[None, :, None]
             kv = kv.astype(jnp.float32) / scale
-        finfo_max = (jnp.finfo(kv_cache.dtype).max
-                     if jnp.issubdtype(kv_cache.dtype, jnp.floating) else
-                     jnp.iinfo(kv_cache.dtype).max)
+        if jnp.issubdtype(kv_cache.dtype, jnp.floating):
+            finfo_max = jnp.finfo(kv_cache.dtype).max
+        else:
+            finfo_max = jnp.iinfo(kv_cache.dtype).max
+            # round-to-nearest, not astype's truncate-toward-zero: the
+            # truncation bias alone costs ~half the int8 cache's SNR
+            kv = jnp.round(kv.astype(jnp.float32))
         kv = jnp.clip(kv, -float(finfo_max), float(finfo_max))
         kv = kv.astype(kv_cache.dtype)
     block_ids = slot_mapping // page
@@ -215,7 +219,31 @@ def attention(
     take the XLA path. TODO(perf): pad 64-dim heads to 128 inside the
     kernel like the reference backend (v1/attention/backends/pallas.py
     head pad to 128) instead of falling back.
+
+    Per-kv-head dequant scales (``k_scale``/``v_scale`` as arrays [K])
+    need no kernel support at all: the score is linear in k, so the
+    K-scale folds into q per head before the call, and the output is
+    linear in v, so the V-scale folds into the kernel output — exact
+    numerics, zero extra HBM traffic (TPU answer to the reference's
+    k_scale/v_scale dequant inside paged_attention_kernel,
+    csrc/attention/attention_kernels.cu).
     """
+    if k_scale is not None and getattr(k_scale, "ndim", 0) >= 1:
+        num_kv = kv_cache.shape[-2] // 2
+        group = q.shape[1] // num_kv
+        qs = jnp.repeat(k_scale.astype(jnp.float32).reshape(num_kv),
+                        group)
+        q = (q.astype(jnp.float32) * qs[None, :, None]).astype(q.dtype)
+        vs = jnp.repeat(v_scale.astype(jnp.float32).reshape(num_kv),
+                        group)
+        out = attention(q, kv_cache, metadata, scale,
+                        sliding_window=sliding_window,
+                        logits_soft_cap=logits_soft_cap,
+                        k_scale=None, v_scale=None, layer=layer,
+                        causal=causal, local_chunk=local_chunk,
+                        alibi_slopes=alibi_slopes)
+        return (out.astype(jnp.float32) *
+                vs[None, :, None]).astype(out.dtype)
     if causal and local_chunk is None \
             and _use_pallas() and q.shape[-1] % 128 == 0:
         try:
