@@ -97,7 +97,12 @@ class KVCacheManager:
         """Longest cached prefix for a new request
         (reference: kv_cache_manager.py:144)."""
         if (not self.enable_caching
-                or request.sampling_params is None):
+                or request.sampling_params is None
+                # prompt logprobs need the forward to actually run over
+                # every prompt position (reference:
+                # kv_cache_manager.py get_computed_blocks skips caching
+                # when prompt_logprobs is set)
+                or request.sampling_params.prompt_logprobs is not None):
             return self.make_empty_blocks(), 0
 
         block_hashes = self.req_to_block_hashes.get(request.request_id)

@@ -63,6 +63,7 @@ class RequestState:
     arrival_time: float
     output_token_ids: list[int] = field(default_factory=list)
     logprobs: list = field(default_factory=list)
+    prompt_logprobs: list = field(default_factory=list)
     cumulative_logprob: float = 0.0
     num_cached_tokens: int = 0
     first_token_time: float = 0.0
@@ -192,6 +193,23 @@ class OutputProcessor:
                 stop_reason = stop_str
                 reqs_to_abort.append(out.request_id)
 
+            if out.new_prompt_logprobs is not None:
+                # chunked-prefill increments of {token_id: lp} dicts
+                # (position 0 arrives as None); decode for parity with
+                # the sampled-logprob Logprob objects
+                for d in out.new_prompt_logprobs:
+                    if d is None:
+                        state.prompt_logprobs.append(None)
+                        continue
+                    lp_dict = {}
+                    for rank_pos, (tid, lp) in enumerate(
+                            sorted(d.items(), key=lambda kv: -kv[1])):
+                        decoded = None
+                        if self.tokenizer is not None:
+                            decoded = self.tokenizer.decode([tid])
+                        lp_dict[tid] = Logprob(lp, rank_pos + 1, decoded)
+                    state.prompt_logprobs.append(lp_dict)
+
             if out.new_logprobs is not None:
                 for d in out.new_logprobs:
                     if d is None:
@@ -258,7 +276,7 @@ class OutputProcessor:
             request_id=state.request_id,
             prompt=state.prompt_text,
             prompt_token_ids=state.prompt_token_ids,
-            prompt_logprobs=None,
+            prompt_logprobs=(state.prompt_logprobs or None),
             outputs=[completion],
             finished=finished,
             num_cached_tokens=state.num_cached_tokens,

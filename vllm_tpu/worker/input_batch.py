@@ -68,6 +68,9 @@ class PreparedInputs:
     # multimodal: token-embedding overrides at image-placeholder slots
     # (idx == T means "no override"; see llama.forward embed_override)
     embed_idx: Optional[np.ndarray] = None  # i32[T]
+    # prompt logprobs: (entries, k, device handles) stashed by the
+    # runner's aux pass (model_runner._dispatch_prompt_lp)
+    prompt_lp: Optional[tuple] = None
     embed_vecs: Optional[np.ndarray] = None  # f32[T, H]
     # async scheduling: per-token index into the PREVIOUS step's sampled
     # tokens for placeholder inputs (R_prev == none)

@@ -128,6 +128,7 @@ class TPUModelRunner:
                     self.cache_config.block_size)
 
         self._compiled_step = self._build_step_fn()
+        self._plp_fn = None  # prompt-logprobs aux pass, built lazily
 
         # PP streaming (resident ring; see parallel/pipeline.py
         # pipeline_stream_layers): decode-shaped steps keep pp disjoint
@@ -532,6 +533,163 @@ class TPUModelRunner:
         return jax.jit(step, donate_argnums=(1, 2),
                        static_argnums=(5, 6))
 
+    def _build_prompt_lp_fn(self):
+        """Dedicated jitted pass for prompt logprobs (reference:
+        gpu_model_runner prompt_logprobs_dict): re-runs the forward on
+        the same packed blob and scores every prompt position's target
+        token (+ top-k) with a chunked log-softmax so the [C, V] logits
+        buffer stays small. Kept OFF the main step so the hot path has
+        zero extra variants; the duplicate KV writes are idempotent
+        (same rows, same values)."""
+        model = self.model
+
+        replicate_out = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicate_out = NamedSharding(self.mesh, PartitionSpec())
+
+        def plp(params, kv_caches, i32_blob, targets, layout: tuple,
+                k: int, prev_tokens=None):
+            arrs: dict[str, jnp.ndarray] = {}
+            off = 0
+            for name, shape in layout:
+                size = 1
+                for s in shape:
+                    size *= s
+                arrs[name] = i32_blob[off:off + size].reshape(shape)
+                off += size
+            metadata = AttentionMetadata(
+                slot_mapping=arrs["slot_mapping"],
+                block_tables=arrs["block_tables"],
+                query_start_loc=arrs["query_start_loc"],
+                seq_lens=arrs["seq_lens"],
+                positions=arrs["positions"],
+                lb_seq=arrs["lb_seq"],
+                lb_q_start=arrs["lb_q_start"],
+                mrope_positions=arrs.get("mrope_positions"),
+                cascade_meta=arrs.get("cascade_meta"),
+            )
+            input_ids = arrs["input_ids"]
+            if "subst_idx" in arrs and prev_tokens is not None:
+                cat = (prev_tokens[0] if len(prev_tokens) == 1 else
+                       jnp.concatenate(prev_tokens))
+                si = arrs["subst_idx"]
+                r_prev = cat.shape[0]
+                safe = jnp.minimum(si, r_prev - 1)
+                input_ids = jnp.where(si < r_prev, cat[safe], input_ids)
+            hidden, kv_caches = model.forward(params, input_ids,
+                                              kv_caches, metadata)
+            T = hidden.shape[0]
+            C = min(T, 256)
+            hs = hidden.reshape(T // C, C, hidden.shape[-1])
+            ts = targets.reshape(T // C, C)
+
+            def chunk(args):
+                h, t = args
+                logits = model.compute_logits(params, h)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                tgt = jnp.take_along_axis(lp, t[:, None], -1)[:, 0]
+                if k > 0:
+                    topv, topi = jax.lax.top_k(lp, k)
+                else:
+                    topv = jnp.zeros((C, 1), jnp.float32)
+                    topi = jnp.zeros((C, 1), jnp.int32)
+                return tgt, topv, topi
+
+            tgt, topv, topi = jax.lax.map(chunk, (hs, ts))
+            out = (tgt.reshape(T), topv.reshape(T, -1),
+                   topi.reshape(T, -1))
+            if replicate_out is not None:
+                out = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, replicate_out), out)
+            return kv_caches, out
+
+        return jax.jit(plp, donate_argnums=(1,), static_argnums=(4, 5))
+
+    def _prompt_lp_rows(self, so: SchedulerOutput,
+                        prep: PreparedInputs):
+        """Rows of this step whose request wants prompt logprobs and
+        whose chunk covers prompt positions -> (entries, k) or None.
+        Each entry: (rid, row, chunk_start, n_targets, want_k)."""
+        if self.is_ssm or getattr(self.model, "uses_cross_embed", False):
+            return None
+        batch = self.input_batch
+        entries = []
+        k = 0
+        for r, rid in enumerate(prep.req_ids):
+            if rid is None:
+                continue
+            idx = batch.req_id_to_index.get(rid)
+            if idx is None:
+                continue
+            sp = batch.sampling_params[idx]
+            if sp is None or sp.prompt_logprobs is None:
+                continue
+            if prep.embed_vecs is not None:
+                continue  # mm prompt rows score embeddings, not tokens
+            n = so.num_scheduled_tokens.get(rid, 0)
+            start = int(prep.seq_lens[r]) - n
+            prompt_len = int(batch.num_prompt_tokens[idx])
+            n_targets = min(n, prompt_len - 1 - start)
+            if n_targets <= 0:
+                continue
+            entries.append((rid, r, start, n_targets,
+                            int(sp.prompt_logprobs)))
+            k = max(k, int(sp.prompt_logprobs))
+        if not entries:
+            return None
+        return entries, min(k, self.max_logprobs)
+
+    def _dispatch_prompt_lp(self, so, prep, i32_dev, layout,
+                            prev_tokens_dev):
+        """Launch the aux prompt-logprobs pass; stores the device
+        handles on ``prep`` for _build_output to fetch."""
+        found = self._prompt_lp_rows(so, prep)
+        if found is None:
+            return
+        entries, k = found
+        batch = self.input_batch
+        T = len(prep.input_ids)
+        targets = np.zeros(T, np.int32)
+        for rid, r, start, n_targets, _ in entries:
+            g0 = int(prep.query_start_loc[r])
+            idx = batch.req_id_to_index[rid]
+            targets[g0:g0 + n_targets] = \
+                batch.token_ids[idx, start + 1:start + 1 + n_targets]
+        if self._plp_fn is None:
+            self._plp_fn = self._build_prompt_lp_fn()
+        self.kv_caches, plp_dev = self._plp_fn(
+            self.params, self.kv_caches, i32_dev,
+            jnp.asarray(targets), layout, k, prev_tokens_dev)
+        prep.prompt_lp = (entries, k, plp_dev)
+
+    def _build_prompt_lp_output(self, prep: PreparedInputs,
+                                out: ModelRunnerOutput) -> None:
+        if getattr(prep, "prompt_lp", None) is None:
+            return
+        entries, k, plp_dev = prep.prompt_lp
+        tgt = np.asarray(plp_dev[0])
+        topv = np.asarray(plp_dev[1])
+        topi = np.asarray(plp_dev[2])
+        for rid, r, start, n_targets, want in entries:
+            g0 = int(prep.query_start_loc[r])
+            idx = self.input_batch.req_id_to_index.get(rid)
+            chunk: list = []
+            if start == 0:
+                chunk.append(None)  # first prompt token: no context
+            for j in range(n_targets):
+                g = g0 + j
+                tid = (int(self.input_batch.token_ids[idx,
+                                                      start + 1 + j])
+                       if idx is not None else int(topi[g, 0]))
+                d = {tid: float(tgt[g])}
+                for m in range(min(want, k)):
+                    d.setdefault(int(topi[g, m]), float(topv[g, m]))
+                chunk.append(d)
+            out.prompt_logprobs_dict[rid] = chunk
+
     # --------------------------------------------------- PP stream path
 
     def _stream_compatible(self, so: SchedulerOutput) -> bool:
@@ -799,14 +957,17 @@ class TPUModelRunner:
             banned_extra = (jnp.asarray(prep.banned_tokens),
                             jnp.asarray(prep.banned_required))
 
+        i32_dev = jnp.asarray(i32_blob)
         (self.kv_caches, self.draft_kv), tokens_dev, lp_dev = \
             self._compiled_step(
                 self.params, self.kv_caches, self.draft_kv,
-                jnp.asarray(i32_blob), jnp.asarray(f32_blob), layout,
+                i32_dev, jnp.asarray(f32_blob), layout,
                 num_logprobs, lora_stacks, self.draft_params,
                 penalties_extra, grammar, embed_vecs, prev_tokens_dev,
                 banned_extra, cross_embeds)
         self.step_counter += 1
+        self._dispatch_prompt_lp(scheduler_output, prep, i32_dev,
+                                 layout, prev_tokens_dev)
 
         if self.async_mode and not spec:
             # dispatch-only: the engine core fetches via
@@ -1044,11 +1205,13 @@ class TPUModelRunner:
                 if logprobs_out is not None:
                     logprobs_out.append(None)
 
-        return ModelRunnerOutput(
+        out = ModelRunnerOutput(
             req_ids=req_ids,
             sampled_token_ids=sampled,
             logprobs=logprobs_out,
         )
+        self._build_prompt_lp_output(prep, out)
+        return out
 
     def _pack_blobs(self, prep: PreparedInputs):
         """Concatenate the step's small host arrays into one i32 blob and
