@@ -60,6 +60,7 @@ class Scheduler:
         structured_output_manager=None,
         log_stats: bool = True,
         kv_connector=None,
+        lora_config=None,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
@@ -68,6 +69,7 @@ class Scheduler:
         self.max_num_scheduled_tokens = scheduler_config.max_num_batched_tokens
         self.max_model_len = scheduler_config.max_model_len
         self.log_stats = log_stats
+        self.lora_config = lora_config
         self.structured_output_manager = structured_output_manager
         self.async_scheduling = scheduler_config.async_scheduling
 
@@ -620,4 +622,11 @@ class Scheduler:
             spec_num_draft_tokens=self._step_spec_stats[1],
             spec_num_accepted_tokens=self._step_spec_stats[2],
         )
+        if self.lora_config is not None:
+            running = {r.lora_request.lora_name for r in self.running
+                       if r.lora_request is not None}
+            waiting = {r.lora_request.lora_name for r in self.waiting
+                       if r.lora_request is not None}
+            stats.lora_stats = (self.lora_config.max_loras,
+                                sorted(running), sorted(waiting))
         return stats

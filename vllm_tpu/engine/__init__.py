@@ -96,6 +96,9 @@ class SchedulerStats:
     spec_num_drafts: int = 0
     spec_num_draft_tokens: int = 0
     spec_num_accepted_tokens: int = 0
+    # LoRA serving state (None when LoRA is disabled): (max_loras,
+    # running adapter names, waiting adapter names)
+    lora_stats: "Optional[tuple]" = None
 
 
 @dataclass

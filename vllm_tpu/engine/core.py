@@ -59,6 +59,7 @@ class EngineCore:
             structured_output_manager=structured_output_manager,
             log_stats=log_stats,
             kv_connector=kv_connector,
+            lora_config=engine_config.lora_config,
         )
 
         # KV-cache event publishing for external prefix-aware routers

@@ -52,11 +52,22 @@ class PrometheusStatLogger:
                                    "Requests waiting to be scheduled")
         self.gauge_kv_usage = gauge("vllm:kv_cache_usage_perc",
                                     "KV-cache block usage fraction")
+        # deprecated gpu_-prefixed aliases kept for dashboard drop-in
+        # compatibility (reference keeps both names)
+        self.gauge_kv_usage_gpu = gauge(
+            "vllm:gpu_cache_usage_perc",
+            "KV-cache block usage fraction (deprecated alias)")
         self.counter_prefix_queries = counter(
             "vllm:prefix_cache_queries",
             "Prefix cache queries (new requests)")
         self.counter_prefix_hits = counter("vllm:prefix_cache_hits",
                                            "Prefix cache hits")
+        self.counter_prefix_queries_gpu = counter(
+            "vllm:gpu_prefix_cache_queries",
+            "Prefix cache queries (deprecated alias)")
+        self.counter_prefix_hits_gpu = counter(
+            "vllm:gpu_prefix_cache_hits",
+            "Prefix cache hits (deprecated alias)")
         self.counter_preempted = counter("vllm:num_preemptions",
                                          "Preempted requests")
         self.counter_prompt_tokens = counter("vllm:prompt_tokens",
@@ -74,6 +85,10 @@ class PrometheusStatLogger:
         self.hist_gen_len = hist("vllm:request_generation_tokens",
                                  "Generation length",
                                  _hist_buckets_tokens())
+        self.hist_max_gen_len = hist(
+            "vllm:request_max_num_generation_tokens",
+            "Max generation length across a request's parallel samples",
+            _hist_buckets_tokens())
         self.counter_success = counter("vllm:request_success",
                                        "Finished requests")
         # Interval histograms from EngineCoreEvents (reference:
@@ -109,6 +124,13 @@ class PrometheusStatLogger:
         self.counter_spec_accepted = counter(
             "vllm:spec_decode_num_accepted_tokens",
             "Draft tokens accepted")
+        # LoRA serving-state gauge (reference loggers.py:456
+        # vllm:lora_requests_info): labels carry the adapter lists,
+        # value is the observation timestamp
+        self._lora_gauge_cls = pc.Gauge(
+            "vllm:lora_requests_info", "Running stats on lora requests.",
+            labelnames=["max_lora", "waiting_lora_adapters",
+                        "running_lora_adapters"])
         self._last_prefix_queries = 0
         self._last_prefix_hits = 0
         self._last_preempted = 0
@@ -119,11 +141,23 @@ class PrometheusStatLogger:
             self.gauge_running.set(scheduler_stats.num_running_reqs)
             self.gauge_waiting.set(scheduler_stats.num_waiting_reqs)
             self.gauge_kv_usage.set(scheduler_stats.kv_cache_usage)
+            self.gauge_kv_usage_gpu.set(scheduler_stats.kv_cache_usage)
+            if scheduler_stats.lora_stats is not None:
+                max_lora, running, waiting = scheduler_stats.lora_stats
+                self._lora_gauge_cls.labels(
+                    str(max_lora), ",".join(waiting),
+                    ",".join(running)).set_to_current_time()
             self.counter_prefix_queries.inc(
+                max(scheduler_stats.prefix_cache_queries -
+                    self._last_prefix_queries, 0))
+            self.counter_prefix_queries_gpu.inc(
                 max(scheduler_stats.prefix_cache_queries -
                     self._last_prefix_queries, 0))
             self._last_prefix_queries = scheduler_stats.prefix_cache_queries
             self.counter_prefix_hits.inc(
+                max(scheduler_stats.prefix_cache_hits -
+                    self._last_prefix_hits, 0))
+            self.counter_prefix_hits_gpu.inc(
                 max(scheduler_stats.prefix_cache_hits -
                     self._last_prefix_hits, 0))
             self._last_prefix_hits = scheduler_stats.prefix_cache_hits
@@ -154,6 +188,7 @@ class PrometheusStatLogger:
                 self.hist_e2e.observe(fin.e2e_latency)
                 self.hist_prompt_len.observe(fin.num_prompt_tokens)
                 self.hist_gen_len.observe(fin.num_generation_tokens)
+                self.hist_max_gen_len.observe(fin.num_generation_tokens)
                 self.hist_queue_time.observe(fin.queued_time)
                 self.hist_prefill_time.observe(fin.prefill_time)
                 self.hist_decode_time.observe(fin.decode_time)
