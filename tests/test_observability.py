@@ -93,9 +93,10 @@ def test_shared_storage_kv_connector_roundtrip(tiny_model_dir,  # noqa: F811
                        enable_prefix_caching=False)
     out_a = producer.generate(prompt, sp)[0].outputs[0].token_ids
     assert list(out_a) == list(base)
+    producer.llm_engine.shutdown()  # drains async save writes
+    del producer
     saved = os.listdir(kv_dir)
     assert saved, "producer saved no KV blocks"
-    del producer
 
     consumer = _mk_llm(tiny_model_dir, kv_transfer_config=cfg,
                        enable_prefix_caching=False)
@@ -109,3 +110,43 @@ def test_shared_storage_kv_connector_roundtrip(tiny_model_dir,  # noqa: F811
     # -> verify via a fresh request object bookkeeping
     req_out = consumer.generate(prompt, sp)[0]
     assert req_out.num_cached_tokens and req_out.num_cached_tokens > 0
+
+
+def test_multi_connector_roundtrip(tiny_model_dir, tmp_path):  # noqa: F811
+    """MultiConnector: saves fan out to every tier; lookups take the
+    first tier that matches (here the second, since tier A is fresh)."""
+    dir_a, dir_b = str(tmp_path / "tier_a"), str(tmp_path / "tier_b")
+
+    def cfg(first, second):
+        return json.dumps({
+            "kv_connector": "MultiConnector",
+            "kv_connector_extra_config": {"connectors": [
+                {"kv_connector": "SharedStorageConnector",
+                 "kv_connector_extra_config": {
+                     "shared_storage_path": first}},
+                {"kv_connector": "SharedStorageConnector",
+                 "kv_connector_extra_config": {
+                     "shared_storage_path": second}},
+            ]},
+        })
+
+    prompt = "the quick brown fox jumps over the lazy dog " * 2
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    producer = _mk_llm(tiny_model_dir,
+                       kv_transfer_config=cfg(dir_a, dir_b),
+                       enable_prefix_caching=False)
+    base = producer.generate(prompt, sp)[0].outputs[0].token_ids
+    # async save writes drain at shutdown (durability barrier)
+    producer.llm_engine.shutdown()
+    del producer
+    # finished-request saves fan out to both tiers
+    assert os.listdir(dir_a) and os.listdir(dir_b)
+
+    fresh_a = str(tmp_path / "fresh_a")
+    consumer = _mk_llm(tiny_model_dir,
+                       kv_transfer_config=cfg(fresh_a, dir_b),
+                       enable_prefix_caching=False)
+    out = consumer.generate(prompt, sp)[0]
+    assert list(out.outputs[0].token_ids) == list(base)
+    assert out.num_cached_tokens and out.num_cached_tokens > 0

@@ -592,8 +592,10 @@ class Scheduler:
             save = self.kv_connector.request_finished(request, block_ids)
             if save is not None:
                 # drained by EngineCore.step BEFORE the freed blocks can
-                # be reallocated (next schedule() call)
-                self._pending_kv_saves.append(save)
+                # be reallocated (next schedule() call); MultiConnector
+                # returns a list (one spec per child tier)
+                self._pending_kv_saves.extend(
+                    save if isinstance(save, list) else [save])
         if request.mm_hashes:
             self.encoder_cache_manager.free_request(request)
         self.kv_cache_manager.free(request)

@@ -27,6 +27,8 @@ class KVLoadSpec:
     block_ids: list[int]  # destination physical blocks
     block_hashes: list[int]  # content keys
     num_tokens: int
+    # which child of a MultiConnector owns this spec (0 otherwise)
+    connector_index: int = 0
 
 
 @dataclass
@@ -35,6 +37,7 @@ class KVSaveSpec:
     req_id: str
     block_ids: list[int]
     block_hashes: list[int]
+    connector_index: int = 0
 
 
 @dataclass
@@ -70,9 +73,9 @@ class KVConnectorBase:
         return None
 
     def request_finished(self, request: Request,
-                         block_ids: list[int]) -> Optional[KVSaveSpec]:
+                         block_ids: list[int]):
         """Called before the request's blocks are freed; return a save
-        spec to persist its KV."""
+        spec (or a list of them) to persist its KV."""
         return None
 
     # ------------------------------------------------------- worker side
@@ -83,6 +86,16 @@ class KVConnectorBase:
         return kv_caches
 
     def save_blocks(self, kv_caches: list, spec: KVSaveSpec) -> None:
+        self.write_blocks(spec, self.fetch_blocks(kv_caches, spec))
+
+    # Async-save split (reference: worker-side async KV save hooks):
+    # fetch_blocks must run BEFORE the freed blocks can be reallocated
+    # (device rows still intact); write_blocks holds only host arrays
+    # and may run on a background thread.
+    def fetch_blocks(self, kv_caches: list, spec: KVSaveSpec):
+        return None
+
+    def write_blocks(self, spec: KVSaveSpec, fetched) -> None:
         pass
 
 
@@ -98,4 +111,9 @@ def create_connector(kv_transfer_config: Any,
             SharedStorageConnector
 
         return SharedStorageConnector(kv_transfer_config, role)
+    if name == "MultiConnector":
+        from vllm_tpu.distributed.kv_transfer.multi_connector import \
+            MultiConnector
+
+        return MultiConnector(kv_transfer_config, role)
     raise ValueError(f"unknown kv connector {name!r}")

@@ -137,12 +137,16 @@ class SharedStorageConnector(KVConnectorBase):
                     spec.req_id)
         return out
 
-    def save_blocks(self, kv_caches: list, spec: KVSaveSpec) -> None:
-        for h, bid in zip(spec.block_hashes, spec.block_ids):
-            arrays = {
-                f"g{g}": np.asarray(kv[:, bid])
-                for g, kv in enumerate(kv_caches)
-            }
+    def fetch_blocks(self, kv_caches: list, spec: KVSaveSpec):
+        """D2H fetch of the spec's block rows (must precede block
+        reallocation; the file write may then happen async)."""
+        return [{
+            f"g{g}": np.asarray(kv[:, bid])
+            for g, kv in enumerate(kv_caches)
+        } for bid in spec.block_ids]
+
+    def write_blocks(self, spec: KVSaveSpec, fetched) -> None:
+        for h, arrays in zip(spec.block_hashes, fetched):
             tmp = self._file(h) + ".tmp"
             with open(tmp, "wb") as f:
                 np.savez(f, **arrays)

@@ -73,6 +73,10 @@ class UniProcExecutor(Executor):
     def get_kv_cache_specs(self) -> dict[str, KVCacheSpec]:
         return self.worker.get_kv_cache_specs()
 
+    def shutdown(self) -> None:
+        if getattr(self, "worker", None) is not None:
+            self.worker.flush_kv_saves()
+
     def determine_available_memory(self) -> int:
         return self.worker.determine_available_memory()
 

@@ -23,6 +23,7 @@ class Worker:
         self.rank = rank
         self.mesh = None
         self.runner: Optional[TPUModelRunner] = None
+        self._kv_save_pool = None  # lazy; see kv_save_blocks
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -160,6 +161,13 @@ class Worker:
     def check_health(self) -> bool:
         return True
 
+    def flush_kv_saves(self) -> None:
+        """Drain pending async KV-save writes (durability barrier:
+        engine shutdown / sleep must not drop queued tier writes)."""
+        if self._kv_save_pool is not None:
+            self._kv_save_pool.shutdown(wait=True)
+            self._kv_save_pool = None
+
     def finalize_pending(self):
         """Async scheduling: fetch + build the oldest dispatched step's
         output (reference: async-scheduling sampled-token lag)."""
@@ -168,11 +176,26 @@ class Worker:
     # -- KV transfer (disagg P/D; reference: worker-side connector hooks)
 
     def kv_save_blocks(self, saves: list) -> None:
+        """Persist finished requests' KV. The D2H fetch runs inline
+        (the freed blocks may be reallocated by the very next schedule,
+        so the device rows must be read now); the storage write runs on
+        a background thread so file/network IO never blocks the engine
+        loop (reference: async KV-save worker hooks)."""
         connector = self.runner.kv_connector
         if connector is None:
             return
         for spec in saves:
-            connector.save_blocks(self.runner.kv_caches, spec)
+            fetched = connector.fetch_blocks(self.runner.kv_caches, spec)
+            if fetched is None:  # connector without the async split
+                connector.save_blocks(self.runner.kv_caches, spec)
+                continue
+            if self._kv_save_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._kv_save_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="kv-save")
+            self._kv_save_pool.submit(connector.write_blocks, spec,
+                                      fetched)
 
     # -- LoRA verbs (reference: gpu_worker add_lora/remove_lora/list_loras)
 
