@@ -225,6 +225,54 @@ def make_hf_model(arch):
                              v_head_dim=16, kv_lora_rank=32,
                              q_lora_rank=24, num_key_value_heads=4,
                              pad_token_id=0, **common))
+    if arch == "ernie45":
+        from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+        return Ernie4_5ForCausalLM(
+            Ernie4_5Config(num_key_value_heads=2, head_dim=16,
+                           use_bias=True, pad_token_id=0, **common))
+    if arch == "smollm3":
+        from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+        return SmolLM3ForCausalLM(
+            SmolLM3Config(num_key_value_heads=2,
+                          no_rope_layer_interval=2, pad_token_id=0,
+                          **common))
+    if arch == "seed_oss":
+        from transformers import SeedOssConfig, SeedOssForCausalLM
+
+        return SeedOssForCausalLM(
+            SeedOssConfig(num_key_value_heads=2, head_dim=16,
+                          attention_bias=True, attention_out_bias=True,
+                          mlp_bias=True, pad_token_id=0, **common))
+    if arch == "dbrx":
+        from transformers import DbrxConfig, DbrxForCausalLM
+
+        return DbrxForCausalLM(
+            DbrxConfig(vocab_size=128, d_model=64, n_heads=4,
+                       n_layers=2, max_seq_len=256,
+                       attn_config={"kv_n_heads": 2, "clip_qkv": 8.0,
+                                    "rope_theta": 10000.0},
+                       ffn_config={"ffn_hidden_size": 96,
+                                   "moe_num_experts": 4, "moe_top_k": 2,
+                                   "moe_normalize_expert_weights": 1},
+                       pad_token_id=0))
+    if arch == "phimoe":
+        from transformers import PhimoeConfig, PhimoeForCausalLM
+
+        return PhimoeForCausalLM(
+            PhimoeConfig(num_key_value_heads=2, num_local_experts=4,
+                         num_experts_per_tok=2, attention_bias=True,
+                         lm_head_bias=True, router_jitter_noise=0.01,
+                         input_jitter_noise=0.0, pad_token_id=0,
+                         **common))
+    if arch == "hunyuan_dense":
+        from transformers import (HunYuanDenseV1Config,
+                                  HunYuanDenseV1ForCausalLM)
+
+        return HunYuanDenseV1ForCausalLM(
+            HunYuanDenseV1Config(num_key_value_heads=2, head_dim=16,
+                                 pad_token_id=0, **common))
     raise ValueError(arch)
 
 
@@ -233,7 +281,8 @@ def make_hf_model(arch):
     "mixtral", "phi3", "deepseek_v2", "deepseek_v3", "gpt_neox",
     "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere", "olmo2",
     "granite", "glm4", "nemotron", "falcon", "falcon7b", "gptj",
-    "persimmon", "bloom", "mpt", "olmoe", "granitemoe"
+    "persimmon", "bloom", "mpt", "olmoe", "granitemoe", "ernie45",
+    "smollm3", "seed_oss", "hunyuan_dense", "dbrx", "phimoe"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch
@@ -279,7 +328,7 @@ def test_arch_logits_match_hf(arch, tmp_path):
 
     # MoE routing amplifies tiny fp differences; loosen slightly.
     tol = 2e-3 if arch in ("mixtral", "deepseek_v2",
-                           "deepseek_v3") else 5e-4
+                           "deepseek_v3", "dbrx", "phimoe") else 5e-4
     offset = 0
     for r, toks in enumerate(TOKENS):
         ours = logits[offset:offset + len(toks)]

@@ -20,7 +20,7 @@ from vllm_tpu.sampling_params import SamplingParams
 
 def compute_patch_ppl(model, params, tokenizer, text: str, ctx: int,
                       sample: int, patches: int, block_size: int = 16,
-                      kv_dtype: str = "auto"):
+                      kv_dtype: str = "auto", token_ids=None):
     """Teacher-forced log-loss via direct model forwards.
 
     ``kv_dtype`` mirrors CacheConfig.cache_dtype ("auto" | "int8" |
@@ -35,7 +35,10 @@ def compute_patch_ppl(model, params, tokenizer, text: str, ctx: int,
         build_logical_blocks
     from vllm_tpu.utils import cdiv
 
-    ids = tokenizer(text, return_tensors="np")["input_ids"][0]
+    if token_ids is not None:
+        ids = np.asarray(token_ids, np.int32)
+    else:
+        ids = tokenizer(text, return_tensors="np")["input_ids"][0]
     total_nll, total_tokens = 0.0, 0
     a = model.args
     spec = next(iter(model.get_kv_cache_specs(block_size,

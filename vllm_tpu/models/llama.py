@@ -251,7 +251,7 @@ class LlamaForCausalLM:
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
                        li, metadata: AttentionMetadata,
                        sliding_window: Optional[int] = "default",
-                       inv_freq=None, lora_ctx=None,
+                       inv_freq=None, lora_ctx=None, rope_on: bool = True,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
         from vllm_tpu.lora.ops import apply_lora
 
@@ -273,7 +273,8 @@ class LlamaForCausalLM:
         if args.qk_norm:
             q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
             k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
-        q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
+        if rope_on:  # NoPE layers (SmolLM3 et al.) skip rotary
+            q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
         attn_out, kv = self._cached_attention(
             lp, li, q, k, v, kv, metadata,
             sliding_window=sliding_window,
@@ -372,6 +373,10 @@ class LlamaForCausalLM:
             "self_attn.k_proj.bias": ("qkv.b", "k", False),
             "self_attn.v_proj.bias": ("qkv.b", "v", False),
             "self_attn.o_proj.weight": ("o.w", "", True),
+            "self_attn.o_proj.bias": ("o.b", "", False),
+            "mlp.gate_proj.bias": ("gate_up.b", "gate", False),
+            "mlp.up_proj.bias": ("gate_up.b", "up", False),
+            "mlp.down_proj.bias": ("down.b", "", False),
             "self_attn.q_norm.weight": ("q_norm", "", False),
             "self_attn.k_norm.weight": ("k_norm", "", False),
             "mlp.gate_proj.weight": ("gate_up.w", "gate", True),
@@ -395,6 +400,11 @@ class LlamaForCausalLM:
         }
         if a.attn_bias:
             layers["qkv"]["b"] = np.empty((L, (nq + 2 * nk) * d), np_dtype)
+        if a.o_bias:
+            layers["o"]["b"] = np.empty((L, H), np_dtype)
+        if a.mlp_bias:
+            layers["gate_up"]["b"] = np.empty((L, 2 * I), np_dtype)
+            layers["down"]["b"] = np.empty((L, H), np_dtype)
         if a.qk_norm:
             layers["q_norm"] = np.empty((L, d), np_dtype)
             layers["k_norm"] = np.empty((L, d), np_dtype)

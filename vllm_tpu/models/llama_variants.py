@@ -223,3 +223,69 @@ class NemotronForCausalLM(GPTNeoXForCausalLM):
         params["final_ln_w"] = params["final_ln_w"] + np.asarray(
             1.0, params["final_ln_w"].dtype)
         return params
+
+
+class Ernie4_5ForCausalLM(LlamaForCausalLM):
+    """ERNIE 4.5 dense (reference: models/ernie45.py): Llama skeleton
+    with GLM-style interleaved RoPE over the full head dim and an
+    optional use_bias on every projection."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        rope = dataclass_replace(args.rope, is_neox_style=False)
+        use_bias = bool(getattr(hf, "use_bias", False))
+        return dataclass_replace(args, rope=rope, attn_bias=use_bias,
+                                 o_bias=use_bias, mlp_bias=use_bias)
+
+
+class SmolLM3ForCausalLM(LlamaForCausalLM):
+    """SmolLM3 (reference: models/transformers fallback; HF
+    models/smollm3): Llama with periodic NoPE layers —
+    config.no_rope_layers[i] == 0 means layer i skips rotary."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        interval = getattr(hf, "no_rope_layer_interval", 4) or 4
+        self._rope_flags = list(
+            getattr(hf, "no_rope_layers", None) or
+            [int((i + 1) % interval != 0)
+             for i in range(hf.num_hidden_layers)])
+        return ModelArgs.from_hf_config(hf)
+
+    @property
+    def layer_pattern(self) -> list[dict]:
+        flags = self._rope_flags
+        # smallest period that divides num_layers keeps the scan body
+        # small (the default interval-4 pattern reduces to length 4)
+        for p in range(1, len(flags) + 1):
+            if len(flags) % p:
+                continue
+            if all(flags[i] == flags[i % p] for i in range(len(flags))):
+                break
+        return [{"rope_on": bool(flags[i])} for i in range(p)]
+
+
+class SeedOssForCausalLM(LlamaForCausalLM):
+    """Seed-OSS (HF models/seed_oss): Llama with qkv bias (default on),
+    optional o/mlp bias, and an explicit head_dim."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(
+            args,
+            attn_bias=bool(getattr(hf, "attention_bias", True)),
+            o_bias=bool(getattr(hf, "attention_out_bias", False)))
+
+
+class HunYuanDenseV1ForCausalLM(LlamaForCausalLM):
+    """Hunyuan-V1 dense (reference: models/hunyuan_v1.py): Llama with
+    per-head-dim q/k RMSNorm (query_layernorm/key_layernorm names)."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(args, qk_norm=True)
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        m["self_attn.query_layernorm.weight"] = ("q_norm", "", False)
+        m["self_attn.key_layernorm.weight"] = ("k_norm", "", False)
+        return m

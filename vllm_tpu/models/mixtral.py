@@ -177,8 +177,12 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     dest = dest[p_]
                 if part:
                     start, length = self._fused_offset(part)
-                    dest[leaf][li, :, start:start + length] = \
-                        w.astype(np_dtype)
+                    if leaf == "b":  # fused bias is [L, dim]
+                        dest[leaf][li, start:start + length] = \
+                            w.astype(np_dtype)
+                    else:
+                        dest[leaf][li, :, start:start + length] = \
+                            w.astype(np_dtype)
                 else:
                     dest[leaf][li] = w.astype(np_dtype)
         if a.tie_embeddings and not seen_lm_head:

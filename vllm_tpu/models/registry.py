@@ -24,6 +24,14 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "OPTForCausalLM": ("vllm_tpu.models.opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": ("vllm_tpu.models.gpt2", "GPT2LMHeadModel"),
     "MixtralForCausalLM": ("vllm_tpu.models.mixtral", "MixtralForCausalLM"),
+    "DbrxForCausalLM": ("vllm_tpu.models.moe_variants",
+                        "DbrxForCausalLM"),
+    # checkpoint configs spell it PhiMoEForCausalLM; transformers'
+    # class is PhimoeForCausalLM — accept both
+    "PhiMoEForCausalLM": ("vllm_tpu.models.moe_variants",
+                          "PhiMoEForCausalLM"),
+    "PhimoeForCausalLM": ("vllm_tpu.models.moe_variants",
+                          "PhiMoEForCausalLM"),
     "Qwen2MoeForCausalLM": ("vllm_tpu.models.mixtral",
                             "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("vllm_tpu.models.mixtral",
@@ -69,6 +77,14 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "MPTForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_tpu.models.llama_variants",
                          "Olmo2ForCausalLM"),
+    "Ernie4_5ForCausalLM": ("vllm_tpu.models.llama_variants",
+                            "Ernie4_5ForCausalLM"),
+    "SmolLM3ForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "SmolLM3ForCausalLM"),
+    "SeedOssForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "SeedOssForCausalLM"),
+    "HunYuanDenseV1ForCausalLM": ("vllm_tpu.models.llama_variants",
+                                  "HunYuanDenseV1ForCausalLM"),
     "GraniteForCausalLM": ("vllm_tpu.models.llama_variants",
                            "GraniteForCausalLM"),
     "Glm4ForCausalLM": ("vllm_tpu.models.llama_variants",

@@ -90,6 +90,8 @@ def lm_head_logits(hidden: jnp.ndarray, p: dict,
     (reference: vllm/model_executor/layers/logits_processor.py)."""
     if "w" in p:
         logits = jnp.dot(hidden, p["w"], preferred_element_type=jnp.float32)
+        if p.get("b") is not None:
+            logits = logits + p["b"].astype(jnp.float32)
     else:
         logits = linear(hidden, p).astype(jnp.float32)
     if soft_cap is not None:

@@ -138,6 +138,8 @@ class TPUModelRunner:
         self.pp_stream = (self.model.pp_size > 1 and self.async_mode
                           and self.num_spec_tokens == 0
                           and not self.is_ssm
+                          and getattr(self.model, "supports_pp_stream",
+                                      True)
                           and hasattr(self.model, "forward_stream"))
         # newest-first; slot s of the next dispatch = _stream_ring[s-1];
         # None entries are bubbles (nothing was injected that step)
