@@ -266,6 +266,64 @@ def make_hf_model(arch):
                          lm_head_bias=True, router_jitter_noise=0.01,
                          input_jitter_noise=0.0, pad_token_id=0,
                          **common))
+    if arch == "dots1":
+        from transformers import Dots1Config, Dots1ForCausalLM
+
+        return Dots1ForCausalLM(
+            Dots1Config(num_key_value_heads=2, moe_intermediate_size=32,
+                        n_routed_experts=8, n_shared_experts=1,
+                        num_experts_per_tok=2, first_k_dense_replace=1,
+                        n_group=4, topk_group=2, norm_topk_prob=True,
+                        routed_scaling_factor=2.0, sliding_window=None,
+                        pad_token_id=0, **common))
+    if arch == "glm4_moe":
+        from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+        return Glm4MoeForCausalLM(
+            Glm4MoeConfig(num_key_value_heads=2, head_dim=16,
+                          partial_rotary_factor=0.5, use_qk_norm=True,
+                          attention_bias=True, moe_intermediate_size=32,
+                          n_routed_experts=8, n_shared_experts=1,
+                          num_experts_per_tok=2, first_k_dense_replace=1,
+                          n_group=2, topk_group=1, norm_topk_prob=True,
+                          routed_scaling_factor=1.5, pad_token_id=0,
+                          **common))
+    if arch == "ernie45_moe":
+        from transformers import (Ernie4_5_MoeConfig,
+                                  Ernie4_5_MoeForCausalLM)
+
+        return Ernie4_5_MoeForCausalLM(
+            Ernie4_5_MoeConfig(num_key_value_heads=2,
+                               moe_intermediate_size=32,
+                               moe_num_experts=8, moe_k=2,
+                               moe_num_shared_experts=1,
+                               moe_layer_start_index=1,
+                               moe_layer_end_index=2,
+                               num_hidden_layers=4, vocab_size=128,
+                               hidden_size=64, intermediate_size=128,
+                               num_attention_heads=4,
+                               max_position_embeddings=256,
+                               pad_token_id=0))
+    if arch == "hunyuan_moe":
+        from transformers import (HunYuanMoEV1Config,
+                                  HunYuanMoEV1ForCausalLM)
+
+        return HunYuanMoEV1ForCausalLM(
+            HunYuanMoEV1Config(num_key_value_heads=2, head_dim=16,
+                               num_experts=4, moe_topk=2,
+                               pad_token_id=0, **common))
+    if arch == "arcee":
+        from transformers import ArceeConfig, ArceeForCausalLM
+
+        return ArceeForCausalLM(
+            ArceeConfig(num_key_value_heads=2, mlp_bias=True,
+                        pad_token_id=0, **common))
+    if arch == "apertus":
+        from transformers import ApertusConfig, ApertusForCausalLM
+
+        return ApertusForCausalLM(
+            ApertusConfig(num_key_value_heads=2, pad_token_id=0,
+                          **common))
     if arch == "hunyuan_dense":
         from transformers import (HunYuanDenseV1Config,
                                   HunYuanDenseV1ForCausalLM)
@@ -282,7 +340,8 @@ def make_hf_model(arch):
     "gpt_neox_seq", "phi", "stablelm", "starcoder2", "cohere", "olmo2",
     "granite", "glm4", "nemotron", "falcon", "falcon7b", "gptj",
     "persimmon", "bloom", "mpt", "olmoe", "granitemoe", "ernie45",
-    "smollm3", "seed_oss", "hunyuan_dense", "dbrx", "phimoe"
+    "smollm3", "seed_oss", "hunyuan_dense", "dbrx", "phimoe", "arcee",
+    "apertus", "dots1", "glm4_moe", "ernie45_moe", "hunyuan_moe"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch
@@ -327,8 +386,9 @@ def test_arch_logits_match_hf(arch, tmp_path):
     logits = np.asarray(model.compute_logits(params, hidden))
 
     # MoE routing amplifies tiny fp differences; loosen slightly.
-    tol = 2e-3 if arch in ("mixtral", "deepseek_v2",
-                           "deepseek_v3", "dbrx", "phimoe") else 5e-4
+    tol = 2e-3 if arch in ("mixtral", "deepseek_v2", "deepseek_v3",
+                           "dbrx", "phimoe", "dots1", "glm4_moe",
+                           "ernie45_moe", "hunyuan_moe") else 5e-4
     offset = 0
     for r, toks in enumerate(TOKENS):
         ours = logits[offset:offset + len(toks)]

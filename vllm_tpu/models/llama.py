@@ -287,13 +287,19 @@ class LlamaForCausalLM:
         x = x + (attn_o if res_mult is None else attn_o * res_mult)
 
         h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
-        gate_up = apply_lora(h, linear(h, lp["gate_up"], layer=li),
-                             lora_ctx, "gate_up")
-        act = GATED_ACTIVATIONS[args.act](gate_up)
-        ffw = apply_lora(act, linear(act, lp["down"], layer=li),
-                         lora_ctx, "down")
+        ffw = self._mlp(lp, h, li, lora_ctx)
         x = x + (ffw if res_mult is None else ffw * res_mult)
         return x, kv
+
+    def _mlp(self, lp: dict, h: jnp.ndarray, li, lora_ctx=None):
+        """Gated-MLP hook; ungated variants (Arcee, Apertus) override."""
+        from vllm_tpu.lora.ops import apply_lora
+
+        gate_up = apply_lora(h, linear(h, lp["gate_up"], layer=li),
+                             lora_ctx, "gate_up")
+        act = GATED_ACTIVATIONS[self.args.act](gate_up)
+        return apply_lora(act, linear(act, lp["down"], layer=li),
+                          lora_ctx, "down")
 
     def _cached_attention(self, lp: dict, li, q, k, v, kv, metadata,
                           sliding_window=None, logits_soft_cap=None,

@@ -4,6 +4,7 @@ nemotron}.py; each is a small reshuffle of the Llama block)."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -274,6 +275,89 @@ class SeedOssForCausalLM(LlamaForCausalLM):
             args,
             attn_bias=bool(getattr(hf, "attention_bias", True)),
             o_bias=bool(getattr(hf, "attention_out_bias", False)))
+
+
+class ArceeForCausalLM(LlamaForCausalLM):
+    """Arcee AFM (reference: models/arcee.py): Llama skeleton with an
+    UNGATED relu-squared MLP (up_proj -> relu^2 -> down_proj)."""
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        del m["mlp.gate_proj.weight"]
+        del m["mlp.gate_proj.bias"]
+        m["mlp.up_proj.weight"] = ("gate_up.w", "", True)
+        m["mlp.up_proj.bias"] = ("gate_up.b", "", False)
+        return m
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        a = self.args
+        L, H, I = a.num_layers, a.hidden_size, a.intermediate_size
+        layers["gate_up"]["w"] = np.empty((L, H, I), np_dtype)
+        if "b" in layers["gate_up"]:
+            layers["gate_up"]["b"] = np.empty((L, I), np_dtype)
+        return layers
+
+    def _mlp(self, lp, h, li, lora_ctx=None):
+        from vllm_tpu.ops.activation import ACTIVATIONS
+
+        up = linear(h, lp["gate_up"], layer=li)
+        return linear(ACTIVATIONS[self.args.act](up), lp["down"],
+                      layer=li)
+
+
+class ApertusForCausalLM(ArceeForCausalLM):
+    """Apertus (Swiss AI; reference: models/apertus.py): Llama skeleton
+    with per-head-dim qk-norm, UNGATED xIELU MLP with learnable
+    per-layer alpha_p/alpha_n, and attention_layernorm /
+    feedforward_layernorm pre-norm names."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        use_bias = bool(getattr(hf, "attention_bias", False))
+        return dataclass_replace(args, qk_norm=True, attn_bias=use_bias,
+                                 o_bias=use_bias)
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        del m["input_layernorm.weight"]
+        del m["post_attention_layernorm.weight"]
+        m["attention_layernorm.weight"] = ("input_ln", "", False)
+        m["feedforward_layernorm.weight"] = ("post_ln", "", False)
+        # xIELU learnable parameters, stored raw (pre-softplus), shape (1,)
+        m["mlp.act_fn.alpha_p"] = ("xielu_ap", "", False)
+        m["mlp.act_fn.alpha_n"] = ("xielu_an", "", False)
+        m["mlp.act_fn.beta"] = ("xielu_beta", "", False)
+        m["mlp.act_fn.eps"] = ("xielu_eps", "", False)
+        return m
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        L = self.args.num_layers
+        # keep fp32: these are scalars that pass through softplus/expm1
+        for k in ("xielu_ap", "xielu_an", "xielu_beta", "xielu_eps"):
+            layers[k] = np.empty((L, 1), np.float32)
+        return layers
+
+    def _mlp(self, lp, h, li, lora_ctx=None):
+        import ml_dtypes
+
+        up = linear(h, lp["gate_up"], layer=li)
+        # HF computes softplus on bfloat16 parameters; round the
+        # resulting coefficients to bf16 for logit-exact parity
+        # (transformers activations.XIELUActivation._xielu_python).
+        bf16 = jnp.dtype(ml_dtypes.bfloat16)
+        beta = lp["xielu_beta"][li].astype(jnp.float32)
+        eps = lp["xielu_eps"][li].astype(jnp.float32)
+        ap = jax.nn.softplus(lp["xielu_ap"][li]).astype(bf16).astype(
+            jnp.float32).astype(up.dtype)
+        an = (beta + jax.nn.softplus(lp["xielu_an"][li]).astype(
+            bf16).astype(jnp.float32)).astype(up.dtype)
+        beta = beta.astype(up.dtype)
+        pos = ap * jnp.square(up) + beta * up
+        neg = (jnp.expm1(jnp.minimum(up, eps.astype(up.dtype))) - up) \
+            * an + beta * up
+        return linear(jnp.where(up > 0, pos, neg), lp["down"], layer=li)
 
 
 class HunYuanDenseV1ForCausalLM(LlamaForCausalLM):

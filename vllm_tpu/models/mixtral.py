@@ -28,45 +28,19 @@ class MixtralForCausalLM(LlamaForCausalLM):
             getattr(hf, "intermediate_size", args.intermediate_size))
         return args
 
-    # ---- forward: override the MLP half of the decoder layer
+    # ---- forward: the MoE replaces the gated MLP via the llama base's
+    # _mlp hook; attention stays the shared LlamaForCausalLM layer.
 
-    def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
-                       li, metadata: AttentionMetadata, lora_ctx=None,
-                       **_cfg) -> tuple[jnp.ndarray, jnp.ndarray]:
-        args = self.args
-        T = x.shape[0]
-        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
-
-        from vllm_tpu.lora.ops import apply_lora
-        from vllm_tpu.ops.attention import attention, write_kv_cache
-        from vllm_tpu.ops.rotary import apply_rope
-
-        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
-        qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
-                         "qkv")
-        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
-        q = q.reshape(T, nq, d)
-        k = k.reshape(T, nk, d)
-        v = v.reshape(T, nk, d)
-        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
-                          args.rope.is_neox_style, self.rope_mscale)
-        attn_out, kv = self._cached_attention(
-            lp, li, q, k, v, kv, metadata,
-            sliding_window=args.sliding_window)
-        attn_flat = attn_out.reshape(T, nq * d)
-        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
-                                             layer=li), lora_ctx, "o")
-
-        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+    def _mlp(self, lp: dict, h: jnp.ndarray, li, lora_ctx=None):
         router_logits = linear(h, lp["router"], layer=li)
-        weights, expert_ids = topk_routing(router_logits, self.top_k,
-                                           renormalize=True)
+        weights, expert_ids = self._route(router_logits)
         lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
                 for k2, v2 in lp.items()
                 if k2.startswith("experts")}
-        moe_out = self._moe(h, lp_l, weights, expert_ids, args.act)
-        return x + moe_out, kv
+        return self._moe(h, lp_l, weights, expert_ids, self.args.act)
 
+    def _route(self, router_logits):
+        return topk_routing(router_logits, self.top_k, renormalize=True)
 
     def _moe(self, h, lp, weights, expert_ids, act):
         """EP-sharded when expert parallelism is enabled, else dense
@@ -82,20 +56,19 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # ---- weights
 
     def _alloc_layer_stack(self, np_dtype) -> dict:
+        # llama alloc (handles attn_bias / qk_norm) with the dense MLP
+        # swapped for router + expert-stacked weights
+        layers = super()._alloc_layer_stack(np_dtype)
+        del layers["gate_up"]
+        del layers["down"]
         a = self.args
         L, H = a.num_layers, a.hidden_size
         I = self.moe_intermediate
         E = self.num_experts
-        nq, nk, d = a.num_heads, a.num_kv_heads, a.head_dim
-        return {
-            "input_ln": np.empty((L, H), np_dtype),
-            "post_ln": np.empty((L, H), np_dtype),
-            "qkv": {"w": np.empty((L, H, (nq + 2 * nk) * d), np_dtype)},
-            "o": {"w": np.empty((L, nq * d, H), np_dtype)},
-            "router": {"w": np.empty((L, H, E), np_dtype)},
-            "experts_gate_up": np.empty((L, E, H, 2 * I), np_dtype),
-            "experts_down": np.empty((L, E, I, H), np_dtype),
-        }
+        layers["router"] = {"w": np.empty((L, H, E), np_dtype)}
+        layers["experts_gate_up"] = np.empty((L, E, H, 2 * I), np_dtype)
+        layers["experts_down"] = np.empty((L, E, I, H), np_dtype)
+        return layers
 
     def _hf_layer_map(self):
         m = super()._hf_layer_map()
@@ -251,13 +224,16 @@ class OlmoeForCausalLM(MixtralForCausalLM):
                 f"experts_down@{e}", "", True)
         return m
 
+    def _route(self, router_logits):
+        return topk_routing(router_logits, self.top_k,
+                            renormalize=self.norm_topk)
+
     def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
                        **_cfg):
         args = self.args
         T = x.shape[0]
         nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
 
-        from vllm_tpu.ops.attention import attention, write_kv_cache
         from vllm_tpu.ops.rotary import apply_rope
 
         h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
@@ -276,12 +252,7 @@ class OlmoeForCausalLM(MixtralForCausalLM):
         x = x + linear(attn_out.reshape(T, nq * d), lp["o"], layer=li)
 
         h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
-        router_logits = linear(h, lp["router"], layer=li)
-        weights, expert_ids = topk_routing(router_logits, self.top_k,
-                                           renormalize=self.norm_topk)
-        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
-                for k2, v2 in lp.items() if k2.startswith("experts")}
-        return x + self._moe(h, lp_l, weights, expert_ids, args.act), kv
+        return x + self._mlp(lp, h, li), kv
 
 
 class GraniteMoeForCausalLM(MixtralForCausalLM):
@@ -322,87 +293,17 @@ class GraniteMoeForCausalLM(MixtralForCausalLM):
             "experts_down", "granite_out", False)
         return m
 
-    def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
-                       **_cfg):
-        # Mixtral layer + granite residual multiplier
-        args = self.args
-        res_mult = jnp.asarray(args.residual_multiplier, x.dtype)
-        T = x.shape[0]
-        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
-
-        from vllm_tpu.ops.attention import attention, write_kv_cache
-        from vllm_tpu.ops.rotary import apply_rope
-
-        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
-        qkv = linear(h, lp["qkv"], layer=li)
-        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
-        q = q.reshape(T, nq, d)
-        k = k.reshape(T, nk, d)
-        v = v.reshape(T, nk, d)
-        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
-                          args.rope.is_neox_style, self.rope_mscale)
-        attn_out, kv = self._cached_attention(lp, li, q, k, v, kv,
-                                              metadata)
-        x = x + linear(attn_out.reshape(T, nq * d), lp["o"],
-                       layer=li) * res_mult
-
-        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
-        router_logits = linear(h, lp["router"], layer=li)
-        weights, expert_ids = topk_routing(router_logits, self.top_k,
-                                           renormalize=True)
-        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
-                for k2, v2 in lp.items() if k2.startswith("experts")}
-        moe_out = self._moe(h, lp_l, weights, expert_ids, args.act)
-        return x + moe_out * res_mult, kv
+    # attention + residual multipliers ride the llama base layer;
+    # only the routed MLP (inherited Mixtral _mlp) differs.
 
 
 class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
 
     def parse_args(self, hf) -> ModelArgs:
         args = super().parse_args(hf)
+        self.norm_topk = bool(getattr(hf, "norm_topk_prob", True))
         return dataclass_replace(args, qk_norm=True, attn_bias=False)
 
-    def _alloc_layer_stack(self, np_dtype) -> dict:
-        layers = super()._alloc_layer_stack(np_dtype)
-        a = self.args
-        layers["q_norm"] = np.empty((a.num_layers, a.head_dim), np_dtype)
-        layers["k_norm"] = np.empty((a.num_layers, a.head_dim), np_dtype)
-        return layers
-
-    def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
-                       **_cfg):
-        # qk-norm variant of the Mixtral layer
-        args = self.args
-        T = x.shape[0]
-        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
-
-        from vllm_tpu.lora.ops import apply_lora
-        from vllm_tpu.ops.attention import attention, write_kv_cache
-        from vllm_tpu.ops.rotary import apply_rope
-
-        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
-        qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
-                         "qkv")
-        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
-        q = rms_norm(q.reshape(T, nq, d), lp["q_norm"][li], args.rms_eps)
-        k = rms_norm(k.reshape(T, nk, d), lp["k_norm"][li], args.rms_eps)
-        v = v.reshape(T, nk, d)
-        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
-                          args.rope.is_neox_style, self.rope_mscale)
-        attn_out, kv = self._cached_attention(lp, li, q, k, v, kv,
-                                              metadata)
-        attn_flat = attn_out.reshape(T, nq * d)
-        x = x + apply_lora(attn_flat, linear(attn_flat, lp["o"],
-                                             layer=li), lora_ctx, "o")
-
-        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
-        router_logits = linear(h, lp["router"], layer=li)
-        weights, expert_ids = topk_routing(
-            router_logits, self.top_k,
-            renormalize=bool(
-                getattr(self.model_config.resolve_hf_config(),
-                        "norm_topk_prob", True)))
-        lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
-                for k2, v2 in lp.items() if k2.startswith("experts")}
-        moe_out = self._moe(h, lp_l, weights, expert_ids, args.act)
-        return x + moe_out, kv
+    def _route(self, router_logits):
+        return topk_routing(router_logits, self.top_k,
+                            renormalize=self.norm_topk)

@@ -263,3 +263,60 @@ class PhiMoEForCausalLM(MixtralForCausalLM):
             params["lm_head"]["b"] = extra["lm_head.bias"].astype(
                 params["lm_head"]["w"].dtype)
         return params
+
+
+class HunYuanMoEV1ForCausalLM(MixtralForCausalLM):
+    """Hunyuan-V1 MoE (reference: models/hunyuan_v1.py MoE path): dense
+    HunYuan attention (per-head-dim q/k RMSNorm under
+    query_layernorm/key_layernorm names) + softmax top-k renormalized
+    routing over experts of the FULL intermediate width, plus an
+    always-on shared MLP (mlp.shared_mlp) added to the routed output."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        ne = getattr(hf, "num_experts", 1)
+        self.num_experts = int(ne if isinstance(ne, int) else ne[0])
+        tk = getattr(hf, "moe_topk", 1)
+        self.top_k = int(tk if isinstance(tk, int) else tk[0])
+        self.moe_intermediate = int(hf.intermediate_size)
+        return dataclass_replace(args, qk_norm=True)
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        a = self.args
+        L, H, I = a.num_layers, a.hidden_size, self.moe_intermediate
+        layers["shared_gate_up"] = {"w": np.empty((L, H, 2 * I),
+                                                  np_dtype)}
+        layers["shared_down"] = {"w": np.empty((L, I, H), np_dtype)}
+        return layers
+
+    def _hf_layer_map(self):
+        from vllm_tpu.models.llama import LlamaForCausalLM
+
+        m = LlamaForCausalLM._hf_layer_map(self)
+        m["self_attn.query_layernorm.weight"] = ("q_norm", "", False)
+        m["self_attn.key_layernorm.weight"] = ("k_norm", "", False)
+        m["mlp.gate.wg.weight"] = ("router.w", "", True)
+        m["mlp.shared_mlp.gate_proj.weight"] = ("shared_gate_up.w",
+                                                "gate", True)
+        m["mlp.shared_mlp.up_proj.weight"] = ("shared_gate_up.w", "up",
+                                              True)
+        m["mlp.shared_mlp.down_proj.weight"] = ("shared_down.w", "",
+                                                True)
+        for e in range(self.num_experts):
+            m[f"mlp.experts.{e}.gate_proj.weight"] = (
+                f"experts_gate_up@{e}", "gate", True)
+            m[f"mlp.experts.{e}.up_proj.weight"] = (
+                f"experts_gate_up@{e}", "up", True)
+            m[f"mlp.experts.{e}.down_proj.weight"] = (
+                f"experts_down@{e}", "", True)
+        return m
+
+    def _mlp(self, lp, h, li, lora_ctx=None):
+        from vllm_tpu.ops.activation import GATED_ACTIVATIONS
+
+        out = super()._mlp(lp, h, li, lora_ctx)
+        gate_up = linear(h, lp["shared_gate_up"], layer=li)
+        return out + linear(
+            GATED_ACTIVATIONS[self.args.act](gate_up),
+            lp["shared_down"], layer=li)

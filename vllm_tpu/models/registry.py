@@ -93,6 +93,17 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                        "Glm4ForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
+    "ArceeForCausalLM": ("vllm_tpu.models.llama_variants",
+                         "ArceeForCausalLM"),
+    "ApertusForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "ApertusForCausalLM"),
+    "Dots1ForCausalLM": ("vllm_tpu.models.gqa_moe", "Dots1ForCausalLM"),
+    "Glm4MoeForCausalLM": ("vllm_tpu.models.gqa_moe",
+                           "Glm4MoeForCausalLM"),
+    "Ernie4_5_MoeForCausalLM": ("vllm_tpu.models.gqa_moe",
+                                "Ernie45MoeForCausalLM"),
+    "HunYuanMoEV1ForCausalLM": ("vllm_tpu.models.moe_variants",
+                                "HunYuanMoEV1ForCausalLM"),
     "Llama4ForCausalLM": ("vllm_tpu.models.llama4", "Llama4ForCausalLM"),
     "Llama4ForConditionalGeneration": ("vllm_tpu.models.llama4",
                                        "Llama4ForCausalLM"),

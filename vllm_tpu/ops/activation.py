@@ -49,6 +49,10 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def relu2(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.square(jax.nn.relu(x))
+
+
 ACTIVATIONS = {
     "silu": jax.nn.silu,
     "gelu": jax.nn.gelu,
@@ -57,6 +61,7 @@ ACTIVATIONS = {
     "gelu_pytorch_tanh": gelu_new,
     "quick_gelu": quick_gelu,
     "relu": jax.nn.relu,
+    "relu2": relu2,
 }
 
 GATED_ACTIVATIONS = {
