@@ -142,3 +142,67 @@ def test_dp_async_lb_client_routes_by_reported_load():
     assert r.assign("x", reported_load=[10, 0]) == 1
     assert r.assign("y", reported_load=[10, 0]) == 1
     assert r.assign("z", reported_load=[10, 7]) == 1  # 10 vs 7+2
+
+
+def test_elastic_ep_scale_up_down(tiny_model_dir):  # noqa: F811
+    """Elastic EP over the DP replica pool (reference:
+    v1/engine/utils.py:438,533 scale_up/down_elastic_ep + API
+    /scale_elastic_ep): scale 1->3 while serving, new requests land on
+    the new replicas; scale 3->1 drains the victim ranks first."""
+    from vllm_tpu.engine.args import EngineArgs
+    from vllm_tpu.engine.dp_engine import DPLLMEngine
+
+    args = EngineArgs(model=tiny_model_dir, dtype="float32",
+                      max_model_len=128, max_num_seqs=4,
+                      max_num_batched_tokens=128, block_size=16,
+                      num_gpu_blocks_override=32, enforce_eager=True,
+                      skip_tokenizer_init=True)
+    engine = DPLLMEngine(args.create_engine_config(), dp_size=1,
+                         in_process=True)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    results: dict[str, list[int]] = {}
+
+    def drain():
+        while engine.has_unfinished_requests():
+            for eco in engine.step().values():
+                for out in eco.outputs:
+                    results.setdefault(out.request_id, []).extend(
+                        out.new_token_ids)
+
+    for i in range(2):
+        engine.add_request(
+            EngineCoreRequest(request_id=f"pre{i}",
+                              prompt_token_ids=[1 + i, 5, 9],
+                              sampling_params=sp.clone()))
+    assert engine.scale_elastic_ep(3) == 3
+    assert engine.dp_size == 3 and len(engine.cores) == 3
+    # with 2 in flight on rank 0, the next requests go to the new ranks
+    for i in range(4):
+        engine.add_request(
+            EngineCoreRequest(request_id=f"post{i}",
+                              prompt_token_ids=[2 + i, 6, 10],
+                              sampling_params=sp.clone()))
+    assert engine.load == [2, 2, 2]
+    drain()
+    assert len(results) == 6
+    assert all(len(t) == 6 for t in results.values())
+
+    # scale down with in-flight work on the victim ranks: drains first
+    for i in range(3):
+        engine.add_request(
+            EngineCoreRequest(request_id=f"down{i}",
+                              prompt_token_ids=[3 + i, 7, 11],
+                              sampling_params=sp.clone()))
+    assert engine.scale_elastic_ep(1) == 1
+    assert engine.dp_size == 1 and len(engine.cores) == 1
+    drain()
+    assert len(results) == 9
+    assert engine.load == [0]
+    # pool still serves after the resize
+    engine.add_request(EngineCoreRequest(request_id="after",
+                                         prompt_token_ids=[4, 8, 12],
+                                         sampling_params=sp.clone()))
+    drain()
+    assert len(results["after"]) == 6
+    engine.shutdown()

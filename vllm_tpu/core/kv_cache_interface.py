@@ -31,6 +31,20 @@ def dtype_bytes(dtype: str) -> int:
     return _DTYPE_BYTES[dtype]
 
 
+def _tiled_bytes(second_minor: int, minor: int, dtype: str) -> int:
+    """Device bytes of one [..., second_minor, minor] slice under TPU
+    tiling: the minor dim pads to 128 lanes and the second-minor to the
+    sublane tile (8 rows x 4 bytes — 16 for 2-byte, 32 for 1-byte
+    dtypes). Sizing with the logical product under-counts — e.g. an
+    int8 cache with head_size 64 allocates 2x the logical bytes and an
+    engine sized to 'free memory' then OOMs at allocation time."""
+    b = dtype_bytes(dtype)
+    sublane = {4: 8, 2: 16, 1: 32}[b]
+    pm = -(-minor // 128) * 128
+    psm = -(-second_minor // sublane) * sublane
+    return psm * pm * b
+
+
 @dataclass(frozen=True)
 class KVCacheSpec:
     """Base spec for one layer's KV cache."""
@@ -57,9 +71,11 @@ class AttentionSpec(KVCacheSpec):
 
     @property
     def page_size_bytes(self) -> int:
-        # K + V for one block of tokens.
-        return (2 * self.block_size * self.num_kv_heads * self.head_size *
-                dtype_bytes(self.dtype))
+        # K + V for one block of tokens, at the DEVICE layout
+        # [..., block, 2*num_kv_heads, head]: the trailing two dims tile
+        # (see _tiled_bytes), so small heads/head-counts round up.
+        return self.block_size * _tiled_bytes(
+            2 * self.num_kv_heads, self.head_size, self.dtype)
 
 
 @dataclass(frozen=True)
@@ -92,9 +108,9 @@ class MLASpec(FullAttentionSpec):
 
     @property
     def page_size_bytes(self) -> int:
-        # single stored copy (no separate V)
-        return (self.block_size * self.head_size *
-                dtype_bytes(self.dtype))
+        # single stored copy (no separate V); device layout
+        # [..., block, head] tiles the trailing two dims
+        return _tiled_bytes(self.block_size, self.head_size, self.dtype)
 
 
 @dataclass(frozen=True)

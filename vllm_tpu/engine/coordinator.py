@@ -93,6 +93,18 @@ class DPCoordinator:
             return min(range(self.num_ranks),
                        key=lambda r: self.ranks[r].load)
 
+    def resize(self, num_ranks: int) -> None:
+        """Elastic scale: grow with fresh idle rank slots, or shrink by
+        dropping the tail ranks (caller must have drained them first;
+        reference: v1/engine/utils.py scale_up/down_elastic_ep)."""
+        with self._lock:
+            if num_ranks > self.num_ranks:
+                self.ranks.extend(RankState()
+                                  for _ in range(num_ranks - self.num_ranks))
+            else:
+                self.ranks = self.ranks[:num_ranks]
+            self.num_ranks = num_ranks
+
     # ----------------------------------------------------------- sockets
 
     def _start_sockets(self) -> None:

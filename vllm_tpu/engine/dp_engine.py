@@ -11,6 +11,7 @@ load stats) and assigns new requests to the emptiest rank."""
 from __future__ import annotations
 
 import logging
+import time
 from typing import Any, Optional
 
 from vllm_tpu.config import EngineConfig
@@ -44,11 +45,23 @@ class DPEngineRouter:
 
     def finished(self, request_id: str) -> None:
         rank = self.req_rank.pop(request_id, None)
-        if rank is not None:
+        if rank is not None and rank < self.num_ranks:
             self.in_flight[rank] = max(self.in_flight[rank] - 1, 0)
 
     def rank_of(self, request_id: str) -> Optional[int]:
         return self.req_rank.get(request_id)
+
+    def resize(self, num_ranks: int) -> None:
+        """Elastic scale (see DPCoordinator.resize). Shrinking assumes
+        the dropped tail ranks have no in-flight requests."""
+        if num_ranks > self.num_ranks:
+            self.in_flight.extend([0] * (num_ranks - self.num_ranks))
+        else:
+            self.in_flight = self.in_flight[:num_ranks]
+        self.num_ranks = num_ranks
+
+    def rank_in_flight(self, rank: int) -> int:
+        return self.in_flight[rank] if rank < self.num_ranks else 0
 
 
 class DPLLMEngine:
@@ -68,6 +81,9 @@ class DPLLMEngine:
         self.router = DPEngineRouter(dp_size)
         self.coordinator = DPCoordinator(dp_size)
         self.in_process = in_process
+        # outputs produced while scale_elastic_ep drains victim ranks;
+        # surfaced by the next step() so nothing is lost
+        self._stashed: list[dict[int, EngineCoreOutputs]] = []
         self.cores: list[Any] = []
         if in_process:
             from vllm_tpu.engine.core import EngineCore
@@ -105,6 +121,23 @@ class DPLLMEngine:
         core.py:874; here each replica owns its own jit program so the
         empty step is cheap and never runs the device)."""
         merged: dict[int, EngineCoreOutputs] = {}
+        for outs in self._stashed:
+            for client_idx, eco in outs.items():
+                if client_idx in merged:
+                    merged[client_idx].outputs.extend(eco.outputs)
+                else:
+                    merged[client_idx] = eco
+        self._stashed = []
+        inner = self._step_inner()
+        for client_idx, eco in inner.items():
+            if client_idx in merged:
+                merged[client_idx].outputs.extend(eco.outputs)
+            else:
+                merged[client_idx] = eco
+        return merged
+
+    def _step_inner(self) -> dict[int, EngineCoreOutputs]:
+        merged: dict[int, EngineCoreOutputs] = {}
         wave_active = any(
             c.has_unfinished_requests() for c in self.cores
         ) if self.in_process else bool(self.router.req_rank)
@@ -138,9 +171,67 @@ class DPLLMEngine:
         return merged
 
     def has_unfinished_requests(self) -> bool:
+        if self._stashed:
+            return True  # drained-but-unread outputs from a scale-down
         if self.in_process:
             return any(c.has_unfinished_requests() for c in self.cores)
         return bool(self.router.req_rank)
+
+    def scale_elastic_ep(self, new_dp_size: int,
+                         drain_timeout_s: float = 120.0) -> int:
+        """Elastic scale of the DP replica pool at runtime (reference:
+        CoreEngineActorManager.scale_up_elastic_ep / scale_down,
+        v1/engine/utils.py:438,533; API /scale_elastic_ep
+        api_server.py:1033).
+
+        TPU-native shape: each replica owns a full expert set inside its
+        own mesh (EP is sharded WITHIN a replica's devices), so scaling
+        the replica pool needs no cross-replica expert-weight
+        reshuffling — scale-up spawns fresh engine cores, scale-down
+        stops routing to the victim tail ranks, drains their in-flight
+        requests, then shuts them down."""
+        if new_dp_size < 1:
+            raise ValueError(f"dp_size must be >= 1, got {new_dp_size}")
+        if new_dp_size == self.dp_size:
+            return self.dp_size
+        if new_dp_size > self.dp_size:
+            n_new = new_dp_size - self.dp_size
+            if self.in_process:
+                from vllm_tpu.engine.core import EngineCore
+
+                self.cores.extend(EngineCore(self.config)
+                                  for _ in range(n_new))
+            else:
+                from vllm_tpu.engine.core_proc import SyncMPClient
+
+                self.cores.extend(SyncMPClient(self.config)
+                                  for _ in range(n_new))
+            self.router.resize(new_dp_size)
+            self.coordinator.resize(new_dp_size)
+            self.dp_size = new_dp_size
+            logger.info("elastic EP: scaled up to %d replicas",
+                        new_dp_size)
+            return self.dp_size
+        # scale down: stop routing to the tail, drain, then retire
+        victims = list(range(new_dp_size, self.dp_size))
+        self.router.resize(new_dp_size)  # new requests avoid victims
+        deadline = time.monotonic() + drain_timeout_s
+        while any(r >= new_dp_size for r in self.router.req_rank.values()):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    "elastic EP scale-down: victim ranks did not drain "
+                    f"within {drain_timeout_s}s")
+            outs = self._step_inner()
+            if outs:
+                self._stashed.append(outs)
+        for rank in victims[::-1]:
+            self.cores[rank].shutdown()
+            del self.cores[rank]
+        self.coordinator.resize(new_dp_size)
+        self.dp_size = new_dp_size
+        logger.info("elastic EP: scaled down to %d replicas",
+                    new_dp_size)
+        return self.dp_size
 
     def shutdown(self) -> None:
         for core in self.cores:
@@ -230,6 +321,49 @@ class DPAsyncMPClient:
 
     def has_unfinished_requests(self) -> bool:
         return bool(self.router.req_rank)
+
+    async def scale_elastic_ep_async(self, new_dp_size: int,
+                                     drain_timeout_s: float = 120.0
+                                     ) -> int:
+        """Async elastic scale of the replica pool (see
+        DPLLMEngine.scale_elastic_ep for the design; reference API
+        /scale_elastic_ep api_server.py:1033)."""
+        import asyncio
+
+        if new_dp_size < 1:
+            raise ValueError(f"dp_size must be >= 1, got {new_dp_size}")
+        if new_dp_size == self.dp_size:
+            return self.dp_size
+        if new_dp_size > self.dp_size:
+            from vllm_tpu.engine.core_proc import AsyncMPClient
+
+            loop = asyncio.get_running_loop()
+            n_new = new_dp_size - self.dp_size
+            new_cores = await asyncio.gather(*[
+                loop.run_in_executor(None, AsyncMPClient, self.config)
+                for _ in range(n_new)
+            ])
+            self.cores.extend(new_cores)
+            self.router.resize(new_dp_size)
+            self.coordinator.resize(new_dp_size)
+            self.dp_size = new_dp_size
+            return self.dp_size
+        victims = list(range(new_dp_size, self.dp_size))
+        self.router.resize(new_dp_size)
+        deadline = time.monotonic() + drain_timeout_s
+        while any(r >= new_dp_size
+                  for r in self.router.req_rank.values()):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    "elastic EP scale-down: victim ranks did not drain "
+                    f"within {drain_timeout_s}s")
+            await self.get_output_async(timeout=1.0)
+        for rank in victims[::-1]:
+            self.cores[rank].shutdown()
+            del self.cores[rank]
+        self.coordinator.resize(new_dp_size)
+        self.dp_size = new_dp_size
+        return self.dp_size
 
     @property
     def load(self) -> list[int]:

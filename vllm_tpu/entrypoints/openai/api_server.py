@@ -346,6 +346,27 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     async def is_sleeping(request: web.Request) -> web.Response:
         return web.json_response({"is_sleeping": await engine.is_sleeping()})
 
+    async def scale_elastic_ep(request: web.Request) -> web.Response:
+        """POST {"new_data_parallel_size": N} — elastic scale of the DP
+        replica pool (reference: api_server.py:1033 /scale_elastic_ep).
+        400 when the engine is not DP-replicated."""
+        try:
+            body = await request.json()
+            new_size = int(body["new_data_parallel_size"])
+            drain = float(body.get("drain_timeout", 120.0))
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        scaler = getattr(engine, "scale_elastic_ep", None)
+        if scaler is None:
+            return _json_error(
+                "engine is not data-parallel replicated; start with "
+                "--data-parallel-size > 1 to enable elastic EP")
+        try:
+            size = await scaler(new_size, drain_timeout_s=drain)
+        except (ValueError, TimeoutError) as e:
+            return _json_error(str(e))
+        return web.json_response({"data_parallel_size": size})
+
     async def start_profile(request: web.Request) -> web.Response:
         await engine.start_profile()
         return web.Response(text="")
@@ -447,6 +468,7 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     app.router.add_post("/sleep", sleep)
     app.router.add_post("/wake_up", wake_up)
     app.router.add_get("/is_sleeping", is_sleeping)
+    app.router.add_post("/scale_elastic_ep", scale_elastic_ep)
     app.router.add_post("/start_profile", start_profile)
     app.router.add_post("/stop_profile", stop_profile)
     app.router.add_post("/v1/load_lora_adapter", load_lora_adapter)

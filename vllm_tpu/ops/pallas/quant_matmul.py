@@ -114,8 +114,12 @@ def fused_quant_matmul(
     G = scale.shape[-2]
     assert K % G == 0, (K, G)
     group_size = K // G
+    # K tiles in multiples of 8 groups: Mosaic requires the scale tile's
+    # second-to-last dim (gpb) to be a multiple of 8 (or the full G) —
+    # callers guarantee G % 8 == 0 (ops/quant.py quant_matmul gate).
+    step = 8 * group_size
     bk = min(block_k, K)
-    bk = max(bk - bk % group_size, group_size)  # multiple of group_size
+    bk = max(bk - bk % step, min(step, K))
     gpb = bk // group_size
     bt = min(block_t, max(16, 1 << (T - 1).bit_length()))
     bn = min(block_n, N)
@@ -200,11 +204,14 @@ def _packed_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     bk2, bn = w_ref.shape
-    # nibble unpack in the INT8 domain (4x VPU packing density vs the
-    # previous int32 chain; the shifts sign-extend within int8)
-    w8 = w_ref[...]
+    # Nibble unpack in the INT32 domain: Mosaic on this libtpu legalizes
+    # vector shifts/bitwise ops only at 32-bit (probed: i8/i16 shl, i8
+    # and/xor all fail 'failed to legalize arith.shli'); the i8->i32
+    # convert is one VPU pass and the dequant multiply below still runs
+    # in the compute dtype.
+    w8 = w_ref[...].astype(jnp.int32)
     if signed:
-        lo = jnp.int8(w8 << 4) >> 4  # sign-extended low nibble
+        lo = (w8 << 28) >> 28  # sign-extended low nibble
         hi = w8 >> 4  # arithmetic shift keeps the sign of the high nibble
     else:
         lo = w8 & 0xF
@@ -272,12 +279,15 @@ def fused_packed_int4_matmul(
     assert K % G == 0, (K, G)
     group_size = K // G
     assert Kp % group_size == 0, (Kp, group_size)
-    # Packed block: a multiple of group_size that divides Kp exactly so
-    # the hi half starts on a block boundary (index offset num_k).
+    # Packed block: a multiple of 8 groups (Mosaic scale-tile rule; the
+    # quant_matmul gate guarantees G % 16 == 0 so Kp has >= 8 groups)
+    # that divides Kp exactly so the hi half starts on a block boundary
+    # (index offset num_k).
+    step = 8 * group_size
     bk2 = min(block_k, Kp)
-    bk2 = max(bk2 - bk2 % group_size, group_size)
+    bk2 = max(bk2 - bk2 % step, min(step, Kp))
     while Kp % bk2:
-        bk2 -= group_size
+        bk2 -= step
     gpb = bk2 // group_size
     bt = min(block_t, max(16, 1 << (T - 1).bit_length()))
     bn = min(block_n, N)

@@ -67,7 +67,14 @@ def quant_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     packed = "w_p" in p
     w_q, scale = p.get("w_q"), p["scale"]
     zero = p.get("zero")
-    if _on_tpu() and x.ndim == 2:
+    # Mosaic block shapes need the scale tile's group dim to be a
+    # multiple of 8 (or the full dim): the kernels tile K in chunks of
+    # 8*group_size, so they need >= 8 groups (16 for packed int4, whose
+    # K-half split halves the reachable group count). Tiny test models
+    # fall below that; real checkpoints (K >= 1024, group 128) never do.
+    G = scale.shape[-2]
+    kernel_ok = G % 16 == 0 if packed else G % 8 == 0
+    if _on_tpu() and x.ndim == 2 and kernel_ok:
         try:
             from vllm_tpu.ops.pallas.quant_matmul import (
                 fused_packed_int4_matmul, fused_quant_matmul)
