@@ -81,7 +81,7 @@ def main() -> None:
         max_model_len=max_model_len,
         max_num_seqs=max_seqs,
         max_num_batched_tokens=max_tokens,
-        block_size=64,
+        block_size=256,
         gpu_memory_utilization=0.92,
         # overlap host scheduling + token fetch with device execution
         async_scheduling=True,

@@ -27,10 +27,13 @@ def run_case(bs, ctx, page, nq=32, nk=8, d=128, iters=20, layers=8,
     rng = np.random.default_rng(0)
     nb_per = -(-ctx // page)
     num_blocks = 1 + bs * nb_per
-    kv = jnp.asarray(rng.integers(-100, 100,
-                                  (layers, num_blocks, page, 2 * nk, d)),
-                     jnp.int8)
-    q = jnp.asarray(rng.standard_normal((bs, nq, d)), jnp.bfloat16)
+    # KV generated ON DEVICE: a multi-GB host array would crawl through
+    # the tunnel's host->device upload path
+    key = jax.random.PRNGKey(0)
+    kv = jax.random.randint(key, (layers, num_blocks, page, 2 * nk, d),
+                            -100, 100, jnp.int8)
+    q = (jax.random.normal(jax.random.fold_in(key, 1), (bs, nq, d),
+                           jnp.float32) * 0.3).astype(jnp.bfloat16)
     qsl = np.arange(bs + 1, dtype=np.int32)
     seq_lens = np.full(bs, ctx, np.int32)
     positions = np.full(bs, ctx - 1, np.int32)
@@ -57,12 +60,15 @@ def run_case(bs, ctx, page, nq=32, nk=8, d=128, iters=20, layers=8,
                                          layer=li)
         return out
 
-    out = many(q, kv)
-    np.asarray(out[0, 0, 0])  # sync
+    # CHAIN q through each call: the axon remote runtime replays
+    # cached results for byte-identical executions, so repeated calls
+    # on the same inputs measure the dispatch RTT, not the kernel.
+    q = many(q, kv)
+    np.asarray(q[0, 0, 0])  # sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = many(q, kv)
-    np.asarray(out[0, 0, 0])
+        q = many(q, kv)
+    np.asarray(q[0, 0, 0])
     dt = (time.perf_counter() - t0) / iters / layers
     pages = -(-ctx // page)
     kv_mb = bs * pages * page * 2 * nk * d / 1e6

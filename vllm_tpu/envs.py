@@ -46,6 +46,14 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # latency; sweep with tools/bench_decode_kernel.py. Must divide 16.
     "VLLM_TPU_DECODE_MG":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_MG", "4")),
+    # int4/int8 weight-only EXECUTION layout: "w8a8" requantizes the
+    # weights per-channel int8 at load and runs int8xint8->int32 on the
+    # MXU (2x the bf16 rate via XLA; measured 0.100 vs 0.182 ms/layer at
+    # bs=256) with per-token dynamic activation quant; "native" keeps
+    # the packed int4 / grouped int8 Pallas dequant-matmul (half the
+    # weight HBM of w8a8 — use when memory-bound).
+    "VLLM_TPU_QUANT_EXEC":
+    lambda: os.environ.get("VLLM_TPU_QUANT_EXEC", "w8a8"),
 }
 
 

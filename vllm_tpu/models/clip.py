@@ -209,3 +209,80 @@ class ClipVisionTower:
         else:
             return False
         return True
+
+
+class SiglipVisionTower(ClipVisionTower):
+    """SigLIP vision encoder (reference: vllm models/siglip.py; used by
+    Idefics3/SmolVLM, Gemma3, PaliGemma, AyaVision towers).
+
+    vs CLIP: no CLS token, biased patch conv, no pre-LN, learned
+    positions over exactly num_patches, gelu_pytorch_tanh MLP, and a
+    post-LN applied to the LAST hidden state (feature_layer=-1 keeps
+    every encoder layer and applies it; earlier feature layers skip it,
+    matching HF's vision_feature_layer semantics)."""
+
+    def __init__(self, args: ClipVisionArgs,
+                 feature_layer: int = -1,
+                 pos_ids: Optional[np.ndarray] = None,
+                 post_ln: Optional[bool] = None) -> None:
+        super().__init__(args, feature_layer=feature_layer)
+        # post-LN convention differs by consumer: Idefics3 reads
+        # last_hidden_state (post-LN applied); AyaVision/LLaVA-style
+        # consumers read hidden_states[-1] (pre-post-LN)
+        self.apply_post_ln = (feature_layer == -1 if post_ln is None
+                              else post_ln)
+        # non-trivial position-id mapping (Idefics3's bucketized ids);
+        # None = identity (plain SigLIP)
+        self.pos_ids = pos_ids
+
+    def forward(self, p: dict, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        a = self.args
+        B = pixel_values.shape[0]
+        P = a.patch_size
+        n_side = a.image_size // P
+        x = pixel_values.reshape(B, a.num_channels, n_side, P, n_side, P)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(
+            B, n_side * n_side, a.num_channels * P * P)
+        x = x.astype(p["patch_embed"].dtype) @ p["patch_embed"] \
+            + p["patch_bias"]
+        pos = p["pos_embed"]
+        if self.pos_ids is not None:
+            pos = pos[jnp.asarray(self.pos_ids)]
+        x = x + pos[None, :, :].astype(x.dtype)
+
+        layers = jax.tree.map(
+            lambda leaf: leaf[:self.num_run_layers], p["layers"])
+
+        def body(h, lp):
+            return self._layer(lp, h), None
+
+        x, _ = jax.lax.scan(body, x, layers)
+        if self.apply_post_ln:
+            x = _ln(x, p["post_ln_w"], p["post_ln_b"], a.ln_eps)
+        return x
+
+    def alloc(self, np_dtype) -> dict:
+        a = self.args
+        p = super().alloc(np_dtype)
+        del p["class_embed"], p["pre_ln_w"], p["pre_ln_b"]
+        p["patch_bias"] = np.zeros((a.hidden_size,), np_dtype)
+        p["pos_embed"] = np.zeros((a.num_patches, a.hidden_size),
+                                  np_dtype)
+        p["post_ln_w"] = np.zeros((a.hidden_size,), np_dtype)
+        p["post_ln_b"] = np.zeros((a.hidden_size,), np_dtype)
+        return p
+
+    def load_one(self, p: dict, name: str, w: np.ndarray,
+                 np_dtype) -> bool:
+        a = self.args
+        if name == "embeddings.patch_embedding.bias":
+            p["patch_bias"][...] = w.astype(np_dtype)
+        elif name == "post_layernorm.weight":
+            p["post_ln_w"][...] = w.astype(np_dtype)
+        elif name == "post_layernorm.bias":
+            p["post_ln_b"][...] = w.astype(np_dtype)
+        elif name == "embeddings.position_embedding.weight":
+            p["pos_embed"][...] = w.astype(np_dtype)
+        else:
+            return super().load_one(p, name, w, np_dtype)
+        return True

@@ -88,6 +88,96 @@ def apply_load_time_quantization(params: dict, method: str,
     return params
 
 
+def _requant_entry_w8a8(p: dict):
+    """One layer-stacked quantized linear {w_p|w_q, scale, zero?, b?}
+    -> {w8, chan_scale, b?}: dequantize the grouped int4/int8 weights
+    and requantize per output channel to int8. The re-quantization error
+    is ~2^-8 relative — far under the int4 quantization error itself —
+    and buys the int8 MXU's 2x matmul rate (ops/quant.w8a8_matmul).
+    Host (numpy) and device (jnp) arrays both supported; processed
+    layer-by-layer to bound f32 temporaries."""
+    packed = "w_p" in p
+    w = p["w_p"] if packed else p["w_q"]
+    scale, zero = p["scale"], p.get("zero")
+    on_device = isinstance(w, jnp.ndarray)
+    stacked = w.ndim == 3
+    if not stacked:
+        w, scale = w[None], scale[None]
+        zero = zero[None] if zero is not None else None
+
+    def one(wl, sl, zl):
+        xp = jnp if on_device else np
+        if packed:
+            from vllm_tpu.ops.quant import unpack_int4
+
+            if on_device:
+                q = unpack_int4(wl, signed=zl is None).astype(jnp.float32)
+            else:
+                w32 = wl.astype(np.int32)
+                if zl is None:
+                    lo = (w32 << 28) >> 28
+                    hi = w32 >> 4
+                else:
+                    lo, hi = w32 & 0xF, (w32 >> 4) & 0xF
+                q = np.concatenate([lo, hi], axis=0).astype(np.float32)
+        else:
+            q = wl.astype(xp.float32)
+        K = q.shape[0]
+        G = sl.shape[0]
+        group = K // G
+        q = q.reshape(G, group, -1)
+        if zl is not None:
+            q = q - zl[:, None, :]
+        wf = (q * sl[:, None, :].astype(xp.float32)).reshape(K, -1)
+        cs = xp.maximum(xp.abs(wf).max(axis=0) / 127.0, 1e-10)
+        w8 = xp.clip(xp.round(wf / cs[None, :]), -127, 127)
+        return w8.astype(xp.int8), cs.astype(xp.float32)
+
+    if on_device:
+        import jax
+
+        # the slices ride as jit ARGUMENTS — closing over the stack
+        # would bake it into the HLO as a literal (GBs shipped to the
+        # compiler)
+        one_j = jax.jit(one)
+        pairs = [one_j(w[i], scale[i],
+                       zero[i] if zero is not None else None)
+                 for i in range(w.shape[0])]
+        w8 = jnp.stack([a for a, _ in pairs])
+        cs = jnp.stack([b for _, b in pairs])
+    else:
+        outs = [one(w[i], scale[i],
+                    zero[i] if zero is not None else None)
+                for i in range(w.shape[0])]
+        w8 = np.stack([a for a, _ in outs])
+        cs = np.stack([b for _, b in outs])
+    if not stacked:
+        w8, cs = w8[0], cs[0]
+    out = {"w8": w8, "chan_scale": cs}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def convert_quant_exec(params: dict) -> dict:
+    """Rewrite weight-only-quantized layer linears to the W8A8 execution
+    layout when VLLM_TPU_QUANT_EXEC=w8a8 (the default; set "native" to
+    keep packed int4 / grouped int8 and half the weight HBM)."""
+    from vllm_tpu import envs
+
+    if envs.VLLM_TPU_QUANT_EXEC != "w8a8":
+        return params
+    layers = params.get("layers") if isinstance(params, dict) else None
+    if not isinstance(layers, dict):
+        return params
+    for key in _QUANT_LAYER_KEYS:
+        p = layers.get(key)
+        if isinstance(p, dict) and ("w_p" in p or
+                                    ("w_q" in p and "scale" in p)):
+            layers[key] = _requant_entry_w8a8(p)
+    return params
+
+
 def _device_dummy_params(model, model_config, quant: Optional[str],
                          group_size: int = 128,
                          mesh=None) -> Optional[Any]:
@@ -129,6 +219,8 @@ def _device_dummy_params(model, model_config, quant: Optional[str],
                     jnp.asarray(scale, target))
 
         def gen_quant(shape):
+            from vllm_tpu import envs
+
             L, in_dim, out_dim = shape
             g = group_size if group_size > 0 and in_dim % group_size == 0 \
                 else in_dim
@@ -136,6 +228,19 @@ def _device_dummy_params(model, model_config, quant: Optional[str],
             # scale so dequantized magnitude ~ N(0, 0.02)-ish
             scale = jnp.full((L, in_dim // g, out_dim),
                              0.02 / (qmax * 0.58), jnp.float32)
+            if envs.VLLM_TPU_QUANT_EXEC == "w8a8":
+                # emit the execution layout directly: converting a
+                # packed stack on device would briefly double-hold the
+                # weights (OOM on a 16 GB chip for an 8B model)
+                w8 = jax.random.randint(next_key(), shape, -qmax,
+                                        qmax + 1, jnp.int8)
+                cs = jnp.full((L, out_dim), 0.02 / (qmax * 0.58),
+                              jnp.float32)
+                if qbits == 8:
+                    return {"w8": w8, "chan_scale": cs}
+                # int4 semantics: values in [-7, 7] rescaled to int8
+                return {"w8": (w8.astype(jnp.int32) * 18).astype(
+                    jnp.int8), "chan_scale": cs / 18.0}
             if qbits == 4:
                 # packed layout: uniform random bytes = uniform nibbles
                 w_p = jax.random.randint(next_key(),
@@ -229,6 +334,11 @@ def load_model_params(model, engine_config: EngineConfig,
             if quant is not None:
                 params = apply_load_time_quantization(params, quant)
         logger.info("checkpoint streamed in %.1fs", time.perf_counter() - t0)
+
+    # W8A8 execution layout for weight-only-quantized linears (no-op for
+    # unquantized params or VLLM_TPU_QUANT_EXEC=native).
+    if isinstance(params, dict):
+        params = convert_quant_exec(params)
 
     # Device placement (sharded when a mesh is given). Float32 leaves are
     # cast to the model dtype on device (host bf16 casts are slow).

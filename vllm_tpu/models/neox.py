@@ -142,9 +142,17 @@ class GPTNeoXForCausalLM:
             return rms_norm(x, w, self.args.ln_eps)
         return layer_norm(x, w, b, self.args.ln_eps)
 
-    def forward(self, params, input_ids, kv_caches, metadata, lora=None):
+    def forward(self, params, input_ids, kv_caches, metadata, lora=None,
+                embed_override=None):
         args = self.args
         x = embedding_lookup(input_ids, params["embed"]["w"])
+        if embed_override is not None:
+            # multimodal placeholder substitution (same mechanism as
+            # llama.py): padding entries index the scratch row T
+            idx, vecs = embed_override
+            ext = jnp.concatenate([x, jnp.zeros((1, x.shape[1]),
+                                                x.dtype)])
+            x = ext.at[idx].set(vecs.astype(x.dtype))[:x.shape[0]]
         if args.embed_ln:
             x = layer_norm(x, params["embed_ln_w"],
                            params.get("embed_ln_b"), args.ln_eps)

@@ -111,15 +111,27 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "BertModel": ("vllm_tpu.models.bert", "BertEmbeddingModel"),
     "BertForSequenceClassification": ("vllm_tpu.models.bert",
                                       "BertForSequenceClassification"),
+    "ModernBertModel": ("vllm_tpu.models.modernbert", "ModernBertModel"),
+    "ModernBertForSequenceClassification": (
+        "vllm_tpu.models.modernbert", "ModernBertForSequenceClassification"),
     # state-space models
     "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
     "WhisperForConditionalGeneration":
     ("vllm_tpu.models.whisper", "WhisperForConditionalGeneration"),
+    "Qwen2AudioForConditionalGeneration": (
+        "vllm_tpu.models.qwen2_audio",
+        "Qwen2AudioForConditionalGeneration"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
+    "Idefics3ForConditionalGeneration": (
+        "vllm_tpu.models.idefics3", "Idefics3ForConditionalGeneration"),
+    "SmolVLMForConditionalGeneration": (
+        "vllm_tpu.models.idefics3", "Idefics3ForConditionalGeneration"),
+    "AyaVisionForConditionalGeneration": (
+        "vllm_tpu.models.aya_vision", "AyaVisionForConditionalGeneration"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}

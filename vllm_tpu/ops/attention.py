@@ -173,6 +173,10 @@ def ragged_paged_attention_ref(
         valid &= col <= pos
     if sliding_window is not None:
         valid &= col > pos - sliding_window
+        if not causal:
+            # encoder local attention (ModernBERT): the window is
+            # symmetric around the query position
+            valid &= col < pos + sliding_window
     if local_chunk is not None:
         # chunked local attention (Llama-4 local layers): only keys in
         # the query's own chunk are attendable

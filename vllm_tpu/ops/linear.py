@@ -49,6 +49,11 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
         w = p["w"] if layer is None else jax.lax.dynamic_index_in_dim(
             p["w"], layer, 0, keepdims=False)
         out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    elif "w8" in p:
+        # W8A8 execution layout (int8 MXU; see ops/quant.w8a8_matmul)
+        from vllm_tpu.ops.quant import w8a8_matmul
+
+        out = w8a8_matmul(x, p, layer=layer)
     elif ("w_p" in p) or ("w_q" in p and p["w_q"].dtype == jnp.int8
                           and "scale" in p):
         # Weight-only int8 / packed-int4 ("w_p"): dequant then matmul. On

@@ -112,6 +112,31 @@ def quant_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     return out
 
 
+def w8a8_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
+    """W8A8 int8 MXU matmul (reference analog: cutlass_w8a8 /
+    tpu_int8): per-token dynamic activation quantization x per-channel
+    int8 weights, int8 x int8 -> int32 via XLA dot_general (the TPU's
+    int8 MXU mode runs at 2x the bf16 rate; XLA fuses the quantize and
+    the scale epilogue, and fuses the layer-stack dynamic slice into the
+    dot — measured 0.100 vs 0.182 ms/layer bf16 at [256, 4096, 14336]).
+
+    p: {"w8": int8 [K, N] or [L, K, N], "chan_scale": f32 [N] or [L, N]}.
+    Weights arrive here REQUANTIZED per-channel at load from int4/int8
+    checkpoints (models/loader.py to_w8a8_stacked)."""
+    w8, cs = p["w8"], p["chan_scale"]
+    if layer is not None:
+        w8 = jax.lax.dynamic_index_in_dim(w8, layer, 0, keepdims=False)
+        cs = jax.lax.dynamic_index_in_dim(cs, layer, 0, keepdims=False)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    ax = jnp.maximum(amax, 1e-6) / INT8_MAX
+    x8 = jnp.clip(jnp.round(xf / ax[..., None]), -INT8_MAX,
+                  INT8_MAX).astype(jnp.int8)
+    o32 = jax.lax.dot_general(x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return o32.astype(jnp.float32) * ax[..., None] * cs
+
+
 def fp8_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """FP8 W8A8 matmul (reference: vllm fp8.py Fp8LinearMethod):
     quantize activations to e4m3 (static scale from checkpoint or dynamic

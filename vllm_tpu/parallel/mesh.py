@@ -92,12 +92,15 @@ def param_shardings(params: Any, mesh: Mesh,
     def shard_linear(p: dict, spec_fn) -> dict:
         out = {}
         for k, v in p.items():
-            if k in ("w", "w_q", "w_p"):
+            if k in ("w", "w_q", "w_p", "w8"):
                 out[k] = spec_fn(k)
             elif k in ("scale", "zero"):
                 # grouped scales [L, G, out]: groups follow the input dim
                 out[k] = (P("pp", None, "tp")
                           if spec_fn is col else P("pp", "tp", None))
+            elif k == "chan_scale":
+                # per-channel scales [L, out] follow the output dim
+                out[k] = (P("pp", "tp") if spec_fn is col else P("pp"))
             elif k == "w_scale":
                 out[k] = P()
             elif k == "b":

@@ -544,9 +544,19 @@ class InputBatch:
                     local = np.nonzero(
                         toks == self.image_token_index)[0]
                     if len(local):
-                        j = np.searchsorted(pos, start + local)
+                        # only PROMPT placeholder positions map to
+                        # embeddings — a sampled token that happens to
+                        # equal the placeholder id is ordinary text
+                        cand = start + local
+                        j = np.searchsorted(pos, cand)
+                        ok = (j < len(pos)) & (
+                            pos[np.minimum(j, len(pos) - 1)] == cand)
+                        local, j = local[ok], np.minimum(
+                            j, len(pos) - 1)[ok]
+                    if len(local):
                         embed_idx[off + local] = off + local
-                        embed_vecs[off + local] = emb[j]
+                        embed_vecs[off + local] = emb[np.minimum(
+                            j, emb.shape[0] - 1)]
                 off += n
 
         pooling = [self.pooling_params[idx] for idx, _ in active]
