@@ -82,7 +82,7 @@ def main() -> None:
         max_num_seqs=max_seqs,
         max_num_batched_tokens=max_tokens,
         block_size=256,
-        gpu_memory_utilization=0.92,
+        gpu_memory_utilization=0.95,
         # overlap host scheduling + token fetch with device execution
         async_scheduling=True,
         hf_config=hf_config,

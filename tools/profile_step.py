@@ -52,7 +52,7 @@ def build_engine(out_len: int = 2048):
         kv_cache_dtype=kv_dtype, load_format="dummy",
         skip_tokenizer_init=True, max_model_len=max_model_len,
         max_num_seqs=max_seqs, max_num_batched_tokens=max_tokens,
-        block_size=256, gpu_memory_utilization=0.92,
+        block_size=256, gpu_memory_utilization=0.95,
         async_scheduling=True, hf_config=hf_config, enforce_eager=True)
     config = engine_args.create_engine_config()
     if on_tpu:

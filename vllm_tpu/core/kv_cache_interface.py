@@ -39,7 +39,12 @@ def _tiled_bytes(second_minor: int, minor: int, dtype: str) -> int:
     int8 cache with head_size 64 allocates 2x the logical bytes and an
     engine sized to 'free memory' then OOMs at allocation time."""
     b = dtype_bytes(dtype)
-    sublane = {4: 8, 2: 16, 1: 32}[b]
+    # Empirical on this libtpu (see the s8[...,16,64] OOM trace): the
+    # minor dim pads to 128 lanes; the second-minor pads to 8 rows for
+    # 4-byte dtypes and 16 for narrower ones (an s8 [...,16,128] slice
+    # allocates exactly its logical bytes — the nominal (32,128) int8
+    # tile does NOT apply to the second-minor here).
+    sublane = {4: 8, 2: 16, 1: 16}[b]
     pm = -(-minor // 128) * 128
     psm = -(-second_minor // sublane) * sublane
     return psm * pm * b

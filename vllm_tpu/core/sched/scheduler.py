@@ -192,6 +192,18 @@ class Scheduler:
             num_new_tokens = min(num_new_tokens, token_budget,
                                  self.max_model_len -
                                  request.num_computed_tokens)
+            # Hard cap at the request's own max_tokens: the final output
+            # materializes after forwarding prompt + max_tokens - 1
+            # positions, so scheduling past that wastes a decode slot
+            # per request AND (with async pending samples) can allocate
+            # a KV page past the request's true end — at page-boundary
+            # context lengths that double the page footprint of every
+            # request at once and cascades into preemption thrash.
+            sp = request.sampling_params
+            if sp is not None and sp.max_tokens is not None:
+                hard_cap = (request.num_prompt_tokens + sp.max_tokens - 1
+                            - request.num_computed_tokens)
+                num_new_tokens = min(num_new_tokens, hard_cap)
             if num_new_tokens <= 0:
                 req_index += 1
                 continue

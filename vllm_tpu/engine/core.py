@@ -220,10 +220,16 @@ class EngineCore:
                 scheduled = so
                 self._inflight.append(so)
             else:
-                # Nothing ran (all waiting blocked, or a request errored
-                # in schedule()): there is no pending device step to
-                # finalize, but scheduler-side outputs (grammar errors,
-                # stats) must still flush.
+                # Nothing ran (all waiting blocked, requests capped at
+                # max_tokens awaiting their pending finals, or a request
+                # errored in schedule()): no device step to finalize,
+                # but the SchedulerOutput still carries state the runner
+                # must apply — schedule() already MOVED the accumulated
+                # finished_req_ids into it, so skipping delivery would
+                # leak the runner's batch rows (stale rows then collide
+                # with reused request ids). The runner's execute_model
+                # applies update_states and returns without dispatching.
+                self.executor.execute_model(so)
                 zero_so = so
         outputs: dict[int, EngineCoreOutputs] = {}
         # Drain the oldest in-flight step once the pipeline is full, or

@@ -139,7 +139,8 @@ def param_shardings(params: Any, mesh: Mesh,
         "embed": {"w": P("tp", None)},
         "layers": layer_specs,
         "final_ln": P(),
-        "lm_head": {k: (P(None, "tp") if k in ("w", "w_q", "w_p") else P())
+        "lm_head": {k: (P(None, "tp") if k in ("w", "w_q", "w_p", "w8")
+                        else (P("tp") if k == "chan_scale" else P()))
                     for k in params["lm_head"]},
     }
     # Any extra top-level params default to replicated.
