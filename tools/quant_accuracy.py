@@ -30,15 +30,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def torch_patch_ppl(model_dir: str, text: str, ctx: int, sample: int,
-                    patches: int) -> tuple[float, int]:
+                    patches: int, token_ids=None) -> tuple[float, int]:
     """Same patch protocol as vllm_tpu.benchmarks.ppl, via transformers."""
     import torch
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(model_dir)
     model = AutoModelForCausalLM.from_pretrained(
         model_dir, torch_dtype=torch.float32).eval()
-    ids = tok(text, return_tensors="pt")["input_ids"][0]
+    if token_ids is not None:
+        ids = torch.tensor(token_ids, dtype=torch.long)
+    else:
+        tok = AutoTokenizer.from_pretrained(model_dir)
+        ids = tok(text, return_tensors="pt")["input_ids"][0]
     total_nll, total_tokens = 0.0, 0
     with torch.no_grad():
         for p in range(patches):
@@ -87,11 +90,20 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     text_file = args.text_file or f"{args.model}/eval.txt"
-    with open(text_file) as f:
-        text = f.read()
+    ids_file = os.path.join(args.model, "eval_ids.npy")
+    text = None
+    eval_ids = None
+    if args.text_file is None and os.path.exists(ids_file):
+        # tokenizer decode does not round-trip; prefer the exact ids
+        import numpy as np
+
+        eval_ids = np.load(ids_file)
+    else:
+        with open(text_file) as f:
+            text = f.read()
 
     t_ppl, n = torch_patch_ppl(args.model, text, args.ctx, args.sample,
-                               args.patches)
+                               args.patches, token_ids=eval_ids)
     print(json.dumps({"config": "torch-fp32", "ppl": round(t_ppl, 4),
                       "tokens": n}), flush=True)
 
@@ -102,7 +114,8 @@ def main(argv=None) -> int:
     from vllm_tpu.models.loader import load_model_params
     from vllm_tpu.models.registry import get_model
 
-    tokenizer = AutoTokenizer.from_pretrained(args.model)
+    tokenizer = (None if eval_ids is not None
+                 else AutoTokenizer.from_pretrained(args.model))
     wanted = args.configs.split(",") if args.configs else None
     results: dict[str, float] = {}
     for label, dtype, quant, kv_dtype in CONFIGS:
@@ -119,7 +132,7 @@ def main(argv=None) -> int:
         params = load_model_params(model, config)
         ppl, n = compute_patch_ppl(model, params, tokenizer, text,
                                    args.ctx, args.sample, args.patches,
-                                   kv_dtype=kv_dtype)
+                                   kv_dtype=kv_dtype, token_ids=eval_ids)
         results[label] = ppl
         print(json.dumps({"config": label, "ppl": round(ppl, 4),
                           "tokens": n}), flush=True)

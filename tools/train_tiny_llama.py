@@ -245,6 +245,10 @@ def main(argv=None) -> None:
     train_ids, eval_ids = ids[:-n_eval], ids[-n_eval:]
     with open(os.path.join(args.out, "eval.txt"), "w") as f:
         f.write(tokenizer.decode(eval_ids))
+    # the BPE decode does not round-trip (literal "Ġ" fragments), so the
+    # ppl harness consumes the token ids directly
+    np.save(os.path.join(args.out, "eval_ids.npy"),
+            np.asarray(eval_ids, np.int32), allow_pickle=False)
     print(f"# tokens: train {len(train_ids)}, eval {len(eval_ids)}",
           flush=True)
 

@@ -123,6 +123,19 @@ class EngineCore:
                 spec.num_speculative_tokens, spec.prompt_lookup_min,
                 spec.prompt_lookup_max)
 
+        # GC tuning (reference: vllm's post-init gc.freeze): the engine
+        # graph (weights refs, compiled fns, config tree) is permanent —
+        # freeze it out of collection and widen gen0 so steady-state
+        # steps don't pay multi-ms GC pauses scanning hundreds of live
+        # request objects (measured: step p50 34.8 ms but MEAN 70 ms
+        # from collection pauses at bs=256 before this).
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        allocs, g1, g2 = gc.get_threshold()
+        gc.set_threshold(max(allocs, 50_000), g1, g2)
+
     def _initialize_kv_caches(self):
         """Spec -> profile -> size -> allocate
         (reference: core.py:145 _initialize_kv_caches; SURVEY §3.3)."""

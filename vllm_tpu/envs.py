@@ -54,6 +54,11 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # weight HBM of w8a8 — use when memory-bound).
     "VLLM_TPU_QUANT_EXEC":
     lambda: os.environ.get("VLLM_TPU_QUANT_EXEC", "w8a8"),
+    # decode kernel rows per program (SB): more rows amortize the fixed
+    # per-program cost and widen the cross-program DMA overlap window at
+    # the cost of more VMEM scratch
+    "VLLM_TPU_DECODE_SB":
+    lambda: int(os.environ.get("VLLM_TPU_DECODE_SB", "16")),
 }
 
 

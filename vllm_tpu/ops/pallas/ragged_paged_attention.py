@@ -932,7 +932,8 @@ def ragged_paged_attention(
             metadata.seq_lens, metadata.block_tables, k_scale, v_scale,
             scale, sliding_window, logits_soft_cap, dec_chunk,
             cascade_meta=getattr(metadata, "cascade_meta", None),
-            alibi=alibi, mg=envs.VLLM_TPU_DECODE_MG)
+            alibi=alibi, mg=envs.VLLM_TPU_DECODE_MG,
+            sb=envs.VLLM_TPU_DECODE_SB)
     return _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
