@@ -46,8 +46,10 @@ class Idefics3ForConditionalGeneration:
 
         from vllm_tpu.models.registry import resolve_model_cls
 
-        text_arch = (hf.text_config.architectures
-                     or ["LlamaForCausalLM"])[0]
+        from vllm_tpu.models.registry import arch_for_text_config
+
+        text_arch = arch_for_text_config(hf.text_config,
+                                         "LlamaForCausalLM")
         lm_cls = resolve_model_cls(text_arch)
         lm_config = ModelConfig(model=model_config.model,
                                 dtype=model_config.dtype,

@@ -45,8 +45,10 @@ class Qwen2AudioForConditionalGeneration:
 
         from vllm_tpu.models.registry import resolve_model_cls
 
-        text_arch = (hf.text_config.architectures
-                     or ["Qwen2ForCausalLM"])[0]
+        from vllm_tpu.models.registry import arch_for_text_config
+
+        text_arch = arch_for_text_config(hf.text_config,
+                                         "Qwen2ForCausalLM")
         lm_cls = resolve_model_cls(text_arch)
         lm_config = ModelConfig(model=model_config.model,
                                 dtype=model_config.dtype,
@@ -233,3 +235,86 @@ class Qwen2AudioForConditionalGeneration:
                    "b": np.zeros(self.args.hidden_size, np.float32)})
         return {"language": self.language.init_dummy_params(seed),
                 "audio": audio, "projector": proj}
+
+
+class VoxtralForConditionalGeneration(Qwen2AudioForConditionalGeneration):
+    """Voxtral — Mistral's audio-chat model (reference:
+    vllm/model_executor/models/voxtral.py).
+
+    vs Qwen2-Audio: no temporal average pool — instead the encoder
+    output [T, d] reshapes to [T/4, 4d] (intermediate_size = 4*d_model)
+    before a bias-free 2-layer GELU projector into the Mistral hidden
+    size."""
+
+    def __init__(self, model_config: ModelConfig) -> None:
+        hf = model_config.resolve_hf_config()
+        # HF marks the placeholder as audio_token_id on the top config
+        super().__init__(model_config)
+        self.audio_token_index = int(getattr(hf, "audio_token_id", None)
+                                     or 24)
+        self.image_token_index = self.audio_token_index
+        self.intermediate = int(getattr(hf.audio_config,
+                                        "intermediate_size",
+                                        4 * self.d_model))
+
+    def encode_audio(self, params: dict,
+                     input_features: jnp.ndarray) -> jnp.ndarray:
+        ep = params["audio"]
+        x = input_features
+        if x.ndim == 3:
+            x = x[0]
+        x = x.astype(self.dtype)
+
+        def conv(xin, w, b, stride):
+            C_in, T0 = xin.shape
+            xpad = jnp.pad(xin, ((0, 0), (1, 1)))
+            cols = T0 // stride
+            idx = jnp.arange(cols) * stride
+            taps = [xpad[:, idx + t] for t in range(3)]
+            stack = jnp.concatenate(taps, axis=0)
+            wf = w.transpose(2, 1, 0).reshape(3 * C_in, -1)
+            return (stack.T @ wf + b.ravel()).T
+
+        x = jax.nn.gelu(conv(x, ep["conv1_w"], ep["conv1_b"], 1),
+                        approximate=False)
+        x = jax.nn.gelu(conv(x, ep["conv2_w"], ep["conv2_b"], 2),
+                        approximate=False)
+        x = x.T
+        x = x + ep["pos"][:x.shape[0]].astype(x.dtype)
+        for li in range(self.encoder_layers):
+            lp = ep["layers"][li]
+            h = _ln(x, lp["ln1_w"], lp["ln1_b"])
+            x = x + _mha_full(h, lp, self.encoder_heads, "attn")
+            h = _ln(x, lp["ln2_w"], lp["ln2_b"])
+            h = jax.nn.gelu((h @ lp["fc1"]["w"] + lp["fc1"]["b"]).astype(
+                jnp.float32), approximate=False).astype(x.dtype)
+            x = x + (h @ lp["fc2"]["w"] + lp["fc2"]["b"])
+        x = _ln(x, ep["ln_post_w"], ep["ln_post_b"])
+        ratio = self.intermediate // self.d_model
+        Tr = (x.shape[0] // ratio) * ratio
+        x = x[:Tr].reshape(Tr // ratio, self.intermediate)
+        p = params["projector"]
+        h = jax.nn.gelu((x @ p["w1"]).astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        return h @ p["w2"]
+
+    def load_weights(self, weights_iter) -> dict:
+        npd = _np_dtype(self.model_config.dtype)
+        H = self.args.hidden_size
+        proj = {"w1": np.zeros((self.intermediate, H), npd),
+                "w2": np.zeros((H, H), npd)}
+        taps = []
+
+        def tap(it):
+            for name, w in it:
+                n = name.removeprefix("model.")
+                if n == "multi_modal_projector.linear_1.weight":
+                    proj["w1"][...] = np.asarray(w).T.astype(npd)
+                elif n == "multi_modal_projector.linear_2.weight":
+                    proj["w2"][...] = np.asarray(w).T.astype(npd)
+                else:
+                    yield name, w
+
+        params = super().load_weights(tap(weights_iter))
+        params["projector"] = proj
+        return params

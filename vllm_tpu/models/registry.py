@@ -123,6 +123,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "Qwen2AudioForConditionalGeneration": (
         "vllm_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),
+    "VoxtralForConditionalGeneration": (
+        "vllm_tpu.models.qwen2_audio", "VoxtralForConditionalGeneration"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
@@ -166,3 +168,32 @@ def get_model(model_config: "ModelConfig"):
 
 def get_supported_archs() -> list[str]:
     return sorted(set(_TEXT_GENERATION_MODELS) | set(_EXTRA_MODELS))
+
+
+# HF model_type -> architecture, for composite models whose text_config
+# was constructed programmatically (architectures=None); reference:
+# transformers CONFIG_MAPPING names.
+_MODEL_TYPE_ARCH = {
+    "llama": "LlamaForCausalLM",
+    "mistral": "MistralForCausalLM",
+    "qwen2": "Qwen2ForCausalLM",
+    "qwen3": "Qwen3ForCausalLM",
+    "gemma": "GemmaForCausalLM",
+    "gemma2": "Gemma2ForCausalLM",
+    "gemma3_text": "Gemma3ForCausalLM",
+    "cohere": "CohereForCausalLM",
+    "cohere2": "Cohere2ForCausalLM",
+    "phi3": "Phi3ForCausalLM",
+    "mixtral": "MixtralForCausalLM",
+}
+
+
+def arch_for_text_config(text_config, default: str) -> str:
+    """Architecture name for a composite model's text_config: explicit
+    architectures win; otherwise model_type maps through
+    _MODEL_TYPE_ARCH; otherwise ``default``."""
+    archs = getattr(text_config, "architectures", None)
+    if archs:
+        return archs[0]
+    mt = getattr(text_config, "model_type", "")
+    return _MODEL_TYPE_ARCH.get(mt, default)
