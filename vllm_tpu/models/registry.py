@@ -128,12 +128,18 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),
+    "LlavaNextForConditionalGeneration": (
+        "vllm_tpu.models.llava_next", "LlavaNextForConditionalGeneration"),
     "Idefics3ForConditionalGeneration": (
         "vllm_tpu.models.idefics3", "Idefics3ForConditionalGeneration"),
     "SmolVLMForConditionalGeneration": (
         "vllm_tpu.models.idefics3", "Idefics3ForConditionalGeneration"),
     "AyaVisionForConditionalGeneration": (
         "vllm_tpu.models.aya_vision", "AyaVisionForConditionalGeneration"),
+    "InternVLForConditionalGeneration": (
+        "vllm_tpu.models.internvl", "InternVLForConditionalGeneration"),
+    "InternVLChatModel": (
+        "vllm_tpu.models.internvl", "InternVLForConditionalGeneration"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}
