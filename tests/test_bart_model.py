@@ -1,0 +1,101 @@
+"""BART encoder-decoder tests: encoder goldens vs HF and engine e2e
+greedy parity (reference analog: vllm models/bart.py tests)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_bart(tmp_path_factory):
+    import torch
+    from transformers import BartConfig, BartForConditionalGeneration
+
+    torch.manual_seed(0)
+    cfg = BartConfig(vocab_size=128, d_model=32, encoder_layers=2,
+                     decoder_layers=2, encoder_attention_heads=4,
+                     decoder_attention_heads=4, encoder_ffn_dim=64,
+                     decoder_ffn_dim=64, max_position_embeddings=64,
+                     scale_embedding=True, pad_token_id=0,
+                     bos_token_id=1, eos_token_id=2,
+                     decoder_start_token_id=2, forced_bos_token_id=None,
+                     forced_eos_token_id=None)
+    hf_model = BartForConditionalGeneration(cfg)
+    hf_model.eval()
+    d = tmp_path_factory.mktemp("tiny_bart")
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    return str(d), hf_model, cfg
+
+
+def test_bart_encoder_matches_hf(tiny_bart):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    model_dir, hf_model, cfg = tiny_bart
+
+    from vllm_tpu.config import ModelConfig
+    from vllm_tpu.models.bart import BartForConditionalGeneration
+    from vllm_tpu.models.weight_utils import weights_iterator
+
+    mc = ModelConfig(model=model_dir, dtype="float32")
+    model = BartForConditionalGeneration(mc)
+    params = model.load_weights(weights_iterator(model_dir))
+
+    ids = [1, 5, 9, 13, 7, 2]
+    with torch.no_grad():
+        expect = hf_model.model.encoder(
+            torch.tensor([ids])).last_hidden_state[0].numpy()
+
+    pad = np.zeros(16, np.int32)
+    pad[:len(ids)] = ids
+    got = np.asarray(
+        jax.jit(model.encode_text)(jax.tree.map(jnp.asarray, params),
+                                   jnp.asarray(pad),
+                                   jnp.asarray(len(ids))))[:len(ids)]
+    np.testing.assert_allclose(got, expect, rtol=3e-4, atol=3e-4)
+
+
+def test_bart_engine_e2e_matches_hf_greedy(tiny_bart):
+    import torch
+
+    model_dir, hf_model, cfg = tiny_bart
+
+    from vllm_tpu.entrypoints.llm import LLM
+    from vllm_tpu.sampling_params import SamplingParams
+
+    enc_ids = [1, 5, 9, 13, 7, 2]
+
+    llm = LLM(model=model_dir, dtype="float32", max_model_len=32,
+              max_num_seqs=4, max_num_batched_tokens=64, block_size=16,
+              num_gpu_blocks_override=32, enforce_eager=True,
+              skip_tokenizer_init=True)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    # implicit rewrite: the prompt becomes the ENCODER input, the
+    # decoder starts from decoder_start_token_id
+    out = llm.generate({"prompt_token_ids": enc_ids}, sp)
+    got = list(out[0].outputs[0].token_ids)
+
+    with torch.no_grad():
+        expect = hf_model.generate(
+            input_ids=torch.tensor([enc_ids]),
+            decoder_input_ids=torch.tensor(
+                [[cfg.decoder_start_token_id]]),
+            max_new_tokens=6, do_sample=False, num_beams=1,
+            eos_token_id=None)
+        expect = expect[0, 1:7].tolist()
+    assert got == expect, (got, expect)
+
+    # a second request with a different source length exercises the
+    # per-slot cross-attention length mask
+    enc2 = [1, 8, 2]
+    out2 = llm.generate({"prompt_token_ids": enc2}, sp)
+    got2 = list(out2[0].outputs[0].token_ids)
+    with torch.no_grad():
+        expect2 = hf_model.generate(
+            input_ids=torch.tensor([enc2]),
+            decoder_input_ids=torch.tensor(
+                [[cfg.decoder_start_token_id]]),
+            max_new_tokens=6, do_sample=False, num_beams=1,
+            eos_token_id=None)
+        expect2 = expect2[0, 1:7].tolist()
+    assert got2 == expect2, (got2, expect2)

@@ -58,6 +58,33 @@ class Processor:
         else:
             raise TypeError(f"unsupported prompt type {type(prompt)}")
 
+        # Encoder-decoder TEXT models (BART family): the prompt is the
+        # ENCODER input; the decoder generates from decoder_start_token
+        # (reference: vllm encoder-decoder inputs,
+        # inputs/preprocess.py ExplicitEncoderDecoderPrompt). An explicit
+        # {"encoder_prompt_token_ids", "decoder_prompt_token_ids"} dict
+        # overrides the implicit rewrite.
+        hf_cfg = getattr(self.model_config, "hf_config", None)
+        if (getattr(hf_cfg, "is_encoder_decoder", False)
+                and getattr(hf_cfg, "model_type", "")
+                in ("bart", "mbart", "plbart")
+                and mm_inputs is None):
+            import numpy as _np
+
+            enc_ids = prompt_token_ids
+            dec_ids = None
+            if isinstance(prompt, dict):
+                if "encoder_prompt_token_ids" in prompt:
+                    enc_ids = list(prompt["encoder_prompt_token_ids"])
+                dec_ids = prompt.get("decoder_prompt_token_ids")
+            start = int(getattr(hf_cfg, "decoder_start_token_id", None)
+                        or 2)
+            prompt_token_ids = (list(dec_ids) if dec_ids
+                                else [start])
+            mm_inputs = {
+                "encoder_input_ids": _np.asarray(enc_ids, _np.int32)
+            }
+
         self._validate(request_id, prompt_token_ids, params,
                        has_mm=mm_inputs is not None)
 
@@ -71,7 +98,18 @@ class Processor:
 
             import numpy as np
 
-            if "input_features" in mm_inputs:
+            if "encoder_input_ids" in mm_inputs:
+                # encoder-decoder text (BART family): hash the encoder
+                # token ids; the budget counts encoder positions
+                ids = np.asarray(mm_inputs["encoder_input_ids"])
+                mm_hashes = [
+                    hashlib.sha256(
+                        np.ascontiguousarray(ids).tobytes())
+                    .hexdigest()[:32]
+                ]
+                encoder_token_count = int(ids.shape[-1])
+                imgs = []
+            elif "input_features" in mm_inputs:
                 # audio (Whisper-family): hash the mel features; the
                 # encoder budget counts encoder positions (frames/2)
                 feats = np.asarray(mm_inputs["input_features"])

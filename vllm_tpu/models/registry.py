@@ -120,6 +120,11 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
     "WhisperForConditionalGeneration":
     ("vllm_tpu.models.whisper", "WhisperForConditionalGeneration"),
+    "BartForConditionalGeneration": ("vllm_tpu.models.bart",
+                                     "BartForConditionalGeneration"),
+    "BartModel": ("vllm_tpu.models.bart", "BartForConditionalGeneration"),
+    "MBartForConditionalGeneration": ("vllm_tpu.models.bart",
+                                      "BartForConditionalGeneration"),
     "Qwen2AudioForConditionalGeneration": (
         "vllm_tpu.models.qwen2_audio",
         "Qwen2AudioForConditionalGeneration"),

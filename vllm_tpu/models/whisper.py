@@ -199,7 +199,8 @@ class WhisperForConditionalGeneration:
         if cross_embed is not None:
             # new audio requests this step: project encoder states to
             # per-layer cross K/V and persist at the request's slot
-            slots, embeds = cross_embed  # [B], [B, T_src, H]
+            slots, embeds = cross_embed[0], cross_embed[1]  # lens unused
+            # (whisper's source length is fixed at max_source_positions)
             embeds = embeds.astype(self.dtype)
             safe = jnp.minimum(slots, num_slots)
             for li in range(a.decoder_layers):

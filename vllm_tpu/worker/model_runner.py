@@ -318,7 +318,8 @@ class TPUModelRunner:
                 # tuple-valued cache entries
                 rs = arrs["state_reset"]
                 kv_caches = [
-                    tuple(x.at[:, rs].set(0) for x in c)
+                    tuple((x.at[rs].set(0) if x.ndim == 1
+                           else x.at[:, rs].set(0)) for x in c)
                     if isinstance(c, tuple) else c for c in kv_caches
                 ]
             skw: dict[str, Any] = {}
@@ -338,9 +339,11 @@ class TPUModelRunner:
             if "embed_idx" in arrs:
                 kw["embed_override"] = (arrs["embed_idx"], embed_vecs)
             if "cross_slots" in arrs and cross_embeds is not None:
-                # encoder-decoder: new audio requests' encoder states,
+                # encoder-decoder: new requests' encoder states,
                 # projected + persisted at their state slots in-forward
-                kw["cross_embed"] = (arrs["cross_slots"], cross_embeds)
+                # (lens mask variable-length text encoders)
+                kw["cross_embed"] = (arrs["cross_slots"], cross_embeds,
+                                     arrs["cross_lens"])
 
             input_ids = arrs["input_ids"]
             if "subst_idx" in arrs and prev_tokens is not None:
@@ -928,12 +931,17 @@ class TPUModelRunner:
             H = cross_items[0][1].shape[-1]
             slots = np.full(B, self.scheduler_config.max_num_seqs,
                             np.int32)
+            lens = np.zeros(B, np.int32)
             embs = np.zeros((B, T_src, H), np.float32)
             for j, (idx, emb) in enumerate(cross_items):
                 slots[j] = idx
                 n = min(emb.shape[0], T_src)
+                lens[j] = n
                 embs[j, :n] = emb[:n]
             prep.cross_slots = slots
+            # variable-length encoders (BART text): the model masks
+            # cross-attention past each request's true source length
+            prep.cross_lens = lens
             cross_embeds = jnp.asarray(embs)
 
         i32_blob, f32_blob, layout = self._pack_blobs(prep)
@@ -1074,6 +1082,29 @@ class TPUModelRunner:
             if hashes and all(h in self._mm_cache for h in hashes):
                 batch.mm_embeds[idx] = np.concatenate(
                     [self._mm_cache[h] for h in hashes], axis=0)
+                continue
+            if (hasattr(self.model, "encode_text")
+                    and "encoder_input_ids" in batch.mm_inputs[idx]):
+                # encoder-decoder TEXT model (BART family): the prompt
+                # rides as encoder input; states persist per slot like
+                # audio cross-KV
+                ids_np = np.asarray(
+                    batch.mm_inputs[idx]["encoder_input_ids"], np.int32)
+                n = len(ids_np)
+                # pad to a power-of-two bucket (bounded compile count);
+                # encode_text masks attention past the true length
+                P2 = max(16, 1 << (n - 1).bit_length())
+                pad = np.zeros(P2, np.int32)
+                pad[:n] = ids_np
+                if self._encode_audio_fn is None:
+                    self._encode_audio_fn = jax.jit(self.model.encode_text)
+                emb = np.asarray(
+                    self._encode_audio_fn(self.params, jnp.asarray(pad),
+                                          jnp.asarray(n)),
+                    np.float32)[:n]
+                if hashes and len(hashes) == 1:
+                    self._mm_cache[hashes[0]] = emb
+                batch.mm_embeds[idx] = emb
                 continue
             if (hasattr(self.model, "encode_audio")
                     and "input_features" in batch.mm_inputs[idx]):
@@ -1247,6 +1278,7 @@ class TPUModelRunner:
             i32_parts.append(("embed_idx", prep.embed_idx))
         if getattr(prep, "cross_slots", None) is not None:
             i32_parts.append(("cross_slots", prep.cross_slots))
+            i32_parts.append(("cross_lens", prep.cross_lens))
         if prep.subst_idx is not None:
             i32_parts.append(("subst_idx", prep.subst_idx))
         if prep.state_slots is not None:
