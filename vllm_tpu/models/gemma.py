@@ -144,8 +144,6 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
 
 class Gemma3ForCausalLM(Gemma2ForCausalLM):
 
-    PATTERN = 6  # 5 local + 1 global
-
     def parse_args(self, hf) -> ModelArgs:
         args = super().parse_args(hf)
         args = dataclass_replace(
@@ -155,6 +153,17 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
             logit_soft_cap=getattr(hf, "final_logit_softcapping", None),
             sliding_window=getattr(hf, "sliding_window", 1024),
         )
+        # layer kinds: explicit layer_types list wins; else layer i is
+        # sliding unless (i+1) % sliding_window_pattern == 0 (HF
+        # Gemma3Attention.is_sliding; default pattern 6 = 5 local + 1
+        # global)
+        lt = getattr(hf, "layer_types", None)
+        if lt:
+            self._is_global = [t == "full_attention" for t in lt]
+        else:
+            p = int(getattr(hf, "sliding_window_pattern", 6) or 6)
+            self._is_global = [(i + 1) % p == 0
+                               for i in range(hf.num_hidden_layers)]
         # local layers: rope_local_base_freq (default 10k); global layers:
         # rope_theta (1M) with rope_scaling.
         local_base = float(getattr(hf, "rope_local_base_freq", 10000.0))
@@ -169,12 +178,19 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
 
     @property
     def layer_pattern(self) -> list[dict]:
-        if self.args.num_layers % self.PATTERN:
-            return [{}]
         local = {"sliding_window": self.args.sliding_window,
                  "inv_freq": self.local_inv_freq}
         glob = {"sliding_window": None}
-        return [dict(local)] * (self.PATTERN - 1) + [glob]
+        flags = list(self._is_global)
+        # compress to the smallest repeating cycle so lax.scan still
+        # folds the layer stack (a 62-layer unrolled body would explode
+        # compile time)
+        L = len(flags)
+        for p in range(1, L + 1):
+            if L % p == 0 and flags == flags[:p] * (L // p):
+                flags = flags[:p]
+                break
+        return [dict(glob) if g else dict(local) for g in flags]
 
     def _alloc_layer_stack(self, np_dtype) -> dict:
         layers = super()._alloc_layer_stack(np_dtype)

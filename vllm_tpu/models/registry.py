@@ -145,6 +145,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
         "vllm_tpu.models.internvl", "InternVLForConditionalGeneration"),
     "InternVLChatModel": (
         "vllm_tpu.models.internvl", "InternVLForConditionalGeneration"),
+    "PaliGemmaForConditionalGeneration": (
+        "vllm_tpu.models.paligemma", "PaliGemmaForConditionalGeneration"),
+    "Gemma3ForConditionalGeneration": (
+        "vllm_tpu.models.paligemma", "Gemma3ForConditionalGeneration"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}

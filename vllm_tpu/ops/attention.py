@@ -53,6 +53,12 @@ class AttentionMetadata:
     # Cascade attention (shared batch-wide prefix): [0]=num shared
     # pages, [1:]=their page ids; None when no useful common prefix
     cascade_meta: Optional[jnp.ndarray] = None  # i32[MAXP+1]
+    # Prefix-LM models (PaliGemma: whole prompt; Gemma3-VLM: the image
+    # token span): per-request [start, end) token range that attends
+    # BIDIRECTIONALLY; [0, 0) disables. Only the jnp reference path
+    # honors it — the attention() dispatcher routes prefill-shaped
+    # batches of such models there (decode rows are causal-equivalent).
+    bidir_spans: Optional[jnp.ndarray] = None  # i32[R, 2]
 
 
 def write_kv_cache(
@@ -170,7 +176,16 @@ def ragged_paged_attention_ref(
     pos = metadata.positions[:, None]  # [T, 1]
     valid = col < metadata.seq_lens[token_req][:, None]
     if causal:
-        valid &= col <= pos
+        causal_ok = col <= pos
+        if metadata.bidir_spans is not None:
+            # prefix-LM: inside the request's [start, end) span both the
+            # query and the key attend bidirectionally
+            s0 = metadata.bidir_spans[token_req, 0][:, None]
+            s1 = metadata.bidir_spans[token_req, 1][:, None]
+            in_span = ((pos >= s0) & (pos < s1) &
+                       (col >= s0) & (col < s1))
+            causal_ok |= in_span
+        valid &= causal_ok
     if sliding_window is not None:
         valid &= col > pos - sliding_window
         if not causal:
@@ -248,7 +263,15 @@ def attention(
                         alibi_slopes=alibi_slopes)
         return (out.astype(jnp.float32) *
                 vs[None, :, None]).astype(out.dtype)
-    if causal and local_chunk is None \
+    bidir_prefill = False
+    if metadata.bidir_spans is not None:
+        from vllm_tpu.ops.pallas.ragged_paged_attention import q_block_size
+
+        # decode-shaped buckets are causal-equivalent (every query sits
+        # at its sequence end); prefill buckets need the span mask
+        bidir_prefill = q_block_size(q.shape[0],
+                                     metadata.seq_lens.shape[0]) != 16
+    if causal and local_chunk is None and not bidir_prefill \
             and _use_pallas() and q.shape[-1] % 128 == 0:
         try:
             from vllm_tpu.ops.pallas.ragged_paged_attention import (

@@ -58,6 +58,8 @@ class PreparedInputs:
     state_reset: Optional[np.ndarray] = None  # i32[R]
     spec_fold_positions: Optional[np.ndarray] = None  # i32[R, 1+S]
     spec_draft_tokens: Optional[np.ndarray] = None  # i32[R, S]
+    # prefix-LM bidirectional spans (see AttentionMetadata.bidir_spans)
+    bidir_spans: Optional[np.ndarray] = None  # i32[R, 2]
     spec_num_drafts: Optional[np.ndarray] = None  # i32[R]
     # multi-LoRA: per-token adapter slot (value == num_slots means none)
     token_lora: Optional[np.ndarray] = None  # i32[T]
@@ -96,8 +98,11 @@ class InputBatch:
         block_size: int,
         num_kv_groups: int = 1,
         image_token_index: Optional[int] = None,
+        bidir_mode: Optional[str] = None,
     ) -> None:
         self.image_token_index = image_token_index
+        # "prompt" (PaliGemma prefix-LM) | "mm_span" (Gemma3 image span)
+        self.bidir_mode = bidir_mode
         self.max_num_reqs = max_num_reqs
         self.max_model_len = max_model_len
         self.max_blocks_per_req = max_blocks_per_req
@@ -559,6 +564,18 @@ class InputBatch:
                             j, emb.shape[0] - 1)]
                 off += n
 
+        bidir_spans = None
+        if self.bidir_mode is not None:
+            R = len(seq_lens)
+            bidir_spans = np.zeros((R, 2), np.int32)
+            for row, (idx, _) in enumerate(active):
+                if self.bidir_mode == "prompt":
+                    bidir_spans[row] = (0, self.num_prompt_tokens[idx])
+                else:  # "mm_span": the image placeholder token range
+                    mp = self.mm_positions[idx]
+                    if mp is not None and len(mp):
+                        bidir_spans[row] = (mp[0], mp[-1] + 1)
+
         pooling = [self.pooling_params[idx] for idx, _ in active]
         token_req = None
         if any(p is not None for p in pooling):
@@ -617,6 +634,7 @@ class InputBatch:
             banned_required=banned_req,
             mrope_positions=mrope_positions,
             cascade_meta=cascade_meta,
+            bidir_spans=bidir_spans,
             **spec_kw,
         )
 

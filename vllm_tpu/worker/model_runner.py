@@ -239,6 +239,7 @@ class TPUModelRunner:
             num_kv_groups=len(kv_cache_config.kv_cache_groups),
             image_token_index=getattr(self.model, "image_token_index",
                                       None),
+            bidir_mode=getattr(self.model, "bidir_attention", None),
         )
         for gi, group in enumerate(kv_cache_config.kv_cache_groups):
             if not isinstance(group.kv_cache_spec, MambaSpec):
@@ -311,6 +312,7 @@ class TPUModelRunner:
                 state_slots=arrs.get("state_slots"),
                 mrope_positions=arrs.get("mrope_positions"),
                 cascade_meta=arrs.get("cascade_meta"),
+                bidir_spans=arrs.get("bidir_spans"),
             )
             if "state_reset" in arrs:
                 # zero the recurrent state of rows starting (or
@@ -488,6 +490,7 @@ class TPUModelRunner:
                 lb_seq=arrs["lb_seq"],
                 lb_q_start=arrs["lb_q_start"],
                 cascade_meta=arrs.get("cascade_meta"),
+                bidir_spans=arrs.get("bidir_spans"),
             )
             input_ids = arrs["input_ids"][0]
             if "subst_idx" in arrs and prev_tokens is not None:
@@ -574,6 +577,7 @@ class TPUModelRunner:
                 lb_q_start=arrs["lb_q_start"],
                 mrope_positions=arrs.get("mrope_positions"),
                 cascade_meta=arrs.get("cascade_meta"),
+                bidir_spans=arrs.get("bidir_spans"),
             )
             input_ids = arrs["input_ids"]
             if "subst_idx" in arrs and prev_tokens is not None:
@@ -1266,6 +1270,8 @@ class TPUModelRunner:
         ]
         if prep.mrope_positions is not None:
             i32_parts.append(("mrope_positions", prep.mrope_positions))
+        if prep.bidir_spans is not None:
+            i32_parts.append(("bidir_spans", prep.bidir_spans))
         if prep.cascade_meta is not None:
             # always present for attention batches (zeros = disabled) so
             # the static layout — and the compiled variant — is stable
