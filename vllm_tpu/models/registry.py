@@ -149,6 +149,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
         "vllm_tpu.models.paligemma", "PaliGemmaForConditionalGeneration"),
     "Gemma3ForConditionalGeneration": (
         "vllm_tpu.models.paligemma", "Gemma3ForConditionalGeneration"),
+    "Mistral3ForConditionalGeneration": (
+        "vllm_tpu.models.mistral3", "Mistral3ForConditionalGeneration"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}
