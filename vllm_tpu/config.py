@@ -59,11 +59,29 @@ class ModelConfig:
             return self.hf_config
         from transformers import AutoConfig
 
-        self.hf_config = AutoConfig.from_pretrained(
-            self.model,
-            trust_remote_code=self.trust_remote_code,
-            revision=self.revision,
-        )
+        try:
+            self.hf_config = AutoConfig.from_pretrained(
+                self.model,
+                trust_remote_code=self.trust_remote_code,
+                revision=self.revision,
+            )
+        except (ValueError, KeyError, OSError) as e:
+            # remote-code-only model types (Baichuan, ChatGLM, ...):
+            # transformers has no config class and this environment has
+            # no egress to fetch one — fall back to a generic attribute
+            # view of config.json (our model classes only read plain
+            # attributes; reference analog: trust_remote_code configs,
+            # vllm/transformers_utils/configs/)
+            import json
+            import os
+
+            from transformers import PretrainedConfig
+
+            cfg_path = os.path.join(self.model, "config.json")
+            if not os.path.exists(cfg_path):
+                raise e
+            with open(cfg_path) as f:
+                self.hf_config = PretrainedConfig.from_dict(json.load(f))
         if self.hf_overrides:
             for k, v in self.hf_overrides.items():
                 setattr(self.hf_config, k, v)

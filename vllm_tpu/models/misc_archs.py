@@ -349,3 +349,130 @@ class MptForCausalLM(GPTNeoXForCausalLM):
             "ffn.up_proj.weight": ("up.w", "", True),
             "ffn.down_proj.weight": ("down.w", "", True),
         }
+
+
+class BaiChuanForCausalLM(GPTNeoXForCausalLM):
+    """Baichuan-7B (reference: models/baichuan.py BaiChuanForCausalLM —
+    the camel-case arch string is the 7B rope variant): llama block with
+    a fused W_pack qkv (plain q|k|v concat), RMSNorm, gated silu MLP,
+    no biases. Remote-code-only on HF, so configs load through the
+    generic PretrainedConfig fallback."""
+
+    _EMBED = "model.embed_tokens.weight"
+    _FINAL_W = "model.norm.weight"
+    _FINAL_B = None
+    _LM_HEAD = "lm_head.weight"
+    _LAYER_PREFIX = "model.layers"
+
+    def parse_args(self, hf) -> NeoxArgs:
+        head_dim = hf.hidden_size // hf.num_attention_heads
+        return NeoxArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            num_kv_heads=hf.num_attention_heads,
+            head_dim=head_dim,
+            intermediate_size=hf.intermediate_size,
+            ln_eps=float(getattr(hf, "rms_norm_eps", 1e-6)),
+            rope=RopeConfig(head_size=head_dim, rotary_dim=head_dim,
+                            max_position=getattr(
+                                hf, "max_position_embeddings", None)
+                            or getattr(hf, "model_max_length", 4096),
+                            base=float(getattr(hf, "rope_theta",
+                                               10000.0))),
+            norm_type="rms",
+            parallel_residual=False,
+            gated_mlp=True,
+            act="silu",
+            qkv_bias=False,
+            o_bias=False,
+            mlp_bias=False,
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        False)),
+            max_position=getattr(hf, "max_position_embeddings", None)
+            or getattr(hf, "model_max_length", 4096),
+        )
+
+    def _hf_layer_map(self):
+        return {
+            "input_layernorm.weight": ("input_ln_w", "", False),
+            "post_attention_layernorm.weight": ("post_ln_w", "", False),
+            # W_pack: [3H, H] plain concat on the output dim — matches
+            # the fused qkv layout directly after transpose
+            "self_attn.W_pack.weight": ("qkv.w", "", True),
+            "self_attn.o_proj.weight": ("o.w", "", True),
+            "mlp.gate_proj.weight": ("gate_up.w", "gate", True),
+            "mlp.up_proj.weight": ("gate_up.w", "up2", True),
+            "mlp.down_proj.weight": ("down.w", "", True),
+        }
+
+
+class BaichuanForCausalLM(BaiChuanForCausalLM):
+    """Baichuan-13B / Baichuan2-13B (reference: models/baichuan.py
+    BaichuanForCausalLM — lower-case arch string): same block with
+    ALiBi position bias instead of rotary."""
+
+    def parse_args(self, hf) -> NeoxArgs:
+        args = super().parse_args(hf)
+        return replace(args, alibi=True,
+                       rope=replace(args.rope, rotary_dim=0))
+
+
+class ChatGLMForCausalLM(GPTNeoXForCausalLM):
+    """ChatGLM2/3 + GLM-4 chat (reference: models/chatglm.py): GLM block
+    with multi-query attention, qkv bias, INTERLEAVED rotary over half
+    the head dims, RMSNorm, fused swiglu dense_h_to_4h. Remote-code-only
+    on HF (generic config fallback)."""
+
+    _EMBED = "transformer.embedding.word_embeddings.weight"
+    _FINAL_W = "transformer.encoder.final_layernorm.weight"
+    _FINAL_B = None
+    _LM_HEAD = "transformer.output_layer.weight"
+    _LAYER_PREFIX = "transformer.encoder.layers"
+
+    def parse_args(self, hf) -> NeoxArgs:
+        nq = hf.num_attention_heads
+        H = hf.hidden_size
+        head_dim = H // nq
+        nk = (hf.multi_query_group_num
+              if getattr(hf, "multi_query_attention", False) else nq)
+        return NeoxArgs(
+            vocab_size=getattr(hf, "padded_vocab_size", None)
+            or hf.vocab_size,
+            hidden_size=H,
+            num_layers=hf.num_layers,
+            num_heads=nq,
+            num_kv_heads=nk,
+            head_dim=head_dim,
+            intermediate_size=hf.ffn_hidden_size,
+            ln_eps=float(getattr(hf, "layernorm_epsilon", 1e-5)),
+            rope=RopeConfig(head_size=head_dim,
+                            rotary_dim=head_dim // 2,
+                            max_position=getattr(hf, "seq_length", 8192),
+                            base=10000.0 * float(
+                                getattr(hf, "rope_ratio", 1.0)),
+                            is_neox_style=False),
+            norm_type="rms" if getattr(hf, "rmsnorm", True) else "ln",
+            parallel_residual=False,
+            gated_mlp=True,
+            act="silu",
+            qkv_bias=bool(getattr(hf, "add_qkv_bias", True)),
+            o_bias=False,
+            mlp_bias=False,
+            tie_embeddings=False,
+            max_position=getattr(hf, "seq_length", 8192),
+        )
+
+    def _hf_layer_map(self):
+        return {
+            "input_layernorm.weight": ("input_ln_w", "", False),
+            "post_attention_layernorm.weight": ("post_ln_w", "", False),
+            # fused [q|k|v] on the output dim (nq*d + 2*nk*d)
+            "self_attention.query_key_value.weight": ("qkv.w", "", True),
+            "self_attention.query_key_value.bias": ("qkv.b", "", False),
+            "self_attention.dense.weight": ("o.w", "", True),
+            # fused swiglu: chunk0 = gate (silu'd), chunk1 = up
+            "mlp.dense_h_to_4h.weight": ("gate_up.w", "", True),
+            "mlp.dense_4h_to_h.weight": ("down.w", "", True),
+        }

@@ -75,6 +75,13 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
     "MPTForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
+    "BaiChuanForCausalLM": ("vllm_tpu.models.misc_archs",
+                            "BaiChuanForCausalLM"),
+    "BaichuanForCausalLM": ("vllm_tpu.models.misc_archs",
+                            "BaichuanForCausalLM"),
+    "ChatGLMModel": ("vllm_tpu.models.misc_archs", "ChatGLMForCausalLM"),
+    "ChatGLMForConditionalGeneration": ("vllm_tpu.models.misc_archs",
+                                        "ChatGLMForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_tpu.models.llama_variants",
                          "Olmo2ForCausalLM"),
     "Ernie4_5ForCausalLM": ("vllm_tpu.models.llama_variants",
