@@ -203,7 +203,7 @@ def test_stream_chat_e2e_argument_deltas_before_finish():
         gen = await serving.create_chat_completion(req)
         return [c async for c in gen]
 
-    chunks = asyncio.get_event_loop().run_until_complete(collect())
+    chunks = asyncio.run(collect())
     assert chunks[-1] == "data: [DONE]\n\n"
     parsed = [json.loads(c[5:]) for c in chunks[:-1]]
     arg_chunks = [
