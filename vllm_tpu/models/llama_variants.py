@@ -94,6 +94,25 @@ class GraniteForCausalLM(LlamaForCausalLM):
         )
 
 
+class MiniCPMForCausalLM(LlamaForCausalLM):
+    """MiniCPM 1/2 dense (reference: models/minicpm.py): Llama block with
+    muP-style scalings — embeddings x scale_emb, each residual branch x
+    scale_depth/sqrt(L), logits x dim_model_base/hidden_size. Remote-
+    code-only on HF, so the config loads through the generic
+    PretrainedConfig fallback."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(
+            args,
+            embedding_multiplier=float(getattr(hf, "scale_emb", 1.0)),
+            residual_multiplier=float(getattr(hf, "scale_depth", 1.0)) /
+            float(hf.num_hidden_layers) ** 0.5,
+            logits_scale=float(getattr(hf, "dim_model_base",
+                                       hf.hidden_size)) / hf.hidden_size,
+        )
+
+
 class Glm4ForCausalLM(LlamaForCausalLM):
     """GLM-4 0414 (reference: models/glm4.py): partial rotary, qkv bias,
     gemma2-style sandwich norms (post_self_attn / post_mlp branch

@@ -98,6 +98,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                         "Glm4ForCausalLM"),
     "GlmForCausalLM": ("vllm_tpu.models.llama_variants",
                        "Glm4ForCausalLM"),
+    "MiniCPMForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "MiniCPMForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
     "ArceeForCausalLM": ("vllm_tpu.models.llama_variants",
