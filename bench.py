@@ -57,6 +57,10 @@ def main() -> None:
         quant = "int4"
         dtype = "bfloat16"
         kv_dtype = "int8"
+        # experiment overrides (defaults are the shipping config)
+        num_prompts = int(os.environ.get("BENCH_NUM_PROMPTS",
+                                         num_prompts))
+        max_seqs = int(os.environ.get("BENCH_MAX_SEQS", max_seqs))
 
     from transformers import LlamaConfig
 

@@ -21,6 +21,13 @@ def tiny_bart(tmp_path_factory):
                      forced_eos_token_id=None)
     hf_model = BartForConditionalGeneration(cfg)
     hf_model.eval()
+    # amplify cross-attention so greedy outputs provably DEPEND on the
+    # encoder content (a plain tiny random init generates the same
+    # argmax for any source — which once hid a dead-encoder bug)
+    with torch.no_grad():
+        for layer in hf_model.model.decoder.layers:
+            layer.encoder_attn.v_proj.weight *= 30.0
+            layer.encoder_attn.out_proj.weight *= 10.0
     d = tmp_path_factory.mktemp("tiny_bart")
     hf_model.save_pretrained(str(d), safe_serialization=True)
     return str(d), hf_model, cfg
@@ -99,3 +106,6 @@ def test_bart_engine_e2e_matches_hf_greedy(tiny_bart):
             eos_token_id=None)
         expect2 = expect2[0, 1:7].tolist()
     assert got2 == expect2, (got2, expect2)
+    # encoder sensitivity: different sources must generate differently
+    # (guards against the encoder hook silently not running)
+    assert got != got2, "outputs must depend on encoder content"

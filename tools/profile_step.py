@@ -36,6 +36,7 @@ def build_engine(out_len: int = 2048):
                             num_hidden_layers=32, num_attention_heads=32,
                             num_key_value_heads=8, head_dim=128)
         max_seqs, max_tokens, max_model_len = 256, 4096, 1024
+        max_seqs = int(os.environ.get("BENCH_MAX_SEQS", max_seqs))
         quant, dtype, kv_dtype = "int4", "bfloat16", "int8"
     else:
         model_kwargs = dict(hidden_size=256, intermediate_size=512,

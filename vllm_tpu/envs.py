@@ -59,6 +59,11 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # the cost of more VMEM scratch
     "VLLM_TPU_DECODE_SB":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_SB", "16")),
+    # decode kernel: wait on DMA semaphores via static descriptors
+    # instead of re-deriving the per-page copy descriptors (saves
+    # serial scalar-core work; 0 to fall back to full reconstruction)
+    "VLLM_TPU_DECODE_CHEAP_WAIT":
+    lambda: int(os.environ.get("VLLM_TPU_DECODE_CHEAP_WAIT", "1")),
 }
 
 

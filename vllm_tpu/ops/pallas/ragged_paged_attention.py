@@ -479,6 +479,7 @@ def _decode_kernel(
     v_scale: float,
     cascade: bool,
     alibi: Optional[tuple] = None,
+    cheap_wait: bool = True,
 ):
     """Decode-bucket kernel: SB token rows per program, each row
     streaming its own sequence's KV pages. A Pallas program has ~3us of
@@ -641,8 +642,21 @@ def _decode_kernel(
             for cpy in chunk_dma(nxt_slot, 0, dp=1):
                 cpy.start()
 
-        for cpy in chunk_dma(slot, ci):
-            cpy.wait()
+        if cheap_wait:
+            # a DMA wait only consumes the semaphore by the dst ref's
+            # byte count — build the wait descriptors with STATIC
+            # indices so the scalar core skips redoing the block-table
+            # loads + clamp math it already did at issue time (the
+            # issue path is the serial bottleneck; measured r3)
+            for j in range(sb):
+                for p in range(chunk_pages):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, 0],
+                        kv_buf.at[slot, j, pl.ds(0, page_size)],
+                        kv_sems.at[slot, j, p]).wait()
+        else:
+            for cpy in chunk_dma(slot, ci):
+                cpy.wait()
 
         col_base = ns_tokens + ci * C + col_off  # [1, MG*C]
         oks = []
@@ -726,8 +740,15 @@ def _decode_kernel(
                 for cpy in shared_dma((ci + 1) % 2, ci + 1):
                     cpy.start()
 
-            for cpy in shared_dma(slot, ci):
-                cpy.wait()
+            if cheap_wait:
+                for p in range(chunk_pages):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, 0],
+                        sh_buf.at[slot, pl.ds(0, page_size)],
+                        sh_sems.at[slot, p]).wait()
+            else:
+                for cpy in shared_dma(slot, ci):
+                    cpy.wait()
 
             col = ci * C + jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
             ok = (col < ns_tokens) & (col <= pos_row)
@@ -796,7 +817,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=("k_scale_arr", "v_scale_arr", "scale",
                      "sliding_window", "logits_soft_cap", "chunk_pages",
-                     "alibi", "sb", "mg"))
+                     "alibi", "sb", "mg", "cheap_wait"))
 def _decode_attention_impl(
     q: jnp.ndarray,
     kv_cache: jnp.ndarray,
@@ -814,6 +835,7 @@ def _decode_attention_impl(
     alibi: Optional[tuple] = None,
     sb: int = 16,
     mg: int = 4,
+    cheap_wait: bool = True,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
     _, N, ps, two_nk, _ = kv_cache.shape
@@ -853,6 +875,7 @@ def _decode_attention_impl(
         v_scale=v_scale_arr if v_scale_arr is not None else 1.0,
         cascade=cascade_meta is not None,
         alibi=alibi,
+        cheap_wait=cheap_wait,
     )
     if cascade_meta is None:
         cascade_arr = jnp.zeros(1, jnp.int32)
@@ -933,7 +956,8 @@ def ragged_paged_attention(
             scale, sliding_window, logits_soft_cap, dec_chunk,
             cascade_meta=getattr(metadata, "cascade_meta", None),
             alibi=alibi, mg=envs.VLLM_TPU_DECODE_MG,
-            sb=envs.VLLM_TPU_DECODE_SB)
+            sb=envs.VLLM_TPU_DECODE_SB,
+            cheap_wait=bool(envs.VLLM_TPU_DECODE_CHEAP_WAIT))
     return _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,

@@ -867,8 +867,9 @@ class TPUModelRunner:
         # run the vision encoder for newly-scheduled image requests
         # (reference: encoder budget / EncoderCacheManager — here the
         # encoder output caches host-side per request)
-        if getattr(self.model, "image_token_index", None) is not None \
-                or hasattr(self.model, "encode_audio"):
+        if (getattr(self.model, "image_token_index", None) is not None
+                or hasattr(self.model, "encode_audio")
+                or getattr(self.model, "uses_cross_embed", False)):
             self._encode_pending_mm(scheduler_output)
 
         token_bucket = self._pick_bucket(
