@@ -75,6 +75,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
     "MPTForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
+    "MllamaForConditionalGeneration": ("vllm_tpu.models.mllama",
+                                       "MllamaForConditionalGeneration"),
     "BaiChuanForCausalLM": ("vllm_tpu.models.misc_archs",
                             "BaiChuanForCausalLM"),
     "BaichuanForCausalLM": ("vllm_tpu.models.misc_archs",

@@ -237,8 +237,13 @@ class TPUModelRunner:
             max_blocks_per_req=max_blocks_per_req,
             block_size=self.cache_config.block_size,
             num_kv_groups=len(kv_cache_config.kv_cache_groups),
-            image_token_index=getattr(self.model, "image_token_index",
-                                      None),
+            # cross-embed models (mllama) route image features to the
+            # per-slot cross-KV states, NOT to embedding overrides at
+            # placeholder positions — the placeholder stays plain text
+            image_token_index=(None if getattr(self.model,
+                                               "uses_cross_embed", False)
+                               else getattr(self.model,
+                                            "image_token_index", None)),
             bidir_mode=getattr(self.model, "bidir_attention", None),
         )
         for gi, group in enumerate(kv_cache_config.kv_cache_groups):
