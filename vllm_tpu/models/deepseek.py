@@ -182,9 +182,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def _layer(self, lp, x, kv, li, li_kv, metadata, moe: bool):
         args = self.args
+        rm = (jnp.asarray(args.residual_multiplier, x.dtype)
+              if args.residual_multiplier else None)
         h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
         attn_out, kv = self._mla(lp, h, kv, li, li_kv, metadata)
-        x = x + attn_out
+        x = x + (attn_out if rm is None else attn_out * rm)
         h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
         if moe:
             ffw = self._moe_ffw(lp, h, li)
@@ -192,7 +194,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             gate_up = linear(h, lp["gate_up"], layer=li)
             ffw = linear(GATED_ACTIVATIONS[args.act](gate_up), lp["down"],
                          layer=li)
-        return x + ffw, kv
+        return x + (ffw if rm is None else ffw * rm), kv
 
     def _mla(self, lp, h, kv, li, li_kv, metadata):
         args = self.args
@@ -215,7 +217,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         k_pe = kv_a[:, self.kv_lora:].reshape(T, 1, rope)
 
         q_pe, k_pe = apply_rope(q_pe, k_pe, metadata.positions,
-                                self.inv_freq, False, self.rope_mscale)
+                                self.inv_freq,
+                                args.rope.is_neox_style,
+                                self.rope_mscale)
 
         # latent-space queries: q_abs = q_nope @ W_UK  [T, nh, kv_lora]
         q_abs = jnp.einsum("thn,hnk->thk", q_nope,
@@ -484,3 +488,27 @@ class DeepseekV3ForCausalLM(DeepseekV2ForCausalLM):
         self.scoring = getattr(hf, "scoring_func", None) or "sigmoid"
         self.topk_method = getattr(hf, "topk_method", None) or "noaux_tc"
         return args
+
+
+class MiniCPM3ForCausalLM(DeepseekV2ForCausalLM):
+    """MiniCPM3 (reference: models/minicpm3.py): MLA attention in the
+    DeepSeek-V2 layout (q/kv low-rank projections, shared rope key)
+    combined with MiniCPM's muP scalings — embeddings x scale_emb,
+    residual branches x scale_depth/sqrt(L), logits x
+    dim_model_base/hidden. Dense MLP (no MoE); NEOX-style rotary over
+    the rope dims (DeepSeek itself uses the interleaved style)."""
+
+    def parse_args(self, hf) -> "ModelArgs":
+        from dataclasses import replace as dc_replace
+
+        args = super().parse_args(hf)
+        rope = dc_replace(args.rope, is_neox_style=True)
+        return dc_replace(
+            args,
+            rope=rope,
+            embedding_multiplier=float(getattr(hf, "scale_emb", 1.0)),
+            residual_multiplier=float(getattr(hf, "scale_depth", 1.0)) /
+            float(hf.num_hidden_layers) ** 0.5,
+            logits_scale=float(getattr(hf, "dim_model_base",
+                                       hf.hidden_size)) / hf.hidden_size,
+        )

@@ -102,6 +102,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                        "Glm4ForCausalLM"),
     "MiniCPMForCausalLM": ("vllm_tpu.models.llama_variants",
                            "MiniCPMForCausalLM"),
+    "MiniCPM3ForCausalLM": ("vllm_tpu.models.deepseek",
+                            "MiniCPM3ForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
     "ArceeForCausalLM": ("vllm_tpu.models.llama_variants",

@@ -12,9 +12,24 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax.numpy as jnp
+
+
+class LongRopeFreqs(NamedTuple):
+    """LongRoPE (Phi-3 long-context, MiniCPM3; reference:
+    rotary_embedding.py Phi3LongRoPEScaledRotaryEmbedding): per-dim
+    frequency rescale factors, selected PER POSITION — positions below
+    original_max_position_embeddings use the short factors, the rest
+    the long factors; cos/sin are magnitude-scaled by the regime's
+    mscale."""
+
+    short: jnp.ndarray  # [rot/2]
+    long: jnp.ndarray  # [rot/2]
+    threshold: int  # original_max_position_embeddings
+    short_mscale: float
+    long_mscale: float
 
 
 @dataclass(frozen=True)
@@ -30,6 +45,16 @@ class RopeConfig:
     def from_hf_config(hf_config, head_size: int) -> "RopeConfig":
         rope_theta = float(getattr(hf_config, "rope_theta", 10000.0))
         scaling = getattr(hf_config, "rope_scaling", None)
+        if scaling:
+            scaling = dict(scaling)
+            # Phi-3 keeps original_max_position_embeddings at the top
+            # level of the config, not inside rope_scaling
+            scaling.setdefault(
+                "original_max_position_embeddings",
+                getattr(hf_config, "original_max_position_embeddings",
+                        None) or getattr(hf_config,
+                                         "max_position_embeddings",
+                                         2048))
         partial = float(getattr(hf_config, "partial_rotary_factor", 1.0))
         rotary_dim = int(head_size * partial)
         return RopeConfig(
@@ -108,6 +133,22 @@ def compute_inv_freq(cfg: RopeConfig) -> tuple[jnp.ndarray, float]:
             inv_freq = inv_freq / float(cfg.scaling.get("factor", 1.0))
         elif rope_type == "yarn":
             inv_freq, mscale = _yarn_inv_freq(cfg, inv_freq)
+        elif rope_type in ("longrope", "su"):
+            s = cfg.scaling
+            orig = int(s.get("original_max_position_embeddings",
+                             cfg.max_position))
+            scale = cfg.max_position / orig
+            default_ms = 1.0 if scale <= 1.0 else math.sqrt(
+                1 + math.log(scale) / math.log(orig))
+            return LongRopeFreqs(
+                short=inv_freq / jnp.asarray(s["short_factor"],
+                                             jnp.float32),
+                long=inv_freq / jnp.asarray(s["long_factor"],
+                                            jnp.float32),
+                threshold=orig,
+                short_mscale=float(s.get("short_mscale") or default_ms),
+                long_mscale=float(s.get("long_mscale") or default_ms),
+            ), 1.0
         elif rope_type in ("default", "mrope"):
             pass
         else:
@@ -174,10 +215,21 @@ def apply_rope(
     positions: i32[T]. Only the first `2 * len(inv_freq)` features of the
     head dim are rotated (partial rotary support).
     """
-    rotary_dim = 2 * inv_freq.shape[0]
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
-    cos = (jnp.cos(angles) * mscale)[:, None, :]  # [T, 1, rot/2]
-    sin = (jnp.sin(angles) * mscale)[:, None, :]
+    if isinstance(inv_freq, LongRopeFreqs):
+        lr = inv_freq
+        rotary_dim = 2 * lr.short.shape[0]
+        is_long = (positions >= lr.threshold)[:, None]
+        inv = jnp.where(is_long, lr.long[None, :], lr.short[None, :])
+        ms = jnp.where(is_long, lr.long_mscale, lr.short_mscale)
+        angles = positions.astype(jnp.float32)[:, None] * inv
+        cos = (jnp.cos(angles) * ms)[:, None, :]
+        sin = (jnp.sin(angles) * ms)[:, None, :]
+    else:
+        rotary_dim = 2 * inv_freq.shape[0]
+        angles = positions.astype(jnp.float32)[:, None] * \
+            inv_freq[None, :]
+        cos = (jnp.cos(angles) * mscale)[:, None, :]  # [T, 1, rot/2]
+        sin = (jnp.sin(angles) * mscale)[:, None, :]
 
     def rotate(x: jnp.ndarray) -> jnp.ndarray:
         x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
