@@ -123,10 +123,12 @@ def mamba1_mixer(h, lp, conv_state, ssm_state, seg, seg_start, pad_mask,
 
     proj = linear(x, lp["x_proj"])  # [T, dt_rank + 2N]
     dt_raw, B, C = jnp.split(proj, [dt_rank, dt_rank + d_state], axis=-1)
-    # Jamba-specific RMS norms on the selection parameters
-    dt_raw = _rms(dt_raw, lp["dt_ln"], rms_eps)
-    B = _rms(B, lp["b_ln"], rms_eps)
-    C = _rms(C, lp["c_ln"], rms_eps)
+    # RMS norms on the selection parameters: Jamba uses learned weights,
+    # FalconMamba weightless ones (keys absent -> pure Mamba, no norms)
+    if "dt_ln" in lp:
+        dt_raw = _rms(dt_raw, lp["dt_ln"], rms_eps)
+        B = _rms(B, lp["b_ln"], rms_eps)
+        C = _rms(C, lp["c_ln"], rms_eps)
     dt = jax.nn.softplus(
         dt_raw @ lp["dt_proj"]["w"].astype(jnp.float32) +
         lp["dt_proj"]["b"])  # [T, D]

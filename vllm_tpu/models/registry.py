@@ -129,6 +129,9 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
         "vllm_tpu.models.modernbert", "ModernBertForSequenceClassification"),
     # state-space models
     "Mamba2ForCausalLM": ("vllm_tpu.models.mamba2", "Mamba2ForCausalLM"),
+    "MambaForCausalLM": ("vllm_tpu.models.mamba", "MambaForCausalLM"),
+    "FalconMambaForCausalLM": ("vllm_tpu.models.mamba",
+                               "FalconMambaForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
     "WhisperForConditionalGeneration":
