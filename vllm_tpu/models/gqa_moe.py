@@ -352,7 +352,8 @@ class Glm4MoeForCausalLM(Dots1ForCausalLM):
         args = super().parse_args(hf)
         return dataclass_replace(
             args, qk_norm=bool(getattr(hf, "use_qk_norm", False)),
-            attn_bias=bool(getattr(hf, "attention_bias", False)))
+            attn_bias=bool(getattr(hf, "attention_bias", False)),
+            o_bias=False)
 
 
 class Ernie45MoeForCausalLM(GqaMoEForCausalLM):

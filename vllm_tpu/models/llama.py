@@ -84,8 +84,15 @@ class ModelArgs:
             rms_eps=getattr(hf, "rms_norm_eps", 1e-6),
             rope=RopeConfig.from_hf_config(hf, head_dim),
             act=getattr(hf, "hidden_act", "silu"),
-            attn_bias=bool(getattr(hf, "attention_bias", False)),
-            o_bias=False,
+            # reference llama.py:267-274: `bias` (InternLM) implies
+            # biases on qkv AND o; `qkv_bias` (InternLM3) overrides the
+            # qkv side only
+            attn_bias=bool(getattr(hf, "qkv_bias", None)
+                           if getattr(hf, "qkv_bias", None) is not None
+                           else (getattr(hf, "attention_bias", False)
+                                 or getattr(hf, "bias", False))),
+            o_bias=bool(getattr(hf, "attention_bias", False)
+                        or getattr(hf, "bias", False)),
             mlp_bias=bool(getattr(hf, "mlp_bias", False)),
             tie_embeddings=bool(getattr(hf, "tie_word_embeddings", False)),
             sliding_window=getattr(hf, "sliding_window", None),

@@ -124,8 +124,10 @@ class Glm4ForCausalLM(LlamaForCausalLM):
         # (HF repeat_interleaves the half-width cos/sin, pairing
         # (2i, 2i+1) with the standard inv_freq[i]).
         rope = dataclass_replace(args.rope, is_neox_style=False)
-        return dataclass_replace(args, rope=rope, attn_bias=bool(
-            getattr(hf, "attention_bias", True)))
+        # GLM-4 attention_bias covers qkv only (o_proj is bias-free)
+        return dataclass_replace(args, rope=rope, o_bias=False,
+                                 attn_bias=bool(
+                                     getattr(hf, "attention_bias", True)))
 
     def _hf_layer_map(self):
         m = super()._hf_layer_map()

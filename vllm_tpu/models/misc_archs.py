@@ -476,3 +476,68 @@ class ChatGLMForCausalLM(GPTNeoXForCausalLM):
             "mlp.dense_h_to_4h.weight": ("gate_up.w", "", True),
             "mlp.dense_4h_to_h.weight": ("down.w", "", True),
         }
+
+
+class OlmoForCausalLM(GPTNeoXForCausalLM):
+    """OLMo v1 (reference: models/olmo.py): llama-shaped block with
+    NON-PARAMETRIC LayerNorms (no weights in the checkpoint — allocs
+    stay at one), gated SiLU MLP, no biases, optional q/k/v clamping
+    (clip_qkv)."""
+
+    _EMBED = "model.embed_tokens.weight"
+    _FINAL_W = "model.norm.weight"  # never present (non-parametric)
+    _FINAL_B = None
+    _LM_HEAD = "lm_head.weight"
+    _LAYER_PREFIX = "model.layers"
+
+    def parse_args(self, hf) -> NeoxArgs:
+        nq = hf.num_attention_heads
+        nk = getattr(hf, "num_key_value_heads", None) or nq
+        head_dim = hf.hidden_size // nq
+        clip = getattr(hf, "clip_qkv", None)
+        return NeoxArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=nq,
+            num_kv_heads=nk,
+            head_dim=head_dim,
+            intermediate_size=hf.intermediate_size,
+            ln_eps=1e-5,  # OlmoLayerNorm hardcodes 1e-5
+            rope=RopeConfig(head_size=head_dim, rotary_dim=head_dim,
+                            max_position=getattr(
+                                hf, "max_position_embeddings", 2048),
+                            base=float(getattr(hf, "rope_theta",
+                                               10000.0))),
+            norm_type="ln",
+            ln_bias=False,
+            parallel_residual=False,
+            gated_mlp=True,
+            act="silu",
+            qkv_bias=False,
+            o_bias=False,
+            mlp_bias=False,
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        False)),
+            max_position=getattr(hf, "max_position_embeddings", 2048),
+            clip_qkv=float(clip) if clip else None,
+        )
+
+    def _alloc(self) -> dict:
+        params = super()._alloc()
+        # non-parametric norms: fixed at one, absent from checkpoints
+        params["layers"]["input_ln_w"][...] = 1
+        params["layers"]["post_ln_w"][...] = 1
+        params["final_ln_w"][...] = 1
+        return params
+
+    def _hf_layer_map(self):
+        return {
+            "self_attn.q_proj.weight": ("qkv.w", "q", True),
+            "self_attn.k_proj.weight": ("qkv.w", "k", True),
+            "self_attn.v_proj.weight": ("qkv.w", "v", True),
+            "self_attn.o_proj.weight": ("o.w", "", True),
+            "mlp.gate_proj.weight": ("gate_up.w", "gate", True),
+            "mlp.up_proj.weight": ("gate_up.w", "up2", True),
+            "mlp.down_proj.weight": ("down.w", "", True),
+        }

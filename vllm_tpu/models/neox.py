@@ -83,6 +83,7 @@ class NeoxArgs:
     max_position: int = 2048
     alibi: bool = False  # ALiBi position bias instead of rope
     embed_ln: bool = False  # bloom: LayerNorm after the embedding
+    clip_qkv: Optional[float] = None  # OLMo: clamp q/k/v to +-clip
 
 
 class GPTNeoXForCausalLM:
@@ -177,6 +178,8 @@ class GPTNeoXForCausalLM:
 
         h1 = self._norm(x, lp, "input_ln", li)
         qkv = linear(h1, lp["qkv"], layer=li)
+        if args.clip_qkv is not None:
+            qkv = jnp.clip(qkv, -args.clip_qkv, args.clip_qkv)
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)

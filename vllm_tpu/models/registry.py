@@ -75,12 +75,24 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                          "BloomForCausalLM"),
     "MptForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
     "MPTForCausalLM": ("vllm_tpu.models.misc_archs", "MptForCausalLM"),
+    # llama-compatible arch aliases (reference registry.py maps these
+    # straight to LlamaForCausalLM; InternLM's `bias` / InternLM3's
+    # `qkv_bias` ride ModelArgs.from_hf_config)
+    "AquilaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "AquilaModel": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "LLaMAForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "XverseForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "InternLMForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
+    "InternLM3ForCausalLM": ("vllm_tpu.models.llama",
+                             "LlamaForCausalLM"),
     "MllamaForConditionalGeneration": ("vllm_tpu.models.mllama",
                                        "MllamaForConditionalGeneration"),
     "BaiChuanForCausalLM": ("vllm_tpu.models.misc_archs",
                             "BaiChuanForCausalLM"),
     "BaichuanForCausalLM": ("vllm_tpu.models.misc_archs",
                             "BaichuanForCausalLM"),
+    "OlmoForCausalLM": ("vllm_tpu.models.misc_archs",
+                        "OlmoForCausalLM"),
     "ChatGLMModel": ("vllm_tpu.models.misc_archs", "ChatGLMForCausalLM"),
     "ChatGLMForConditionalGeneration": ("vllm_tpu.models.misc_archs",
                                         "ChatGLMForCausalLM"),
