@@ -40,15 +40,24 @@ class GPT2LMHeadModel:
         self.dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
             else jnp.float32
         self.scale = 1.0 / math.sqrt(self.head_dim)
+        # GPTBigCode (StarCoder) overrides: 1 kv head + nn.Linear layout
+        self.num_kv = self._num_kv_heads(hf)
 
         class _Args:
             vocab_size = self.vocab_size
             num_layers = self.num_layers
-            num_kv_heads = self.num_heads
+            num_kv_heads = self.num_kv
             head_dim = self.head_dim
             hidden_size = self.hidden
 
         self.args = _Args()
+
+    # checkpoint linear layout: GPT-2 Conv1D stores [in, out] (no
+    # transpose); GPTBigCode nn.Linear stores [out, in]
+    _linear_layout = False
+
+    def _num_kv_heads(self, hf) -> int:
+        return self.num_heads
 
     def forward(self, params, input_ids, kv_caches, metadata,
                 lora=None):
@@ -61,11 +70,12 @@ class GPT2LMHeadModel:
             nh, hd = self.num_heads, self.head_dim
             T = h.shape[0]
             a = layer_norm(h, lp["ln1_w"], lp["ln1_b"], self.ln_eps)
+            nk = self.num_kv
             qkv = linear(a, lp["qkv"])
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = jnp.split(qkv, [nh * hd, (nh + nk) * hd], axis=-1)
             q = q.reshape(T, nh, hd)
-            k = k.reshape(T, nh, hd)
-            v = v.reshape(T, nh, hd)
+            k = k.reshape(T, nk, hd)
+            v = v.reshape(T, nk, hd)
             kv = write_kv_cache(kv, k, v, metadata.slot_mapping,
                                 layer=li)
             attn = attention(q, kv, metadata, self.scale, layer=li)
@@ -87,7 +97,7 @@ class GPT2LMHeadModel:
     def get_kv_cache_specs(self, block_size, cache_dtype):
         return {
             f"h.{i}": FullAttentionSpec(block_size=block_size,
-                                        num_kv_heads=self.num_heads,
+                                        num_kv_heads=self.num_kv,
                                         head_size=self.head_dim,
                                         dtype=cache_dtype)
             for i in range(self.num_layers)
@@ -101,8 +111,12 @@ class GPT2LMHeadModel:
             "ln1_b": np.empty((L, H), np_dtype),
             "ln2_w": np.empty((L, H), np_dtype),
             "ln2_b": np.empty((L, H), np_dtype),
-            "qkv": {"w": np.empty((L, H, 3 * H), np_dtype),
-                    "b": np.empty((L, 3 * H), np_dtype)},
+            "qkv": {"w": np.empty(
+                (L, H, (self.num_heads + 2 * self.num_kv) *
+                 self.head_dim), np_dtype),
+                    "b": np.empty(
+                (L, (self.num_heads + 2 * self.num_kv) *
+                 self.head_dim), np_dtype)},
             "o": {"w": np.empty((L, H, H), np_dtype),
                   "b": np.empty((L, H), np_dtype)},
             "fc": {"w": np.empty((L, H, I), np_dtype),
@@ -157,10 +171,23 @@ class GPT2LMHeadModel:
                 if leaf is None:
                     layers[key][li] = w.astype(np_dtype)
                 else:
+                    if leaf == "w" and self._linear_layout:
+                        w = w.T
                     layers[key][leaf][li] = w.astype(np_dtype)
-        # GPT-2 ties lm_head to wte.
+        # GPT-2/StarCoder tie lm_head to wte.
         params["lm_head"]["w"][...] = params["embed"]["w"].T
         return params
 
     def init_dummy_params(self, seed: int = 0):
         raise NotImplementedError("use a real GPT-2 checkpoint")
+
+
+class GPTBigCodeForCausalLM(GPT2LMHeadModel):
+    """GPTBigCode / StarCoder-1 (reference: models/gpt_bigcode.py):
+    GPT-2 skeleton with multi-query attention (one kv head) and
+    nn.Linear checkpoint layout (transposed vs GPT-2's Conv1D)."""
+
+    _linear_layout = True
+
+    def _num_kv_heads(self, hf) -> int:
+        return 1 if getattr(hf, "multi_query", True) else self.num_heads

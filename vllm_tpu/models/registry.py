@@ -23,6 +23,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "GemmaForCausalLM": ("vllm_tpu.models.gemma", "GemmaForCausalLM"),
     "OPTForCausalLM": ("vllm_tpu.models.opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": ("vllm_tpu.models.gpt2", "GPT2LMHeadModel"),
+    "GPTBigCodeForCausalLM": ("vllm_tpu.models.gpt2",
+                              "GPTBigCodeForCausalLM"),
     "MixtralForCausalLM": ("vllm_tpu.models.mixtral", "MixtralForCausalLM"),
     "DbrxForCausalLM": ("vllm_tpu.models.moe_variants",
                         "DbrxForCausalLM"),
