@@ -93,6 +93,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                             "BaiChuanForCausalLM"),
     "BaichuanForCausalLM": ("vllm_tpu.models.misc_archs",
                             "BaichuanForCausalLM"),
+    "Qwen2ForRewardModel": ("vllm_tpu.models.qwen2_rm",
+                            "Qwen2ForRewardModel"),
+    "Qwen2ForProcessRewardModel": ("vllm_tpu.models.qwen2_rm",
+                                   "Qwen2ForProcessRewardModel"),
     "OlmoForCausalLM": ("vllm_tpu.models.misc_archs",
                         "OlmoForCausalLM"),
     "ChatGLMModel": ("vllm_tpu.models.misc_archs", "ChatGLMForCausalLM"),

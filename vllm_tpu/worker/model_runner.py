@@ -1061,15 +1061,19 @@ class TPUModelRunner:
             if pp is None or not prep.sample_valid[row]:
                 out.append(None)
                 continue
-            if len(pooled) > 2 and getattr(pp, "task", "") in ("score",
-                                                               "classify"):
+            classifier = len(pooled) > 2 and getattr(
+                pp, "task", "") in ("score", "classify")
+            if classifier:
                 vec = np.asarray(pooled[2], np.float32)[row]
             else:
                 vec = mean[row] if getattr(pp, "pooling_type",
                                            "last") == "mean" else last[row]
             if pp.dimensions:
                 vec = vec[:pp.dimensions]
-            if pp.normalize:
+            # classifier logits are scores, not embeddings: the L2
+            # normalize default applies to embedding outputs only
+            # (reference pooler.py: ClassifierPooler has no normalize)
+            if pp.normalize and not classifier:
                 vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
             if pp.softmax:
                 e = np.exp(vec - vec.max())
