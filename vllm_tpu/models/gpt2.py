@@ -191,3 +191,38 @@ class GPTBigCodeForCausalLM(GPT2LMHeadModel):
 
     def _num_kv_heads(self, hf) -> int:
         return 1 if getattr(hf, "multi_query", True) else self.num_heads
+
+
+class GPT2ForSequenceClassification(GPT2LMHeadModel):
+    """GPT-2 sequence classifier (reference:
+    models/gpt2.py analog in the reference registry): bias-free score
+    head over the LAST token's hidden state; served via the pooling
+    path (task="classify")."""
+
+    def __init__(self, model_config: ModelConfig) -> None:
+        super().__init__(model_config)
+        hf = model_config.resolve_hf_config()
+        self.num_labels = int(getattr(hf, "num_labels", 2))
+
+    def classify(self, params, hidden, metadata):
+        qsl = metadata.query_start_loc
+        last = hidden[jnp.maximum(qsl[1:] - 1, 0)]
+        return linear(last, params["score"])
+
+    def load_weights(self, weights_iter):
+        extra = {}
+
+        def tap(it):
+            for name, w in it:
+                if name.startswith("score."):
+                    extra[name] = np.asarray(w)
+                else:
+                    yield name, w
+
+        params = super().load_weights(tap(weights_iter))
+        np_dtype = _np_dtype(self.model_config.dtype)
+        params["score"] = {
+            "w": extra.get("score.weight",
+                           np.zeros((self.num_labels, self.hidden),
+                                    np.float32)).T.astype(np_dtype)}
+        return params

@@ -93,6 +93,13 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                             "BaiChuanForCausalLM"),
     "BaichuanForCausalLM": ("vllm_tpu.models.misc_archs",
                             "BaichuanForCausalLM"),
+    # bare-backbone embedding archs (e5-mistral, gte-Qwen2, ...)
+    "LlamaModel": ("vllm_tpu.models.decoder_embed", "LlamaModel"),
+    "MistralModel": ("vllm_tpu.models.decoder_embed", "MistralModel"),
+    "Qwen2Model": ("vllm_tpu.models.decoder_embed", "Qwen2Model"),
+    "Gemma2Model": ("vllm_tpu.models.decoder_embed", "Gemma2Model"),
+    "GPT2ForSequenceClassification": ("vllm_tpu.models.gpt2",
+                                      "GPT2ForSequenceClassification"),
     "Qwen2ForRewardModel": ("vllm_tpu.models.qwen2_rm",
                             "Qwen2ForRewardModel"),
     "Qwen2ForProcessRewardModel": ("vllm_tpu.models.qwen2_rm",
