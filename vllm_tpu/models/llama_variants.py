@@ -94,6 +94,78 @@ class GraniteForCausalLM(LlamaForCausalLM):
         )
 
 
+class Exaone4ForCausalLM(LlamaForCausalLM):
+    """EXAONE 4.0 (HF models/exaone4): post-norm residual branches (no
+    input norms — like OLMo-2), per-head QK-norm before rope, and a
+    hybrid attention schedule where sliding layers use rope + window
+    and GLOBAL layers use NoPE (no rotary) whenever a sliding window is
+    configured."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        self._sw = getattr(hf, "sliding_window", None)
+        lt = list(getattr(hf, "layer_types", None) or [])
+        if not lt:
+            lt = ["full_attention"] * hf.num_hidden_layers
+        self._layer_types = lt
+        return dataclass_replace(args, qk_norm=True)
+
+    @property
+    def layer_pattern(self) -> list[dict]:
+        cfgs = []
+        for t in self._layer_types:
+            sliding = t == "sliding_attention"
+            cfgs.append({
+                "sliding_window": self._sw if sliding else None,
+                "rope_on": self._sw is None or sliding,
+            })
+        for p in range(1, len(cfgs) + 1):
+            if len(cfgs) % p == 0 and all(
+                    cfgs[i] == cfgs[i % p] for i in range(len(cfgs))):
+                return cfgs[:p]
+        return cfgs
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        del m["input_layernorm.weight"]
+        m["self_attn.q_norm.weight"] = ("q_norm", "", False)
+        m["self_attn.k_norm.weight"] = ("k_norm", "", False)
+        m["post_feedforward_layernorm.weight"] = ("post_ffw_ln", "",
+                                                  False)
+        return m
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        del layers["input_ln"]
+        a = self.args
+        layers["post_ffw_ln"] = np.empty((a.num_layers, a.hidden_size),
+                                         np_dtype)
+        return layers
+
+    def _decoder_layer(self, lp, x, kv, li, metadata,
+                       sliding_window="default", inv_freq=None,
+                       lora_ctx=None, rope_on: bool = True):
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        qkv = linear(x, lp["qkv"], layer=li)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = rms_norm(q.reshape(T, nq, d), lp["q_norm"][li], args.rms_eps)
+        k = rms_norm(k.reshape(T, nk, d), lp["k_norm"][li], args.rms_eps)
+        v = v.reshape(T, nk, d)
+        if rope_on:
+            q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
+        attn, kv = self._cached_attention(lp, li, q, k, v, kv, metadata,
+                                          sliding_window=sliding_window)
+        attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)
+        x = x + rms_norm(attn, lp["post_ln"][li], args.rms_eps)
+
+        ffw = self._mlp(lp, x, li, lora_ctx)
+        x = x + rms_norm(ffw, lp["post_ffw_ln"][li], args.rms_eps)
+        return x, kv
+
+
 class MiniCPMForCausalLM(LlamaForCausalLM):
     """MiniCPM 1/2 dense (reference: models/minicpm.py): Llama block with
     muP-style scalings — embeddings x scale_emb, each residual branch x

@@ -129,6 +129,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                            "MiniCPMForCausalLM"),
     "MiniCPM3ForCausalLM": ("vllm_tpu.models.deepseek",
                             "MiniCPM3ForCausalLM"),
+    "Exaone4ForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "Exaone4ForCausalLM"),
     "NemotronForCausalLM": ("vllm_tpu.models.llama_variants",
                             "NemotronForCausalLM"),
     "ArceeForCausalLM": ("vllm_tpu.models.llama_variants",
