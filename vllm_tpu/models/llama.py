@@ -180,7 +180,7 @@ class LlamaForCausalLM:
         else:
             x, new_kv = self._run_layers(params["layers"], kv_caches[0],
                                          x, metadata, lora)
-        x = rms_norm(x, params["final_ln"], self.args.rms_eps)
+        x = self._final_ln(params, x)
         return x, [new_kv]
 
     def forward_stream(
@@ -203,7 +203,7 @@ class LlamaForCausalLM:
         exit_x, new_kv, resident = pipeline_stream_layers(
             self._run_layers, params["layers"], kv_caches[0], x_in,
             resident, md_stacked, self.mesh, pp)
-        exit_x = rms_norm(exit_x, params["final_ln"], self.args.rms_eps)
+        exit_x = self._final_ln(params, exit_x)
         return exit_x, [new_kv], resident
 
     def _run_layers(self, layer_params: dict, kv_stack: jnp.ndarray,
@@ -270,7 +270,7 @@ class LlamaForCausalLM:
         if inv_freq is None:
             inv_freq = self.inv_freq
 
-        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        h = self._ln(lp, "input_ln", li, x)
         qkv = apply_lora(h, linear(h, lp["qkv"], layer=li), lora_ctx,
                          "qkv")
         q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
@@ -293,10 +293,18 @@ class LlamaForCausalLM:
                                               layer=li), lora_ctx, "o")
         x = x + (attn_o if res_mult is None else attn_o * res_mult)
 
-        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        h = self._ln(lp, "post_ln", li, x)
         ffw = self._mlp(lp, h, li, lora_ctx)
         x = x + (ffw if res_mult is None else ffw * res_mult)
         return x, kv
+
+    def _ln(self, lp: dict, key: str, li, x: jnp.ndarray) -> jnp.ndarray:
+        """Block-norm hook: default RMSNorm; LayerNorm archs (Orion)
+        override and read their stacked bias under ``key + "_b"``."""
+        return rms_norm(x, lp[key][li], self.args.rms_eps)
+
+    def _final_ln(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        return rms_norm(x, params["final_ln"], self.args.rms_eps)
 
     def _mlp(self, lp: dict, h: jnp.ndarray, li, lora_ctx=None):
         """Gated-MLP hook; ungated variants (Arcee, Apertus) override."""
