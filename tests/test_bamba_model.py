@@ -44,8 +44,9 @@ def _load(bamba_dir):
 
 def _make_caches(model, block_size=4, num_blocks=32, num_slots=4):
     a = model.args
-    attn_kv = jnp.zeros((model.num_attn_layers, num_blocks, block_size,
-                         2 * a.num_kv_heads, a.head_dim), jnp.float32)
+    attn_kv = jnp.zeros((model.num_attn_layers, num_blocks,
+                         2 * a.num_kv_heads, block_size, a.head_dim),
+                        jnp.float32)
     # forward takes groups in spec order: mamba spec appears first
     # (layer 0 is mamba), so group 0 = states, group 1 = attention
     return [model.init_states(num_slots), attn_kv]

@@ -45,7 +45,7 @@ def _forward_packed(model, params):
     metadata, input_ids, _ = build_metadata(TOKENS, 4, max_blocks=8,
                                             total_pad=16, req_pad=4)
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, 4, 2 * a.num_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_heads, 4, a.head_dim),
                    jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     return np.asarray(hidden), metadata
@@ -100,7 +100,7 @@ def test_bert_bidirectional_not_causal(bert_dir):
     md2, ids2, _ = build_metadata([[101, 5, 77, 102]], 4, max_blocks=8,
                                   total_pad=8, req_pad=2)
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, 4, 2 * a.num_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_heads, 4, a.head_dim),
                    jnp.float32)
     h1, _ = model.forward(params, ids, [kv], md)
     h2, _ = model.forward(params, ids2, [kv], md2)

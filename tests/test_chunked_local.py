@@ -19,7 +19,7 @@ def test_local_chunk_mask_matches_manual():
     q = jnp.asarray(rng.standard_normal((16, 2 * K, D)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((16, K, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((16, K, D)), jnp.float32)
-    kv = jnp.zeros((32, 4, 2 * K, D), jnp.float32)
+    kv = jnp.zeros((32, 2 * K, 4, D), jnp.float32)
     kv = write_kv_cache(kv, k, v, md.slot_mapping)
     out = np.asarray(ragged_paged_attention_ref(q, kv, md, 0.25,
                                                 local_chunk=C))

@@ -127,10 +127,10 @@ def test_eagle_proposer_shapes(tiny_model_dir, eagle_draft_dir):  # noqa: F811
         lb_seq=jnp.asarray(lb_seq),
         lb_q_start=jnp.asarray(lb_q_start))
 
-    kv = jnp.zeros((a.num_layers, nb, bs, 2 * a.num_kv_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, nb, 2 * a.num_kv_heads, bs, a.head_dim),
                    jnp.float32)
     draft_kv = jnp.zeros(
-        (1, nb, bs, 2 * eagle.num_kv_heads, eagle.head_dim), jnp.float32)
+        (1, nb, 2 * eagle.num_kv_heads, bs, eagle.head_dim), jnp.float32)
     ids = jnp.asarray(np.arange(T, dtype=np.int32) + 3)
     hidden, _ = model.forward(params, ids, [kv], md)
 

@@ -47,8 +47,8 @@ def _load(jamba_dir):
 def _make_caches(model, block_size=4, num_blocks=32, num_slots=4):
     a = model.args
     n_attn = model.layer_types.count("attn")
-    attn_kv = jnp.zeros((n_attn, num_blocks, block_size,
-                         2 * a.num_kv_heads, a.head_dim), jnp.float32)
+    attn_kv = jnp.zeros((n_attn, num_blocks, 2 * a.num_kv_heads,
+                         block_size, a.head_dim), jnp.float32)
     # spec order: layer 0 is mamba -> group 0 = states, group 1 = attn
     return [model.init_states(num_slots), attn_kv]
 

@@ -43,7 +43,7 @@ def _single_seq_forward(model, params, kv_dtype, T=64, bs=16):
         lb_q_start=jnp.asarray(lb_q))
     dt = {"auto": jnp.float32, "int8": jnp.int8,
           "fp8_e4m3": jnp.float8_e4m3fn}[kv_dtype]
-    kv = jnp.zeros((a.num_layers, nb + 2, bs, 2 * a.num_kv_heads,
+    kv = jnp.zeros((a.num_layers, nb + 2, 2 * a.num_kv_heads, bs,
                     a.head_dim), dt)
     h, _ = model.forward(params, jnp.asarray(ids), [kv], md)
     return np.asarray(model.compute_logits(params, h))
@@ -123,7 +123,7 @@ def test_scale_fold_is_exact(tiny_model_dir):
 
     ks = jnp.asarray(np.abs(np.asarray(k)).max(axis=(0, 2)) / 127.0)
     vs = jnp.asarray(np.abs(np.asarray(v)).max(axis=(0, 2)) / 127.0)
-    cache = jnp.zeros((nb + 2, bs, 2 * K, D), jnp.int8)
+    cache = jnp.zeros((nb + 2, 2 * K, bs, D), jnp.int8)
     cache = write_kv_cache(cache, k, v, md.slot_mapping,
                            k_scale=ks, v_scale=vs)
     out = attention(q, cache, md, 1.0 / np.sqrt(D),
@@ -131,9 +131,9 @@ def test_scale_fold_is_exact(tiny_model_dir):
 
     # explicit dequant through a float cache
     rows = np.asarray(cache).astype(np.float32)
-    rows[:, :, :K] *= np.asarray(ks)[None, None, :, None]
-    rows[:, :, K:] *= np.asarray(vs)[None, None, :, None]
-    fcache = jnp.zeros((nb + 2, bs, 2 * K, D), jnp.float32)
+    rows[:, :K] *= np.asarray(ks)[None, :, None, None]
+    rows[:, K:] *= np.asarray(vs)[None, :, None, None]
+    fcache = jnp.zeros((nb + 2, 2 * K, bs, D), jnp.float32)
     fcache = fcache.at[:].set(rows)
     ref = attention(q, fcache, md, 1.0 / np.sqrt(D))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

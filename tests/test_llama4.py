@@ -61,7 +61,7 @@ def test_llama4_logits_match_hf(llama4_dir):
     assert a.moe_layers == (1, 3) and a.rope_layers == (1, 1, 1, 0)
     metadata, input_ids, _ = build_metadata(TOKENS, 4, max_blocks=8,
                                             total_pad=16, req_pad=4)
-    kv = jnp.zeros((a.num_layers, 32, 4, 2 * a.num_kv_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_kv_heads, 4, a.head_dim),
                    jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     logits = np.asarray(model.compute_logits(params, hidden))

@@ -109,7 +109,7 @@ def test_llama_logits_match_hf(tiny_llama_dir):
                                             max_blocks=8, total_pad=16,
                                             req_pad=4)
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, block_size, 2 * a.num_kv_heads,
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_kv_heads, block_size,
                     a.head_dim), jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     logits = np.asarray(model.compute_logits(params, hidden))
@@ -137,7 +137,7 @@ def test_decode_step_matches_prefill(tiny_llama_dir):
 
     # Full prefill of all 8 tokens.
     metadata, input_ids, _ = build_metadata([toks], block_size, 8, 8, 1)
-    kv = jnp.zeros((a.num_layers, 16, block_size, 2 * a.num_kv_heads,
+    kv = jnp.zeros((a.num_layers, 16, 2 * a.num_kv_heads, block_size,
                     a.head_dim), jnp.float32)
     hidden_full, _ = model.forward(params, input_ids, [kv], metadata)
     logits_full = np.asarray(
@@ -145,7 +145,7 @@ def test_decode_step_matches_prefill(tiny_llama_dir):
 
     # Prefill 7 tokens, then decode token 8.
     metadata7, input7, _ = build_metadata([toks[:7]], block_size, 8, 8, 1)
-    kv = jnp.zeros((a.num_layers, 16, block_size, 2 * a.num_kv_heads,
+    kv = jnp.zeros((a.num_layers, 16, 2 * a.num_kv_heads, block_size,
                     a.head_dim), jnp.float32)
     _, kvs = model.forward(params, input7, [kv], metadata7)
     dec_meta = AttentionMetadata(

@@ -379,9 +379,8 @@ def test_arch_logits_match_hf(arch, tmp_path):
         kv = jnp.zeros((a.num_layers, 32, block_size, spec.head_size),
                        jnp.float32)
     else:
-        kv = jnp.zeros((a.num_layers, 32, block_size,
-                        2 * spec.num_kv_heads, spec.head_size),
-                       jnp.float32)
+        kv = jnp.zeros((a.num_layers, 32, 2 * spec.num_kv_heads,
+                        block_size, spec.head_size), jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     logits = np.asarray(model.compute_logits(params, hidden))
 

@@ -54,7 +54,7 @@ def _forward_packed(model, params):
     metadata, input_ids, _ = build_metadata(TOKENS, 4, max_blocks=8,
                                             total_pad=16, req_pad=4)
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, 4, 2 * a.num_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_heads, 4, a.head_dim),
                    jnp.float32)
     hidden, _ = model.forward(params, input_ids, [kv], metadata)
     return np.asarray(hidden), metadata
@@ -113,7 +113,7 @@ def test_modernbert_local_window_masks(modernbert_dir):
     md, ids, _ = build_metadata([TOKENS[0]], 4, max_blocks=8,
                                 total_pad=16, req_pad=4)
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, 4, 2 * a.num_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_heads, 4, a.head_dim),
                    jnp.float32)
     h_local, _ = model.forward(params, ids, [kv], md)
     # disable the window: every layer behaves globally

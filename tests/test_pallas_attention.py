@@ -25,7 +25,7 @@ def make_case(rng, seq_specs, num_q_heads, num_kv_heads, head, page,
     assert total_q <= T
     num_blocks = 1 + sum(-(-kv // page) for _, kv in seq_specs)
     kv_cache = jnp.asarray(
-        rng.standard_normal((num_blocks, page, 2 * num_kv_heads, head),
+        rng.standard_normal((num_blocks, 2 * num_kv_heads, page, head),
                             dtype=np.float32), dtype)
     q = jnp.asarray(
         rng.standard_normal((T, num_q_heads, head), dtype=np.float32),
@@ -272,7 +272,7 @@ def test_decode_kernel_cascade_matches_reference():
 
     num_blocks = 1 + shared_pages + R * 2
     kv = jnp.asarray(
-        rng.standard_normal((1, num_blocks, page, 2 * nk, d)),
+        rng.standard_normal((1, num_blocks, 2 * nk, page, d)),
         jnp.float32)
     q = jnp.asarray(rng.standard_normal((R, nq, d)), jnp.float32)
     qsl = np.arange(R + 1, dtype=np.int32)

@@ -46,7 +46,7 @@ def _manual_hidden(llm, token_ids):
         positions=jnp.asarray(pos),
         lb_seq=jnp.asarray(lb_seq),
         lb_q_start=jnp.asarray(lb_q_start))
-    kv = jnp.zeros((a.num_layers, nb + 2, bs, 2 * a.num_kv_heads,
+    kv = jnp.zeros((a.num_layers, nb + 2, 2 * a.num_kv_heads, bs,
                     a.head_dim), jnp.float32)
     hidden, _ = model.forward(params, jnp.asarray(token_ids, jnp.int32),
                               [kv], md)

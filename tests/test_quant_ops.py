@@ -160,8 +160,8 @@ def test_int8_kv_cache_write_and_attend():
     T, nk, d, page = 8, 2, 64, 8
     k = jnp.asarray(rng.standard_normal((T, nk, d)) * 0.5, jnp.float32)
     v = jnp.asarray(rng.standard_normal((T, nk, d)) * 0.5, jnp.float32)
-    kv_f = jnp.zeros((4, page, 2 * nk, d), jnp.float32)
-    kv_q = jnp.zeros((4, page, 2 * nk, d), jnp.int8)
+    kv_f = jnp.zeros((4, 2 * nk, page, d), jnp.float32)
+    kv_q = jnp.zeros((4, 2 * nk, page, d), jnp.int8)
     slots = jnp.arange(page, page + T, dtype=jnp.int32)  # block 1
     kv_f = write_kv_cache(kv_f, k, v, slots)
     scale = jnp.asarray(0.05, jnp.float32)

@@ -143,7 +143,7 @@ def test_full_logits_match_hf(qwen2vl_dir):
         embed_vecs[p] = emb[j]
 
     a = model.args
-    kv = jnp.zeros((a.num_layers, 32, 4, 2 * a.num_kv_heads, a.head_dim),
+    kv = jnp.zeros((a.num_layers, 32, 2 * a.num_kv_heads, 4, a.head_dim),
                    jnp.float32)
     hidden, _ = model.forward(
         params, input_ids, [kv], metadata,

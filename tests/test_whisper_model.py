@@ -68,7 +68,7 @@ def test_whisper_logits_match_hf(whisper_dir):
     metadata, input_ids, _ = build_metadata([dec], 4, max_blocks=8,
                                             total_pad=8, req_pad=2)
     a = model.args
-    self_kv = jnp.zeros((a.decoder_layers, 16, 4, 2 * a.decoder_heads,
+    self_kv = jnp.zeros((a.decoder_layers, 16, 2 * a.decoder_heads, 4,
                          a.head_dim), jnp.float32)
     caches = [model.init_states(2), self_kv]
     hidden, _ = model.forward(

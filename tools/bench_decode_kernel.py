@@ -30,7 +30,7 @@ def run_case(bs, ctx, page, nq=32, nk=8, d=128, iters=20, layers=8,
     # KV generated ON DEVICE: a multi-GB host array would crawl through
     # the tunnel's host->device upload path
     key = jax.random.PRNGKey(0)
-    kv = jax.random.randint(key, (layers, num_blocks, page, 2 * nk, d),
+    kv = jax.random.randint(key, (layers, num_blocks, 2 * nk, page, d),
                             -100, 100, jnp.int8)
     q = (jax.random.normal(jax.random.fold_in(key, 1), (bs, nq, d),
                            jnp.float32) * 0.3).astype(jnp.bfloat16)

@@ -78,9 +78,9 @@ def compute_patch_ppl(model, params, tokenizer, text: str, ctx: int,
             kv = jnp.zeros((a.num_layers, nb + 2, block_size,
                             spec.head_size), kv_jdtype)
         else:
-            kv = jnp.zeros((a.num_layers, nb + 2, block_size,
-                            2 * spec.num_kv_heads, spec.head_size),
-                           kv_jdtype)
+            kv = jnp.zeros((a.num_layers, nb + 2,
+                            2 * spec.num_kv_heads, block_size,
+                            spec.head_size), kv_jdtype)
         hidden, _ = model.forward(params,
                                   jnp.asarray(window, jnp.int32), [kv],
                                   md)

@@ -3,9 +3,9 @@
 Each attention layer declares what kind of KV memory it needs; specs are
 grouped into KV-cache groups that share a block table. On TPU the backing
 store per group is one jax array per layer:
-``[num_blocks, block_size, 2 * num_kv_heads, head_size]`` (K and V
-interleaved on the heads axis, matching the ragged-paged-attention kernel's
-combined-KV layout).
+``[num_blocks, 2 * num_kv_heads, block_size, head_size]`` (K and V
+stacked on a HEAD-MAJOR axis so the ragged-paged-attention kernels read
+each head's rows contiguously from VMEM).
 """
 
 from __future__ import annotations
@@ -77,10 +77,10 @@ class AttentionSpec(KVCacheSpec):
     @property
     def page_size_bytes(self) -> int:
         # K + V for one block of tokens, at the DEVICE layout
-        # [..., block, 2*num_kv_heads, head]: the trailing two dims tile
-        # (see _tiled_bytes), so small heads/head-counts round up.
-        return self.block_size * _tiled_bytes(
-            2 * self.num_kv_heads, self.head_size, self.dtype)
+        # [..., 2*num_kv_heads, block, head]: the trailing two dims tile
+        # (see _tiled_bytes), so small blocks/heads round up.
+        return 2 * self.num_kv_heads * _tiled_bytes(
+            self.block_size, self.head_size, self.dtype)
 
 
 @dataclass(frozen=True)

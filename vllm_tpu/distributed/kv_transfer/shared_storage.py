@@ -120,6 +120,8 @@ class SharedStorageConnector(KVConnectorBase):
         import jax
         import jax.numpy as jnp
 
+        from vllm_tpu.ops.attention import KVSlabs
+
         out = []
         for g, kv in enumerate(kv_caches):
             datas = []
@@ -128,10 +130,13 @@ class SharedStorageConnector(KVConnectorBase):
                     datas.append(z[f"g{g}"])
             data = np.stack(datas, axis=1)  # [L, n, page, 2K, D]
             ids = jnp.asarray(spec.block_ids, jnp.int32)
-            kv = jax.jit(
-                lambda kv, ids, d: kv.at[:, ids].set(d),
-                donate_argnums=(0,))(kv, ids,
-                                     jnp.asarray(data, kv.dtype))
+            if isinstance(kv, KVSlabs):
+                kv = kv.set_pages(ids, data)
+            else:
+                kv = jax.jit(
+                    lambda kv, ids, d: kv.at[:, ids].set(d),
+                    donate_argnums=(0,))(kv, ids,
+                                         jnp.asarray(data, kv.dtype))
             out.append(kv)
         logger.info("kv load: %d blocks for %s", len(spec.block_ids),
                     spec.req_id)
@@ -140,8 +145,11 @@ class SharedStorageConnector(KVConnectorBase):
     def fetch_blocks(self, kv_caches: list, spec: KVSaveSpec):
         """D2H fetch of the spec's block rows (must precede block
         reallocation; the file write may then happen async)."""
+        from vllm_tpu.ops.attention import KVSlabs
+
         return [{
-            f"g{g}": np.asarray(kv[:, bid])
+            f"g{g}": (kv.gather_pages(bid) if isinstance(kv, KVSlabs)
+                      else np.asarray(kv[:, bid]))
             for g, kv in enumerate(kv_caches)
         } for bid in spec.block_ids]
 

@@ -64,6 +64,16 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # serial scalar-core work; 0 to fall back to full reconstruction)
     "VLLM_TPU_DECODE_CHEAP_WAIT":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_CHEAP_WAIT", "1")),
+    # max bytes per KV-cache device allocation, in MB; >0 splits the
+    # stacked [L, N, ...] cache into per-layer-group slabs
+    # (ops/attention.KVSlabs) and scans layers slab by slab. Default
+    # OFF: a round-4 sweep of the real decode kernel found NO
+    # dependence on allocation size (the microbench "big-alloc penalty"
+    # that motivated slabs was an artifact of a non-donated buffer
+    # copy), and extra scans cost compile time. Kept as an experiment
+    # knob.
+    "VLLM_TPU_KV_SLAB_MB":
+    lambda: int(os.environ.get("VLLM_TPU_KV_SLAB_MB", "0")),
 }
 
 

@@ -75,9 +75,14 @@ def deepseek_routing(router_logits: jnp.ndarray, top_k: int,
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
-    # MLA latent cache, not the standard [L, N, page, 2K, D] layout —
+    # MLA latent cache, not the standard [L, N, 2K, page, D] layout —
     # the loader's per-kv-head scale calibration does not apply.
     kv_scale_calibration = False
+
+    def kv_slab_plan(self, num_layers, layer_bytes):
+        # dense/moe split scans index the stacked latent cache with a
+        # global offset; not yet adapted to KVSlabs
+        return None
 
     def parse_args(self, hf) -> ModelArgs:
         self.qk_nope = int(getattr(hf, "qk_nope_head_dim", 128))

@@ -10,7 +10,7 @@ experts, and a dense prefix/suffix of first/last layers.)
 TPU design: like models/deepseek.py, the dense prefix, the MoE middle,
 and the dense tail each run as their own jax.lax.scan over a stacked
 parameter pytree; the KV cache is the standard stacked
-[L, N, page, 2K, D] layout indexed with the GLOBAL layer index so all
+[L, N, 2K, page, D] layout indexed with the GLOBAL layer index so all
 three stacks share one cache.
 """
 
@@ -44,6 +44,11 @@ class GqaMoEForCausalLM(LlamaForCausalLM):
     # split parameter stacks (dense/moe/tail) — the loader's stacked
     # per-layer KV-scale calibration assumes a single stack; opt out.
     kv_scale_calibration = False
+
+    def kv_slab_plan(self, num_layers, layer_bytes):
+        # dense/moe split scans index the stacked cache with a global
+        # offset; not yet adapted to KVSlabs
+        return None
 
     # ------------------------------------------------------------- fwd
 

@@ -9,9 +9,9 @@ Design:
 - one fused qkv projection and one fused gate_up projection per layer
   (analog of MergedColumnParallelLinear / QKVParallelLinear,
   reference linear.py:608,886) so the MXU sees few large matmuls.
-- KV cache is a single stacked array per group: [L, num_blocks, page,
-  2*num_kv_heads, head]; the scan carries hidden states and maps over
-  (layer_params, kv_cache[l]).
+- KV cache is a stacked array per group (head-major pages:
+  [L, num_blocks, 2*num_kv_heads, page, head]), optionally split into
+  KVSlabs; the scan carries hidden states and the current slab.
 - covers Llama 1/2/3, Mistral (sliding window), Qwen2 (qkv bias),
   Qwen3 (qk-norm, head_dim override), Gemma-style options are separate
   subclasses via ModelArgs flags.
@@ -31,7 +31,7 @@ from vllm_tpu.config import ModelConfig
 from vllm_tpu.core.kv_cache_interface import (FullAttentionSpec, KVCacheSpec,
                                               SlidingWindowSpec)
 from vllm_tpu.ops.activation import GATED_ACTIVATIONS
-from vllm_tpu.ops.attention import AttentionMetadata, attention, \
+from vllm_tpu.ops.attention import AttentionMetadata, KVSlabs, attention, \
     write_kv_cache
 from vllm_tpu.ops.layernorm import rms_norm
 from vllm_tpu.ops.linear import embedding_lookup, linear, lm_head_logits
@@ -138,6 +138,28 @@ class LlamaForCausalLM:
 
     # ------------------------------------------------------------- forward
 
+    def kv_slab_plan(self, num_layers: int,
+                     layer_bytes: int) -> Optional[list[int]]:
+        """Per-slab layer counts for a slabbed KV cache, or None to
+        keep the single stacked allocation (ops/attention.KVSlabs — an
+        experiment knob, off by default). Slab sizes are multiples of
+        the layer_pattern length so each slab scans whole pattern
+        groups. The runner calls this per KV group at cache-init time;
+        model families whose forward indexes the stacked cache directly
+        (Deepseek MLA, GqaMoE) override to None until adapted."""
+        from vllm_tpu import envs
+
+        limit_mb = envs.VLLM_TPU_KV_SLAB_MB
+        if not limit_mb or getattr(self, "pp_size", 1) > 1:
+            return None
+        p = len(self.layer_pattern)
+        per = max(1, int(limit_mb) * 2**20 // max(layer_bytes, 1))
+        per = max(p, per - per % p)
+        if per >= num_layers:
+            return None
+        return [min(per, num_layers - b)
+                for b in range(0, num_layers, per)]
+
     def embed(self, params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
         x = embedding_lookup(input_ids, params["embed"]["w"])
         if self.args.embedding_multiplier:
@@ -157,7 +179,7 @@ class LlamaForCausalLM:
         self,
         params: dict,
         input_ids: jnp.ndarray,  # i32[T]
-        kv_caches: list[jnp.ndarray],  # [ [L, N, P, 2K, D] ]
+        kv_caches: list[jnp.ndarray],  # [ [L, N, 2K, P, D] ]
         metadata: AttentionMetadata,
         lora=None,  # None | (lora_params {tgt: {a,b}[L,S,..]}, token_lora)
         embed_override=None,  # None | (idx i32[M], vecs [M, H]):
@@ -206,17 +228,30 @@ class LlamaForCausalLM:
         exit_x = self._final_ln(params, exit_x)
         return exit_x, [new_kv], resident
 
-    def _run_layers(self, layer_params: dict, kv_stack: jnp.ndarray,
+    def _run_layers(self, layer_params: dict, kv_stack,
                     x: jnp.ndarray, metadata: AttentionMetadata,
-                    lora=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    lora=None) -> tuple[jnp.ndarray, Any]:
         """Scan the (possibly stage-local) stacked decoder layers.
 
-        The FULL stacked KV cache rides the scan carry; each layer
-        scatters its new rows in place at its layer index (never
-        materializing per-layer copies or a fresh stacked buffer — a
-        decode step touches only the written slots, which is the whole
-        point of paged attention)."""
-        num_layers = kv_stack.shape[0]
+        The stacked KV cache rides the scan carry; each layer scatters
+        its new rows in place at its layer index (never materializing
+        per-layer copies or a fresh stacked buffer — a decode step
+        touches only the written slots, which is the whole point of
+        paged attention).
+
+        ``kv_stack`` is either one [L, N, ...] array or a KVSlabs of
+        per-layer-group slabs (see ops/attention.KVSlabs: the device
+        DMA-streams >1GB allocations at less than half rate, so the
+        runner splits the cache). Slabs run as a Python loop of
+        per-slab scans; layer weights stay fully stacked (the MXU's
+        weight-stream path shows no such penalty —
+        tools/bench_weight_stream.py) and are indexed by GLOBAL layer
+        id, while the attention kernels get slab-LOCAL indices via
+        ``self._kv_slab_base`` (a trace-time constant consumed in
+        _cached_attention)."""
+        slabbed = isinstance(kv_stack, KVSlabs)
+        slabs = kv_stack.slabs if slabbed else (kv_stack,)
+        num_layers = sum(s.shape[0] for s in slabs)
         # tolerate host-numpy params (tests): traced-index needs jnp
         layer_params = jax.tree.map(jnp.asarray, layer_params)
         pattern = self.layer_pattern
@@ -226,7 +261,6 @@ class LlamaForCausalLM:
         def regroup(leaf):
             return leaf.reshape(num_layers // p, p, *leaf.shape[1:])
 
-        group_idx = jnp.arange(num_layers // p, dtype=jnp.int32)
         if lora is not None:
             lora_params, token_lora = lora
             lora_layers = jax.tree.map(regroup, lora_params)
@@ -238,22 +272,45 @@ class LlamaForCausalLM:
         # and attention kernels consume directly from HBM via scalar
         # prefetch — scanning the weights as xs would materialize a
         # full per-layer copy of every weight each step.
-        def body(carry, scanned):
-            h, kv = carry
-            gi, lora_g = scanned
-            for i, cfg in enumerate(pattern):
-                lora_ctx = None
-                if lora_g is not None:
-                    lora_ctx = (jax.tree.map(lambda leaf: leaf[i], lora_g),
-                                token_lora)
-                h, kv = self._decoder_layer(layer_params, h, kv,
-                                            gi * p + i, metadata,
-                                            lora_ctx=lora_ctx, **cfg)
-            return (h, kv), None
+        #
+        # The body is built FRESH per slab: lax.scan caches the traced
+        # jaxpr by body identity + avals, and every slab has identical
+        # avals — a shared body object would silently reuse slab 0's
+        # trace with its _kv_slab_base baked in.
+        def make_body():
+            def body(carry, scanned):
+                h, kv = carry
+                gi, lora_g = scanned
+                for i, cfg in enumerate(pattern):
+                    lora_ctx = None
+                    if lora_g is not None:
+                        lora_ctx = (jax.tree.map(lambda leaf: leaf[i],
+                                                 lora_g), token_lora)
+                    h, kv = self._decoder_layer(layer_params, h, kv,
+                                                gi * p + i, metadata,
+                                                lora_ctx=lora_ctx, **cfg)
+                return (h, kv), None
 
-        (x, kv_stack), _ = jax.lax.scan(
-            body, (x, kv_stack), (group_idx, lora_layers))
-        return x, kv_stack
+            return body
+
+        new_slabs = []
+        base = 0
+        for slab in slabs:
+            nl = slab.shape[0]
+            assert nl % p == 0, (nl, p)
+            g0, g1 = base // p, (base + nl) // p
+            group_idx = jnp.arange(g0, g1, dtype=jnp.int32)
+            lora_slab = None if lora_layers is None else jax.tree.map(
+                lambda leaf: leaf[g0:g1], lora_layers)
+            self._kv_slab_base = base
+            try:
+                (x, slab), _ = jax.lax.scan(
+                    make_body(), (x, slab), (group_idx, lora_slab))
+            finally:
+                self._kv_slab_base = 0
+            new_slabs.append(slab)
+            base += nl
+        return x, (KVSlabs(new_slabs) if slabbed else new_slabs[0])
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
                        li, metadata: AttentionMetadata,
@@ -299,8 +356,8 @@ class LlamaForCausalLM:
         return x, kv
 
     def _ln(self, lp: dict, key: str, li, x: jnp.ndarray) -> jnp.ndarray:
-        """Block-norm hook: default RMSNorm; LayerNorm archs (Orion)
-        override and read their stacked bias under ``key + "_b"``."""
+        """Block-norm hook: default RMSNorm; subclasses may override
+        with a different norm."""
         return rms_norm(x, lp[key][li], self.args.rms_eps)
 
     def _final_ln(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -316,6 +373,10 @@ class LlamaForCausalLM:
         return apply_lora(act, linear(act, lp["down"], layer=li),
                           lora_ctx, "down")
 
+    # slab-local layer rebase for _cached_attention; _run_layers sets it
+    # (a Python int, baked in at trace time) while scanning a KV slab
+    _kv_slab_base = 0
+
     def _cached_attention(self, lp: dict, li, q, k, v, kv, metadata,
                           sliding_window=None, logits_soft_cap=None,
                           alibi_slopes=None, local_chunk=None,
@@ -324,17 +385,20 @@ class LlamaForCausalLM:
         per-layer per-head dequant scales when the cache is
         low-precision (models/loader.py calibrate_kv_scales; absent for
         full-precision caches). Shared by every arch that keeps the
-        standard stacked [L, N, page, 2K, D] cache."""
+        standard stacked [L, N, 2K, page, D] cache (``li`` is the GLOBAL
+        layer id; the cache array may be a slab whose local index is
+        ``li - self._kv_slab_base``)."""
         ksc = lp.get("kv_scale_k")
         k_scale = ksc[li] if ksc is not None else None
         v_scale = lp["kv_scale_v"][li] if ksc is not None else None
+        kv_li = li - self._kv_slab_base if self._kv_slab_base else li
         kv = write_kv_cache(kv, k, v, metadata.slot_mapping,
-                            k_scale=k_scale, v_scale=v_scale, layer=li)
+                            k_scale=k_scale, v_scale=v_scale, layer=kv_li)
         out = attention(q, kv, metadata,
                         self.scale if scale is None else scale,
                         sliding_window=sliding_window,
                         logits_soft_cap=logits_soft_cap,
-                        k_scale=k_scale, v_scale=v_scale, layer=li,
+                        k_scale=k_scale, v_scale=v_scale, layer=kv_li,
                         local_chunk=local_chunk,
                         alibi_slopes=alibi_slopes)
         return out, kv

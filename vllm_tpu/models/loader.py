@@ -458,11 +458,11 @@ def calibrate_kv_scales(model, params, cache_dtype: str,
         positions=jnp.asarray(pos),
         lb_seq=jnp.asarray(lb_seq),
         lb_q_start=jnp.asarray(lb_q_start))
-    kv = jnp.zeros((a.num_layers, nb + 2, block_size,
-                    2 * a.num_kv_heads, a.head_dim), model.dtype)
+    kv = jnp.zeros((a.num_layers, nb + 2, 2 * a.num_kv_heads,
+                    block_size, a.head_dim), model.dtype)
     _, new_kv = model.forward(params, jnp.asarray(ids), [kv], md)
     cache = np.asarray(new_kv[0].astype(jnp.float32))
-    amax = np.abs(cache).max(axis=(1, 2, 4))  # [L, 2K]
+    amax = np.abs(cache).max(axis=(1, 3, 4))  # [L, 2K]
     denom = {"int8": 127.0, "fp8": 448.0, "fp8_e4m3": 448.0,
              "fp8_e5m2": 57344.0}[cache_dtype]
     scales = np.maximum(amax, 1e-6) / denom

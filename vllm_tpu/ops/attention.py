@@ -6,8 +6,13 @@ flash_attn.py, pallas.py:41-267). One op serves prefill, chunked prefill,
 decode, and spec-decode verification in a single ragged batch:
 
   q               f32/bf16 [T, num_q_heads, head]   flat token-major
-  kv_cache        [num_blocks, page_size, 2 * num_kv_heads, head]
-                  (K heads first, then V heads, per page row)
+  kv_cache        [num_blocks, 2 * num_kv_heads, page_size, head]
+                  (K heads first, then V heads; HEAD-MAJOR pages so the
+                  Pallas kernels' per-head reads are contiguous — the
+                  token-major [page, heads, head] layout made every
+                  per-head extraction a 2nk-stride sublane gather on
+                  (32,128)-tiled int8 VMEM, measured 2x the whole
+                  decode-attention time; see PARITY.md round 4)
   query_start_loc i32 [R + 1]   cumulative query counts (padding rows
                                  repeat the last value)
   seq_lens        i32 [R]        context length per request (0 for padding)
@@ -61,6 +66,75 @@ class AttentionMetadata:
     bidir_spans: Optional[jnp.ndarray] = None  # i32[R, 2]
 
 
+@jax.tree_util.register_pytree_node_class
+class KVSlabs:
+    """Layer-slabbed paged KV cache.
+
+    Logically one layer-stacked [L, N, 2K, page, D] cache; physically a
+    tuple of [Lg, N, 2K, page, D] slabs. Models scan layers slab by
+    slab (llama.py _run_layers), so the attention kernels only ever see
+    one slab (a plain ndarray) plus a slab-local layer index.
+
+    OFF by default (VLLM_TPU_KV_SLAB_MB=0): a round-4 sweep of the real
+    decode kernel found no dependence on allocation size (the earlier
+    microbench that showed a 2x "big-allocation DMA penalty" was
+    confounded by a non-donated buffer copy scaling with buffer size),
+    and per-slab scans cost extra compile time. Kept as an experiment
+    knob and exercised by tests/test_kv_slabs.py.
+
+    Registered as a pytree so it rides jit args/donation transparently.
+    NOT a tuple on purpose: tuple-valued cache-group entries already
+    mean SSM state groups in the runner step fn.
+    """
+
+    __slots__ = ("slabs",)
+
+    def __init__(self, slabs):
+        self.slabs = tuple(slabs)
+
+    def tree_flatten(self):
+        return self.slabs, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+    @property
+    def num_layers(self) -> int:
+        return sum(s.shape[0] for s in self.slabs)
+
+    @property
+    def dtype(self):
+        return self.slabs[0].dtype
+
+    @property
+    def shape(self):
+        """Logical stacked shape [L, N, 2K, page, D]."""
+        return (self.num_layers,) + tuple(self.slabs[0].shape[1:])
+
+    def gather_pages(self, page_id: int):
+        """Host-side: one page's rows across all layers -> np [L, ...]
+        (KV-connector D2H fetch path)."""
+        import numpy as np
+
+        return np.concatenate([np.asarray(s[:, page_id]) for s in self.slabs])
+
+    def set_pages(self, ids, data) -> "KVSlabs":
+        """Host-side: scatter [L, n, ...] data into pages ``ids`` (KV-
+        connector load path); returns a new KVSlabs (donated per slab)."""
+        out = []
+        base = 0
+        for s in self.slabs:
+            nl = s.shape[0]
+            out.append(
+                jax.jit(lambda kv, i, d: kv.at[:, i].set(d),
+                        donate_argnums=(0,))(
+                            s, ids, jnp.asarray(data[base:base + nl],
+                                                s.dtype)))
+            base += nl
+        return KVSlabs(out)
+
+
 def write_kv_cache(
     kv_cache: jnp.ndarray,
     k: jnp.ndarray,
@@ -73,15 +147,15 @@ def write_kv_cache(
     """Scatter new K/V rows into the paged cache
     (reference csrc analog: cache_kernels.cu reshape_and_cache).
 
-    kv_cache: [num_blocks, page, 2*K, D], or the full stacked
-    [L, num_blocks, page, 2*K, D] when ``layer`` (a traced i32 scalar) is
-    given — the layered form scatters in place on the loop-carried stack
-    so a decode step writes only the new rows, never a fresh KV buffer.
-    k, v: [T, K, D]; slot_mapping: i32[T] (padding slots point at block
-    0, the null block). Optional scales quantize into a low-precision
-    cache dtype.
+    kv_cache: [num_blocks, 2*K, page, D] (head-major pages), or the full
+    stacked [L, num_blocks, 2*K, page, D] when ``layer`` (a traced i32
+    scalar) is given — the layered form scatters in place on the
+    loop-carried stack so a decode step writes only the new rows, never
+    a fresh KV buffer. k, v: [T, K, D]; slot_mapping: i32[T] (padding
+    slots point at block 0, the null block). Optional scales quantize
+    into a low-precision cache dtype.
     """
-    page = kv_cache.shape[-3]
+    page = kv_cache.shape[-2]
     kv = jnp.concatenate([k, v], axis=1)  # [T, 2K, D]
     if kv_cache.dtype != kv.dtype:
         if k_scale is not None:
@@ -101,9 +175,11 @@ def write_kv_cache(
         kv = kv.astype(kv_cache.dtype)
     block_ids = slot_mapping // page
     offsets = slot_mapping % page
+    # advanced indices separated by the head-dim slice put the broadcast
+    # [T] axis first: the indexed view is [T, 2K, D], matching kv
     if layer is None:
-        return kv_cache.at[block_ids, offsets].set(kv)
-    return kv_cache.at[layer, block_ids, offsets].set(kv)
+        return kv_cache.at[block_ids, :, offsets].set(kv)
+    return kv_cache.at[layer, block_ids, :, offsets].set(kv)
 
 
 def ragged_paged_attention_ref(
@@ -128,7 +204,7 @@ def ragged_paged_attention_ref(
         kv_cache = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0,
                                                 keepdims=False)
     T, num_q_heads, head = q.shape
-    num_blocks, page, two_k, _ = kv_cache.shape
+    num_blocks, two_k, page, _ = kv_cache.shape
     num_kv_heads = two_k // 2
     group = num_q_heads // num_kv_heads
     R, max_blocks = metadata.block_tables.shape
@@ -141,8 +217,8 @@ def ragged_paged_attention_ref(
                          token_ids,
                          side="right") - 1, 0, R - 1)
 
-    pages = kv_cache[metadata.block_tables]  # [R, B, page, 2K, D]
-    pages = pages.reshape(R, ctx, two_k, head)
+    pages = kv_cache[metadata.block_tables]  # [R, B, 2K, page, D]
+    pages = jnp.swapaxes(pages, 2, 3).reshape(R, ctx, two_k, head)
     k_all = pages[:, :, :num_kv_heads, :]
     v_all = pages[:, :, num_kv_heads:, :]
     if kv_cache.dtype != q.dtype:
@@ -248,7 +324,7 @@ def attention(
     csrc/attention/attention_kernels.cu).
     """
     if k_scale is not None and getattr(k_scale, "ndim", 0) >= 1:
-        num_kv = kv_cache.shape[-2] // 2
+        num_kv = kv_cache.shape[-3] // 2
         group = q.shape[1] // num_kv
         qs = jnp.repeat(k_scale.astype(jnp.float32).reshape(num_kv),
                         group)

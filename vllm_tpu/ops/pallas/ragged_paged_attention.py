@@ -120,11 +120,11 @@ def _kernel(
     layer_ref,  # i32[1] — which layer of the stacked cache to read/DMA
     # tensors (HBM)
     q_hbm,  # [T + BQ, nq, d]
-    kv_hbm,  # [L, N, ps, 2*nk, d]
+    kv_hbm,  # [L, N, 2*nk, ps, d] (head-major pages)
     out_hbm,  # [T + BQ, nq, d]
     # scratch (persists across grid programs — the pipeline rides on it)
     q_buf,  # VMEM [2, BQ, nq, d]
-    kv_buf,  # VMEM [2, C, 2*nk, d]   C = CHUNK_PAGES * ps
+    kv_buf,  # VMEM [2, 2*nk, C, d]   C = CHUNK_PAGES * ps
     out_buf,  # VMEM [2, BQ, nq, d]
     pipe,  # SMEM [4]: [0]=kv chunk parity base, [1..2]=prev out q_start
     q_sems,  # DMA sems [2]
@@ -170,7 +170,7 @@ def _kernel(
             copies.append(
                 pltpu.make_async_copy(
                     kv_hbm.at[layer_ref[0], page_id],
-                    kv_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    kv_buf.at[slot, :, pl.ds(p * page_size, page_size)],
                     kv_sems.at[slot, p]))
         return copies
 
@@ -265,11 +265,11 @@ def _kernel(
             if sliding_window is not None:
                 col_ok &= col > row_pos - sliding_window
 
-            kv = kv_buf[slot]
+            kv = kv_buf[slot]  # [2nk, C, d]: per-head rows contiguous
             new_m, new_l, new_acc = [], [], []
             for h in range(num_kv_heads):
-                k = kv[:, h, :]
-                v = kv[:, num_kv_heads + h, :]
+                k = kv[h]
+                v = kv[num_kv_heads + h]
                 if kv_quant:
                     k = (k.astype(jnp.float32) * k_scale).astype(qf.dtype)
                     v = (v.astype(jnp.float32) * v_scale).astype(qf.dtype)
@@ -359,7 +359,7 @@ def _kernel(
                      "alibi"))
 def _ragged_paged_attention_impl(
     q: jnp.ndarray,
-    kv_cache: jnp.ndarray,  # [L, N, ps, 2nk, d]
+    kv_cache: jnp.ndarray,  # [L, N, 2nk, ps, d]
     layer: jnp.ndarray,  # i32[1]
     lb_seq: jnp.ndarray,
     lb_q_start: jnp.ndarray,
@@ -375,7 +375,7 @@ def _ragged_paged_attention_impl(
     alibi: Optional[tuple] = None,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
-    _, N, ps, two_nk, _ = kv_cache.shape
+    _, N, two_nk, ps, _ = kv_cache.shape
     nk = two_nk // 2
     group = nq // nk
     R = seq_lens.shape[0]
@@ -418,7 +418,7 @@ def _ragged_paged_attention_impl(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, bq, nq, d), q.dtype),
-            pltpu.VMEM((2, C, two_nk, d), kv_cache.dtype),
+            pltpu.VMEM((2, two_nk, C, d), kv_cache.dtype),
             pltpu.VMEM((2, bq, nq, d), q.dtype),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -455,12 +455,12 @@ def _decode_kernel(
     cascade_ref,  # i32[MAXP+1]: [0]=num shared pages, [1:]=page ids
     # tensors
     q_ref,  # [SB, nq, d] auto-pipelined block
-    kv_hbm,  # [L, N, ps, 2nk, d] (ANY)
+    kv_hbm,  # [L, N, 2nk, ps, d] (ANY, head-major pages)
     out_ref,  # [SB, nq, d] block
     # scratch
-    kv_buf,  # VMEM [2, SB, C, 2nk, d]
+    kv_buf,  # VMEM [2, SB, 2nk, C, d]
     kv_sems,  # DMA [2, SB, chunk_pages]
-    sh_buf,  # VMEM [2, C, 2nk, d] shared-prefix chunks (cascade)
+    sh_buf,  # VMEM [2, 2nk, C, d] shared-prefix chunks (cascade)
     sh_sems,  # DMA [2, chunk_pages]
     slot_smem,  # SMEM [1]: slot parity carried ACROSS programs
     *,
@@ -532,7 +532,7 @@ def _decode_kernel(
                 copies.append(
                     pltpu.make_async_copy(
                         kv_hbm.at[layer_ref[0], page_id],
-                        kv_buf.at[slot, j,
+                        kv_buf.at[slot, j, :,
                                   pl.ds(p * page_size, page_size)],
                         kv_sems.at[slot, j, p]))
         return copies
@@ -546,7 +546,7 @@ def _decode_kernel(
             copies.append(
                 pltpu.make_async_copy(
                     kv_hbm.at[layer_ref[0], page_id],
-                    sh_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    sh_buf.at[slot, :, pl.ds(p * page_size, page_size)],
                     sh_sems.at[slot, p]))
         return copies
 
@@ -652,7 +652,7 @@ def _decode_kernel(
                 for p in range(chunk_pages):
                     pltpu.make_async_copy(
                         kv_hbm.at[0, 0],
-                        kv_buf.at[slot, j, pl.ds(0, page_size)],
+                        kv_buf.at[slot, j, :, pl.ds(0, page_size)],
                         kv_sems.at[slot, j, p]).wait()
         else:
             for cpy in chunk_dma(slot, ci):
@@ -667,15 +667,18 @@ def _decode_kernel(
                 ok &= col_base > pos_grp[ig] - sliding_window
             oks.append(ok)
 
-        kv_all = kv_buf[slot]  # [SB, C, 2nk, d]
+        kv_all = kv_buf[slot]  # [SB, 2nk, C, d]
         qt = q_ref[...]  # [SB, nq, d]
         new_m, new_l, new_acc = [], [], []
         for h in range(num_kv_heads):
             gm, gl, gacc = [], [], []
             for ig in range(ngrp):
-                kv_g = kv_all[ig * mg:(ig + 1) * mg]  # [MG, C, 2nk, d]
-                k_big = kv_g[:, :, h, :].reshape(mg * C, head_dim)
-                v_big = kv_g[:, :, num_kv_heads + h, :].reshape(
+                kv_g = kv_all[ig * mg:(ig + 1) * mg]  # [MG, 2nk, C, d]
+                # head-major pages: per-head rows are CONTIGUOUS in VMEM
+                # (the token-major layout made this a 2nk-stride sublane
+                # gather — measured 2x the whole kernel time, r4)
+                k_big = kv_g[:, h].reshape(mg * C, head_dim)
+                v_big = kv_g[:, num_kv_heads + h].reshape(
                     mg * C, head_dim)
                 if kv_quant:
                     # dequant fold: int8/fp8 values convert to bf16 RAW
@@ -744,7 +747,7 @@ def _decode_kernel(
                 for p in range(chunk_pages):
                     pltpu.make_async_copy(
                         kv_hbm.at[0, 0],
-                        sh_buf.at[slot, pl.ds(0, page_size)],
+                        sh_buf.at[slot, :, pl.ds(0, page_size)],
                         sh_sems.at[slot, p]).wait()
             else:
                 for cpy in shared_dma(slot, ci):
@@ -755,12 +758,12 @@ def _decode_kernel(
             if sliding_window is not None:
                 ok &= col > pos_row - sliding_window
 
-            kv_sh = sh_buf[slot]  # [C, 2nk, d]
+            kv_sh = sh_buf[slot]  # [2nk, C, d]
             qt = q_ref[...]
             new_m, new_l, new_acc = [], [], []
             for h in range(num_kv_heads):
-                k = kv_sh[:, h, :]
-                v = kv_sh[:, num_kv_heads + h, :]
+                k = kv_sh[h]
+                v = kv_sh[num_kv_heads + h]
                 if kv_quant:
                     k = k.astype(qt.dtype)
                     v = v.astype(qt.dtype)
@@ -838,7 +841,7 @@ def _decode_attention_impl(
     cheap_wait: bool = True,
 ) -> jnp.ndarray:
     T, nq, d = q.shape
-    _, N, ps, two_nk, _ = kv_cache.shape
+    _, N, two_nk, ps, _ = kv_cache.shape
     nk = two_nk // 2
     group = nq // nk
     R = seq_lens.shape[0]
@@ -879,10 +882,10 @@ def _decode_attention_impl(
     )
     if cascade_meta is None:
         cascade_arr = jnp.zeros(1, jnp.int32)
-        sh_shape = (2, 1, 2, 128)  # untouched placeholder scratch
+        sh_shape = (2, 2, 1, 128)  # untouched placeholder scratch
     else:
         cascade_arr = cascade_meta
-        sh_shape = (2, C, two_nk, d)
+        sh_shape = (2, two_nk, C, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(num_progs,),
@@ -892,7 +895,7 @@ def _decode_attention_impl(
         ],
         out_specs=pl.BlockSpec((SB, nq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, SB, C, two_nk, d), kv_cache.dtype),
+            pltpu.VMEM((2, SB, two_nk, C, d), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, SB, chunk_pages)),
             pltpu.VMEM(sh_shape, kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_pages)),
@@ -948,7 +951,7 @@ def ragged_paged_attention(
         # per-program cost is dominated by serially ISSUING the
         # (rows x pages) DMA descriptors, so bigger pages want
         # proportionally fewer pages per chunk.
-        ps = kv_cache.shape[2]
+        ps = kv_cache.shape[-2]
         dec_chunk = max(1, min(chunk_pages, 256 // ps))
         return _decode_attention_impl(
             q, kv_cache, layer_arr, metadata.query_start_loc,

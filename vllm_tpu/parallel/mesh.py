@@ -59,13 +59,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def kv_cache_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
-    # [L, num_blocks, page, 2*kv_heads, head] — stages own their layers'
-    # KV; the KV heads shard over tp. The 4-dim MLA latent cache
+    # [L, num_blocks, 2*kv_heads, page, head] — stages own their
+    # layers' KV; the KV heads shard over tp. The 4-dim MLA latent cache
     # [L, num_blocks, page, D] has one shared latent head -> replicated
     # over tp (absorbed-MLA queries differ per head, the cache doesn't).
     if ndim == 4:
         return NamedSharding(mesh, P("pp", None, None, None))
-    return NamedSharding(mesh, P("pp", None, None, "tp", None))
+    return NamedSharding(mesh, P("pp", None, "tp", None, None))
 
 
 def param_shardings(params: Any, mesh: Mesh,

@@ -40,7 +40,7 @@ def _pvary(x, axis: str):
 def pipeline_layers(
     run_layers,  # fn(layers_chunk, kv_chunk, x, metadata, lora) -> (x, kv)
     layers: Any,  # stacked [L, ...] pytree, leading axis pp-sharded
-    kv: jnp.ndarray,  # [L, N, page, 2K, D]
+    kv: jnp.ndarray,  # [L, N, 2K, page, D]
     x: jnp.ndarray,  # [T, H] activations (replicated over pp)
     metadata: Any,
     lora,  # None | (lora_params [L, S, ...], token_lora)
@@ -94,7 +94,7 @@ def pipeline_layers(
 def pipeline_stream_layers(
     run_layers,  # fn(layers_chunk, kv_chunk, x, metadata, lora) -> (x, kv)
     layers: Any,  # stacked [L, ...] pytree, leading axis pp-sharded
-    kv: jnp.ndarray,  # [L, N, page, 2K, D]
+    kv: jnp.ndarray,  # [L, N, 2K, page, D]
     x_inject: jnp.ndarray,  # [T, H] embedded inputs of the NEW batch
     resident: jnp.ndarray,  # [pp, T, H] per-stage in-flight activations
     md_stacked: Any,  # AttentionMetadata, every array [pp, ...]

@@ -165,7 +165,7 @@ class EagleProposer:
     def _layer(self, dp: dict, x: jnp.ndarray, kv: jnp.ndarray,
                metadata: AttentionMetadata) -> tuple[jnp.ndarray,
                                                      jnp.ndarray]:
-        # kv is the full [1, N, page, 2K, D] draft stack (layer 0)
+        # kv is the full [1, N, 2K, page, D] draft stack (layer 0)
         """EAGLE decoder layer: no input_layernorm (llama_eagle.py:38),
         no final norm — returns hidden + residual."""
         nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
@@ -189,7 +189,7 @@ class EagleProposer:
         self,
         draft_params: dict,
         target_params: dict,
-        draft_kv: jnp.ndarray,  # [1, N, page, 2Kd, Dd]
+        draft_kv: jnp.ndarray,  # [1, N, 2Kd, page, Dd]
         input_ids: jnp.ndarray,  # i32[T] target tokens this step
         target_hidden: jnp.ndarray,  # [T, H] pre-norm final hidden
         metadata: AttentionMetadata,

@@ -206,16 +206,45 @@ class TPUModelRunner:
                          kv_cache_config.num_blocks, spec.block_size,
                          spec.head_size)
             else:
+                # head-major pages [L, N, 2K, page, D]: the Pallas
+                # kernels' per-head reads stay contiguous in VMEM
                 shape = (len(group.layer_names),
-                         kv_cache_config.num_blocks, spec.block_size,
-                         2 * spec.num_kv_heads, spec.head_size)
-            arr = jnp.zeros(shape, dtype)
-            if self.mesh is not None:
-                from vllm_tpu.parallel.mesh import kv_cache_sharding
+                         kv_cache_config.num_blocks,
+                         2 * spec.num_kv_heads, spec.block_size,
+                         spec.head_size)
 
-                arr = jax.device_put(
-                    arr, kv_cache_sharding(self.mesh, arr.ndim))
-            self.kv_caches.append(arr)
+            def _alloc(shp):
+                arr = jnp.zeros(shp, dtype)
+                if self.mesh is not None:
+                    from vllm_tpu.parallel.mesh import kv_cache_sharding
+
+                    arr = jax.device_put(
+                        arr, kv_cache_sharding(self.mesh, arr.ndim))
+                return arr
+
+            # Slab the stacked cache into <=VLLM_TPU_KV_SLAB_MB device
+            # allocations when the model's layer scan supports it: the
+            # v5e runtime DMA-streams >1GB allocations at less than
+            # half rate (ops/attention.KVSlabs).
+            plan = None
+            if not isinstance(spec, MLASpec):
+                layer_bytes = int(np.prod(shape[1:])) * \
+                    np.dtype(dtype).itemsize
+                plan_fn = getattr(self.model, "kv_slab_plan", None)
+                if plan_fn is not None:
+                    plan = plan_fn(shape[0], layer_bytes)
+            if plan:
+                from vllm_tpu.ops.attention import KVSlabs
+
+                logger.info(
+                    "KV group: %d layers x %d blocks in %d slabs of %s "
+                    "layers (%.0f MB each)", shape[0], shape[1],
+                    len(plan), plan[0],
+                    plan[0] * layer_bytes / 2**20)
+                self.kv_caches.append(
+                    KVSlabs([_alloc((lg,) + shape[1:]) for lg in plan]))
+            else:
+                self.kv_caches.append(_alloc(shape))
 
         if self.eagle is not None and \
                 self.eagle.get_kv_cache_spec(
@@ -226,8 +255,8 @@ class TPUModelRunner:
             if self.model_config.dtype == "float32":
                 dtype = jnp.float32
             self.draft_kv = jnp.zeros(
-                (1, kv_cache_config.num_blocks, spec.block_size,
-                 2 * spec.num_kv_heads, spec.head_size), dtype)
+                (1, kv_cache_config.num_blocks, 2 * spec.num_kv_heads,
+                 spec.block_size, spec.head_size), dtype)
 
         max_blocks_per_req = cdiv(self.scheduler_config.max_model_len,
                                   self.cache_config.block_size)
@@ -1424,9 +1453,9 @@ class TPUModelRunner:
                                spec.block_size, spec.head_size), dtype))
             else:
                 dummy_kv.append(
-                    jnp.zeros((len(group.layer_names), 2, spec.block_size,
-                               2 * spec.num_kv_heads, spec.head_size),
-                              dtype))
+                    jnp.zeros((len(group.layer_names), 2,
+                               2 * spec.num_kv_heads, spec.block_size,
+                               spec.head_size), dtype))
         i32_blob, f32_blob, layout = self._dummy_blobs(T, R)
         lora_stacks = (self.lora_manager.stacks
                        if self.lora_manager is not None else None)
