@@ -312,6 +312,20 @@ def make_hf_model(arch):
             HunYuanMoEV1Config(num_key_value_heads=2, head_dim=16,
                                num_experts=4, moe_topk=2,
                                pad_token_id=0, **common))
+    if arch == "granitemoe_shared":
+        from transformers import (GraniteMoeSharedConfig,
+                                  GraniteMoeSharedForCausalLM)
+
+        return GraniteMoeSharedForCausalLM(
+            GraniteMoeSharedConfig(num_key_value_heads=2,
+                                   num_local_experts=4,
+                                   num_experts_per_tok=2,
+                                   shared_intermediate_size=48,
+                                   embedding_multiplier=2.0,
+                                   attention_multiplier=0.3,
+                                   residual_multiplier=0.8,
+                                   logits_scaling=1.5,
+                                   pad_token_id=0, **common))
     if arch == "arcee":
         from transformers import ArceeConfig, ArceeForCausalLM
 
@@ -341,7 +355,8 @@ def make_hf_model(arch):
     "granite", "glm4", "nemotron", "falcon", "falcon7b", "gptj",
     "persimmon", "bloom", "mpt", "olmoe", "granitemoe", "ernie45",
     "smollm3", "seed_oss", "hunyuan_dense", "dbrx", "phimoe", "arcee",
-    "apertus", "dots1", "glm4_moe", "ernie45_moe", "hunyuan_moe"
+    "apertus", "dots1", "glm4_moe", "ernie45_moe", "hunyuan_moe",
+    "granitemoe_shared"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch
@@ -387,7 +402,8 @@ def test_arch_logits_match_hf(arch, tmp_path):
     # MoE routing amplifies tiny fp differences; loosen slightly.
     tol = 2e-3 if arch in ("mixtral", "deepseek_v2", "deepseek_v3",
                            "dbrx", "phimoe", "dots1", "glm4_moe",
-                           "ernie45_moe", "hunyuan_moe") else 5e-4
+                           "ernie45_moe", "hunyuan_moe",
+                           "granitemoe_shared") else 5e-4
     offset = 0
     for r, toks in enumerate(TOKENS):
         ours = logits[offset:offset + len(toks)]

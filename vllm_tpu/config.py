@@ -294,6 +294,37 @@ class SpeculativeConfig:
     prompt_lookup_max: int = 5
     prompt_lookup_min: int = 1
 
+    # draft-arch name -> method, mirroring the reference's auto-detect
+    # from the draft config (vllm/config.py SpeculativeConfig)
+    _ARCH_METHODS = {
+        "EagleLlamaForCausalLM": "eagle",
+        "EagleLlama4ForCausalLM": "eagle",
+        "EagleMiniCPMForCausalLM": "eagle",
+        "MedusaModel": "medusa",
+    }
+
+    def __post_init__(self):
+        if self.method is None and self.model:
+            import json
+            import os
+
+            cfg = os.path.join(self.model, "config.json")
+            if os.path.exists(cfg):
+                with open(cfg) as f:
+                    raw = json.load(f)
+                archs = raw.get("architectures") or []
+                for a in archs:
+                    if a in self._ARCH_METHODS:
+                        self.method = self._ARCH_METHODS[a]
+                        break
+                else:
+                    if any("eagle3" in a.lower() or "mtp" in a.lower()
+                           or "MLPSpeculator" in a for a in archs):
+                        raise NotImplementedError(
+                            f"speculative draft architectures {archs} "
+                            "not supported (supported: EAGLE-1 family, "
+                            "Medusa, ngram)")
+
     @property
     def enabled(self) -> bool:
         return self.method is not None and self.num_speculative_tokens > 0

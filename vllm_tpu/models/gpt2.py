@@ -42,6 +42,11 @@ class GPT2LMHeadModel:
         self.scale = 1.0 / math.sqrt(self.head_dim)
         # GPTBigCode (StarCoder) overrides: 1 kv head + nn.Linear layout
         self.num_kv = self._num_kv_heads(hf)
+        # JAIS overrides: ALiBi instead of wpe, swiglu MLP, muP scales
+        self.alibi_slopes = None
+        self.embeddings_scale = None
+        self.logits_scale = None
+        self.swiglu = False
 
         class _Args:
             vocab_size = self.vocab_size
@@ -62,7 +67,11 @@ class GPT2LMHeadModel:
     def forward(self, params, input_ids, kv_caches, metadata,
                 lora=None):
         x = embedding_lookup(input_ids, params["embed"]["w"])
-        x = x + embedding_lookup(metadata.positions, params["pos_embed"])
+        if "pos_embed" in params:  # absent under ALiBi (JAIS)
+            x = x + embedding_lookup(metadata.positions,
+                                     params["pos_embed"])
+        if self.embeddings_scale is not None:
+            x = x * jnp.asarray(self.embeddings_scale, x.dtype)
 
         def body(carry, scanned):
             h, kv = carry
@@ -78,10 +87,16 @@ class GPT2LMHeadModel:
             v = v.reshape(T, nk, hd)
             kv = write_kv_cache(kv, k, v, metadata.slot_mapping,
                                 layer=li)
-            attn = attention(q, kv, metadata, self.scale, layer=li)
+            attn = attention(q, kv, metadata, self.scale, layer=li,
+                             alibi_slopes=self.alibi_slopes)
             h = h + linear(attn.reshape(T, nh * hd), lp["o"])
             a = layer_norm(h, lp["ln2_w"], lp["ln2_b"], self.ln_eps)
-            mlp = linear(gelu_new(linear(a, lp["fc"])), lp["proj"])
+            if self.swiglu:  # JAIS: silu(c_fc) * c_fc2
+                act = jax.nn.silu(linear(a, lp["fc"])) * \
+                    linear(a, lp["fc2"])
+            else:
+                act = gelu_new(linear(a, lp["fc"]))
+            mlp = linear(act, lp["proj"])
             return (h + mlp, kv), None
 
         idxs = jnp.arange(self.args.num_layers, dtype=jnp.int32)
@@ -92,7 +107,11 @@ class GPT2LMHeadModel:
         return x, [new_kv]
 
     def compute_logits(self, params, hidden):
-        return lm_head_logits(hidden, params["lm_head"])
+        logits = lm_head_logits(hidden, params["lm_head"])
+        if self.logits_scale is not None:
+            logits = logits * jnp.asarray(self.logits_scale,
+                                          logits.dtype)
+        return logits
 
     def get_kv_cache_specs(self, block_size, cache_dtype):
         return {
@@ -124,14 +143,18 @@ class GPT2LMHeadModel:
             "proj": {"w": np.empty((L, I, H), np_dtype),
                      "b": np.empty((L, H), np_dtype)},
         }
+        if self.swiglu:
+            layers["fc2"] = {"w": np.empty((L, H, I), np_dtype),
+                             "b": np.zeros((L, I), np_dtype)}
         params: dict[str, Any] = {
             "embed": {"w": np.empty((self.vocab_size, H), np_dtype)},
-            "pos_embed": np.empty((self.max_pos, H), np_dtype),
             "layers": layers,
             "final_ln_w": np.empty((H,), np_dtype),
             "final_ln_b": np.empty((H,), np_dtype),
             "lm_head": {"w": np.empty((H, self.vocab_size), np_dtype)},
         }
+        if self.alibi_slopes is None:
+            params["pos_embed"] = np.empty((self.max_pos, H), np_dtype)
         # Conv1D layout: weight [in, out] — no transpose.
         suffix_map = {
             "ln_1.weight": ("ln1_w", None),
@@ -144,6 +167,8 @@ class GPT2LMHeadModel:
             "attn.c_proj.bias": ("o", "b"),
             "mlp.c_fc.weight": ("fc", "w"),
             "mlp.c_fc.bias": ("fc", "b"),
+            "mlp.c_fc2.weight": ("fc2", "w"),
+            "mlp.c_fc2.bias": ("fc2", "b"),
             "mlp.c_proj.weight": ("proj", "w"),
             "mlp.c_proj.bias": ("proj", "b"),
         }
@@ -226,3 +251,43 @@ class GPT2ForSequenceClassification(GPT2LMHeadModel):
                            np.zeros((self.num_labels, self.hidden),
                                     np.float32)).T.astype(np_dtype)}
         return params
+
+
+class JAISLMHeadModel(GPT2LMHeadModel):
+    """Core42 JAIS (reference: models/jais.py +
+    transformers_utils/configs/jais.py): GPT-2 skeleton with ALiBi
+    instead of learned positions, a swiglu MLP (``c_fc``/``c_fc2``),
+    muP scalings (``embeddings_scale`` on the embedding output,
+    ``width_scale`` on the logits), and optionally 1/d attention
+    scaling (``scale_qk_dot_by_d``). Raw gpt2-style config attrs
+    (``n_embd``/``n_layer``/``n_head``) are normalized here because the
+    remote-code config class is unavailable without egress."""
+
+    def __init__(self, model_config: ModelConfig) -> None:
+        hf = model_config.resolve_hf_config()
+        for ours, raw in (("hidden_size", "n_embd"),
+                          ("num_hidden_layers", "n_layer"),
+                          ("num_attention_heads", "n_head"),
+                          ("max_position_embeddings", "n_positions")):
+            if not hasattr(hf, ours) and hasattr(hf, raw):
+                setattr(hf, ours, getattr(hf, raw))
+        super().__init__(model_config)
+        if getattr(hf, "position_embedding_type", "alibi") == "alibi":
+            from vllm_tpu.models.neox import _alibi_slopes
+
+            self.alibi_slopes = jnp.asarray(
+                _alibi_slopes(self.num_heads), jnp.float32)
+        self.swiglu = getattr(hf, "activation_function",
+                              "swiglu") == "swiglu"
+        if hasattr(hf, "embeddings_scale"):
+            self.embeddings_scale = float(hf.embeddings_scale)
+        elif hasattr(hf, "mup_embeddings_scale"):
+            self.embeddings_scale = float(hf.mup_embeddings_scale)
+        if hasattr(hf, "width_scale"):
+            self.logits_scale = float(hf.width_scale)
+        elif hasattr(hf, "mup_output_alpha"):
+            self.logits_scale = float(hf.mup_output_alpha) * \
+                float(hf.mup_width_scale)
+        if bool(getattr(hf, "scale_qk_dot_by_d",
+                        getattr(hf, "mup_scale_qk_dot_by_d", False))):
+            self.scale = 1.0 / self.head_dim

@@ -391,3 +391,29 @@ class Ernie45MoeForCausalLM(GqaMoEForCausalLM):
             raise NotImplementedError("ernie45-moe use_bias projections")
         rope = dataclass_replace(args.rope, is_neox_style=False)
         return dataclass_replace(args, rope=rope)
+
+
+class DeepseekForCausalLM(GqaMoEForCausalLM):
+    """DeepSeek V1 MoE (reference: models/deepseek.py): standard GQA/MHA
+    llama attention with softmax greedy top-k routing (no e-bias, no
+    group limits), shared experts, and a dense prefix
+    (``first_k_dense_replace``). Only ``moe_layer_freq == 1`` layouts
+    are supported (every published V1 MoE checkpoint uses 1)."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        if int(getattr(hf, "moe_layer_freq", 1)) != 1:
+            raise NotImplementedError("deepseek moe_layer_freq != 1")
+        self.n_experts = int(hf.n_routed_experts)
+        self.moe_top_k = int(hf.num_experts_per_tok)
+        self.moe_inter = int(hf.moe_intermediate_size)
+        self.n_shared = int(getattr(hf, "n_shared_experts", 0) or 0)
+        self.first_k_dense = int(getattr(hf, "first_k_dense_replace", 1))
+        self.last_k_dense = 0
+        self.scoring = "softmax"
+        self.topk_method = "greedy"
+        self.n_group = 1
+        self.topk_group = 1
+        self.norm_topk_prob = bool(getattr(hf, "norm_topk_prob", False))
+        self.routed_scaling = 1.0
+        return args

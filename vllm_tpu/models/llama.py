@@ -483,13 +483,16 @@ class LlamaForCausalLM:
             "gate_up": {"w": np.empty((L, H, 2 * I), np_dtype)},
             "down": {"w": np.empty((L, I, H), np_dtype)},
         }
+        # biases zero-init (not empty): archs with PARTIAL biases
+        # (TeleChat2: down_proj only) leave the rest absent from the
+        # checkpoint, and zero is the correct neutral
         if a.attn_bias:
-            layers["qkv"]["b"] = np.empty((L, (nq + 2 * nk) * d), np_dtype)
+            layers["qkv"]["b"] = np.zeros((L, (nq + 2 * nk) * d), np_dtype)
         if a.o_bias:
-            layers["o"]["b"] = np.empty((L, H), np_dtype)
+            layers["o"]["b"] = np.zeros((L, H), np_dtype)
         if a.mlp_bias:
-            layers["gate_up"]["b"] = np.empty((L, 2 * I), np_dtype)
-            layers["down"]["b"] = np.empty((L, H), np_dtype)
+            layers["gate_up"]["b"] = np.zeros((L, 2 * I), np_dtype)
+            layers["down"]["b"] = np.zeros((L, H), np_dtype)
         if a.qk_norm:
             layers["q_norm"] = np.empty((L, d), np_dtype)
             layers["k_norm"] = np.empty((L, d), np_dtype)

@@ -12,7 +12,7 @@ from vllm_tpu.models.llama import (LlamaForCausalLM, ModelArgs, _np_dtype,
                                    dataclass_replace)
 from vllm_tpu.models.neox import GPTNeoXForCausalLM, NeoxArgs
 from vllm_tpu.ops.activation import GATED_ACTIVATIONS
-from vllm_tpu.ops.attention import attention, write_kv_cache
+from vllm_tpu.ops.attention import KVSlabs, attention, write_kv_cache
 from vllm_tpu.ops.layernorm import rms_norm
 from vllm_tpu.ops.linear import linear
 from vllm_tpu.ops.rotary import RopeConfig, apply_rope
@@ -466,3 +466,296 @@ class HunYuanDenseV1ForCausalLM(LlamaForCausalLM):
         m["self_attn.query_layernorm.weight"] = ("q_norm", "", False)
         m["self_attn.key_layernorm.weight"] = ("k_norm", "", False)
         return m
+
+
+class TeleFLMForCausalLM(LlamaForCausalLM):
+    """TeleFLM / FLM-2 (reference: models/teleflm.py): Llama with muP
+    scalings — embeddings scaled by ``input_mult``, logits by
+    ``output_mult / mup_scale_factor`` — when ``use_mup`` is set."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        if getattr(hf, "use_mup", False):
+            args = dataclass_replace(
+                args,
+                embedding_multiplier=float(hf.input_mult),
+                logits_scale=float(hf.output_mult) /
+                float(hf.mup_scale_factor),
+            )
+        return args
+
+
+class SolarForCausalLM(LlamaForCausalLM):
+    """Upstage Solar (reference: models/solar.py): Llama plus static
+    backbone skip connections (bskcn) — hidden states are saved BEFORE
+    the layers listed in ``bskcn_1``/``bskcn_2`` and blended back in
+    with weight ``tv = bskcn_tv[1]`` (the inference entry) before the
+    layers in ``bskcn_3``/``bskcn_4``. The save/blend points are static
+    config, so the stack runs as an unrolled layer loop instead of the
+    uniform scan."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        self._bskcn = tuple(
+            frozenset(getattr(hf, k, None) or ())
+            for k in ("bskcn_1", "bskcn_2", "bskcn_3", "bskcn_4"))
+        tv = getattr(hf, "bskcn_tv", None) or (0.9, 0.8)
+        self._bskcn_tv = float(tv[1])  # eval entry; [0] is training
+        return ModelArgs.from_hf_config(hf)
+
+    def kv_slab_plan(self, num_layers, layer_bytes):
+        return None  # unrolled loop below handles one stacked cache
+
+    def _run_layers(self, layer_params, kv_stack, x, metadata,
+                    lora=None):
+        assert not isinstance(kv_stack, KVSlabs)
+        assert lora is None, "LoRA not wired for Solar's bskcn loop"
+        layer_params = jax.tree.map(jnp.asarray, layer_params)
+        s1, s2, s3, s4 = self._bskcn
+        tv = self._bskcn_tv
+        kv = kv_stack
+        saved1 = saved2 = None
+        for li in range(self.args.num_layers):
+            if li in s1:
+                saved1 = x
+            if li in s2:
+                saved2 = x
+            if li in s3 and saved1 is not None:
+                x = saved1 * tv + x * (1 - tv)
+            if li in s4 and saved2 is not None:
+                x = saved2 * tv + x * (1 - tv)
+            x, kv = self._decoder_layer(layer_params, x, kv, li, metadata)
+        return x, kv
+
+
+class TeleChat2ForCausalLM(LlamaForCausalLM):
+    """TeleAI TeleChat2 (reference: models/telechat2.py +
+    transformers_utils/configs/telechat2.py): a Llama block under GPT-2
+    style naming (``transformer.h``) with raw config attrs (``n_layer``,
+    ``n_head``, ``ffn_hidden_size``), MHA with an interleaved per-head
+    fused ``key_value`` projection, and biases on o_proj ("dense") and
+    down_proj only."""
+
+    _EMBED = "transformer.word_embeddings.weight"
+    _FINAL_NORM = "transformer.ln_f.weight"
+    _LM_HEAD = "lm_head.weight"
+    _LAYER_PREFIX = "transformer.h"
+
+    def parse_args(self, hf) -> ModelArgs:
+        from vllm_tpu.ops.rotary import RopeConfig
+
+        hidden = getattr(hf, "n_embed", None) or hf.hidden_size
+        heads = getattr(hf, "n_head", None) or hf.num_attention_heads
+        layers = getattr(hf, "n_layer", None) or hf.num_hidden_layers
+        inter = getattr(hf, "ffn_hidden_size", None) or \
+            hf.intermediate_size
+        head_dim = hidden // heads
+        return ModelArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hidden,
+            num_layers=layers,
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=head_dim,
+            intermediate_size=inter,
+            rms_eps=float(getattr(hf, "layer_norm_epsilon", 1e-5)),
+            rope=RopeConfig(
+                head_size=head_dim, rotary_dim=head_dim,
+                max_position=getattr(hf, "training_seqlen", 8192),
+                base=float(getattr(hf, "rope_theta", 10000.0))),
+            act=getattr(hf, "hidden_act", "silu"),
+            o_bias=True,
+            mlp_bias=True,  # down_proj bias (gate/up have none)
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        False)),
+            max_position=getattr(hf, "training_seqlen", 8192),
+        )
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        m["self_attention.query.weight"] = ("qkv.w", "q", True)
+        m["self_attention.k_split.weight"] = ("qkv.w", "k", True)
+        m["self_attention.v_split.weight"] = ("qkv.w", "v", True)
+        m["self_attention.dense.weight"] = ("o.w", "", True)
+        m["self_attention.dense.bias"] = ("o.b", "", False)
+        return m
+
+    def load_weights(self, weights_iter):
+        nq, d = self.args.num_heads, self.args.head_dim
+
+        def adapt(it):
+            for name, w in it:
+                if name.endswith("self_attention.key_value.weight"):
+                    w = np.asarray(w).reshape(nq, 2, d, -1)
+                    yield (name.replace("key_value", "k_split"),
+                           w[:, 0].reshape(nq * d, -1))
+                    yield (name.replace("key_value", "v_split"),
+                           w[:, 1].reshape(nq * d, -1))
+                else:
+                    yield name, w
+
+        return super().load_weights(adapt(weights_iter))
+
+
+class DeciLMForCausalLM(LlamaForCausalLM):
+    """DeciLM (reference: models/decilm.py): Llama whose GQA ratio
+    varies per layer (``num_key_value_heads_per_layer``). The stacked
+    scan needs one uniform KV width, so the loader replicates each
+    layer's K/V head projections up to full MHA width — numerically
+    identical to grouped attention with repeated KV heads, at the cost
+    of a wider KV cache."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        self._kv_per_layer = list(
+            getattr(hf, "num_key_value_heads_per_layer", None) or
+            [getattr(hf, "num_key_value_heads", hf.num_attention_heads)]
+            * hf.num_hidden_layers)
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(args, num_kv_heads=args.num_heads)
+
+    def load_weights(self, weights_iter):
+        nq, d = self.args.num_heads, self.args.head_dim
+        prefix = self._LAYER_PREFIX + "."
+
+        def adapt(it):
+            for name, w in it:
+                if name.startswith(prefix) and (
+                        name.endswith("self_attn.k_proj.weight") or
+                        name.endswith("self_attn.v_proj.weight")):
+                    li = int(name[len(prefix):].split(".", 1)[0])
+                    nk = self._kv_per_layer[li]
+                    if nk != nq:
+                        w = np.repeat(
+                            np.asarray(w).reshape(nk, d, -1),
+                            nq // nk, axis=0).reshape(nq * d, -1)
+                    yield name, w
+                else:
+                    yield name, w
+
+        return super().load_weights(adapt(weights_iter))
+
+
+class ExaoneForCausalLM(LlamaForCausalLM):
+    """LG EXAONE 3.x (reference: models/exaone.py +
+    transformers_utils/configs/exaone.py): the Llama block under GPT-2
+    style naming — ``transformer.h.{i}.ln_1/ln_2`` RMSNorms,
+    ``attn.attention.{q,k,v,out}_proj``, ``mlp.c_fc_0/c_fc_1/c_proj``
+    (gate/up/down) — with raw config attrs (``num_layers``,
+    ``activation_function``)."""
+
+    _EMBED = "transformer.wte.weight"
+    _FINAL_NORM = "transformer.ln_f.weight"
+    _LM_HEAD = "lm_head.weight"
+    _LAYER_PREFIX = "transformer.h"
+
+    def parse_args(self, hf) -> ModelArgs:
+        # the remote-code ExaoneConfig maps num_hidden_layers ->
+        # num_layers; the generic fallback config has only the raw name
+        if not hasattr(hf, "num_hidden_layers"):
+            hf.num_hidden_layers = hf.num_layers
+        args = ModelArgs.from_hf_config(hf)
+        return dataclass_replace(
+            args,
+            rms_eps=float(getattr(hf, "layer_norm_epsilon", 1e-5)),
+            act=getattr(hf, "activation_function", "silu"),
+        )
+
+    def _hf_layer_map(self):
+        return {
+            "ln_1.weight": ("input_ln", "", False),
+            "ln_2.weight": ("post_ln", "", False),
+            "attn.attention.q_proj.weight": ("qkv.w", "q", True),
+            "attn.attention.k_proj.weight": ("qkv.w", "k", True),
+            "attn.attention.v_proj.weight": ("qkv.w", "v", True),
+            "attn.attention.out_proj.weight": ("o.w", "", True),
+            "mlp.c_fc_0.weight": ("gate_up.w", "gate", True),
+            "mlp.c_fc_1.weight": ("gate_up.w", "up", True),
+            "mlp.c_proj.weight": ("down.w", "", True),
+        }
+
+
+class InternLM2ForCausalLM(LlamaForCausalLM):
+    """InternLM2/2.5 in NATIVE checkpoint naming (reference:
+    models/internlm2.py): ``model.tok_embeddings``, per-layer
+    ``attention.wqkv`` (kv-group-interleaved fused qkv),
+    ``attention.wo``, ``feed_forward.w1/w3/w2`` (gate/up/down),
+    ``attention_norm``/``ffn_norm``, lm head ``output``. Llama-named
+    conversions keep working — the base map's suffixes stay in place
+    and only one naming scheme appears per checkpoint."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        b = bool(getattr(hf, "bias", False))
+        return dataclass_replace(args, attn_bias=b, o_bias=b)
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        m["attention_norm.weight"] = ("input_ln", "", False)
+        m["ffn_norm.weight"] = ("post_ln", "", False)
+        m["attention.wo.weight"] = ("o.w", "", True)
+        m["attention.wo.bias"] = ("o.b", "", False)
+        m["feed_forward.w1.weight"] = ("gate_up.w", "gate", True)
+        m["feed_forward.w3.weight"] = ("gate_up.w", "up", True)
+        m["feed_forward.w2.weight"] = ("down.w", "", True)
+        return m
+
+    def load_weights(self, weights_iter):
+        a = self.args
+        nq, nk, d = a.num_heads, a.num_kv_heads, a.head_dim
+        g = nq // nk
+
+        def adapt(it):
+            for name, w in it:
+                if name == "model.tok_embeddings.weight":
+                    yield "model.embed_tokens.weight", w
+                elif name == "output.weight":
+                    yield "lm_head.weight", w
+                elif name.endswith("attention.wqkv.weight") or \
+                        name.endswith("attention.wqkv.bias"):
+                    # [nk, g+2, d, ...]: g q-heads, then k, then v per
+                    # kv group (group-major == plain head order)
+                    w = np.asarray(w)
+                    trail = w.shape[1:]
+                    wr = w.reshape(nk, g + 2, d, *trail)
+                    base = name[:name.rindex("wqkv")]
+                    sfx = name.rsplit(".", 1)[1]
+                    yield (base.replace("attention.", "self_attn.") +
+                           "q_proj." + sfx,
+                           wr[:, :g].reshape(nq * d, *trail))
+                    yield (base.replace("attention.", "self_attn.") +
+                           "k_proj." + sfx,
+                           wr[:, g].reshape(nk * d, *trail))
+                    yield (base.replace("attention.", "self_attn.") +
+                           "v_proj." + sfx,
+                           wr[:, g + 1].reshape(nk * d, *trail))
+                else:
+                    yield name, w
+
+        return super().load_weights(adapt(weights_iter))
+
+
+class InternLM2ForRewardModel(InternLM2ForCausalLM):
+    """InternLM2 reward model (reference: internlm2.py:404): the
+    decoder plus a bias-free scalar ``v_head`` scored from each
+    request's last token via the pooling path."""
+
+    def classify(self, params, hidden, metadata):
+        qsl = metadata.query_start_loc
+        last = hidden[jnp.maximum(qsl[1:] - 1, 0)]
+        return last @ params["v_head"]
+
+    def load_weights(self, weights_iter):
+        extra = {}
+
+        def tap(it):
+            for name, w in it:
+                if name.startswith("v_head."):
+                    extra[name] = np.asarray(w)
+                else:
+                    yield name, w
+
+        params = super().load_weights(tap(weights_iter))
+        H = self.args.hidden_size
+        params["v_head"] = extra.get(
+            "v_head.weight", np.zeros((1, H), np.float32)).T.astype(
+                params["final_ln"].dtype)
+        return params

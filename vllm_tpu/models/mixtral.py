@@ -307,3 +307,45 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
     def _route(self, router_logits):
         return topk_routing(router_logits, self.top_k,
                             renormalize=self.norm_topk)
+
+
+class GraniteMoeSharedForCausalLM(GraniteMoeForCausalLM):
+    """Granite 4.0-style MoE with a dense shared MLP added to every
+    routed-MoE output (reference: models/granitemoeshared.py —
+    ``shared_mlp.input_linear`` is a fused gate|up projection of width
+    ``shared_intermediate_size``)."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = super().parse_args(hf)
+        self.shared_inter = int(
+            getattr(hf, "shared_intermediate_size", 0) or 0)
+        return args
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        if self.shared_inter:
+            a = self.args
+            L, H, S = a.num_layers, a.hidden_size, self.shared_inter
+            layers["shared_gate_up"] = {"w": np.empty((L, H, 2 * S),
+                                                      np_dtype)}
+            layers["shared_down"] = {"w": np.empty((L, S, H), np_dtype)}
+        return layers
+
+    def _hf_layer_map(self):
+        m = super()._hf_layer_map()
+        if self.shared_inter:
+            m["shared_mlp.input_linear.weight"] = (
+                "shared_gate_up.w", "", True)
+            m["shared_mlp.output_linear.weight"] = (
+                "shared_down.w", "", True)
+        return m
+
+    def _mlp(self, lp: dict, h: jnp.ndarray, li, lora_ctx=None):
+        out = super()._mlp(lp, h, li, lora_ctx)
+        if self.shared_inter:
+            from vllm_tpu.ops.activation import GATED_ACTIVATIONS
+
+            gate_up = linear(h, lp["shared_gate_up"], layer=li)
+            out = out + linear(GATED_ACTIVATIONS[self.args.act](gate_up),
+                               lp["shared_down"], layer=li)
+        return out

@@ -639,3 +639,101 @@ class CohereForCausalLM(GPTNeoXForCausalLM):
             "mlp.up_proj.weight": ("gate_up.w", "up2", True),
             "mlp.down_proj.weight": ("down.w", "", True),
         }
+
+
+class OrionForCausalLM(StableLmForCausalLM):
+    """OrionStar Orion-14B (reference: models/orion.py): the Llama block
+    shape — sequential residual, gated silu MLP, GQA, full rotary — but
+    every norm is a biased LayerNorm (eps comes from ``rms_norm_eps``
+    despite NOT being an RMSNorm) and no linear layer carries a bias."""
+
+    def parse_args(self, hf) -> NeoxArgs:
+        head_dim = hf.hidden_size // hf.num_attention_heads
+        rope = RopeConfig(
+            head_size=head_dim, rotary_dim=head_dim,
+            max_position=getattr(hf, "max_position_embeddings", 4096),
+            base=float(getattr(hf, "rope_theta", 10000.0)),
+            scaling=getattr(hf, "rope_scaling", None),
+        )
+        return NeoxArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            num_kv_heads=getattr(hf, "num_key_value_heads",
+                                 hf.num_attention_heads),
+            head_dim=head_dim,
+            intermediate_size=hf.intermediate_size,
+            ln_eps=float(getattr(hf, "rms_norm_eps", 1e-5)),
+            rope=rope,
+            parallel_residual=False,
+            gated_mlp=True,
+            act=getattr(hf, "hidden_act", "silu"),
+            qkv_bias=False,
+            o_bias=False,
+            mlp_bias=False,
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        False)),
+            max_position=getattr(hf, "max_position_embeddings", 4096),
+        )
+
+
+class QWenLMHeadModel(GPTNeoXForCausalLM):
+    """Qwen-1 (reference: models/qwen.py): RMSNorm, sequential residual,
+    one fused biased ``c_attn`` qkv (MHA), gated silu MLP whose true
+    inner width is ``intermediate_size // 2`` with gate=w2 / up=w1, and
+    an untied lm_head."""
+
+    _EMBED = "transformer.wte.weight"
+    _FINAL_W = "transformer.ln_f.weight"
+    _FINAL_B = "__none__"
+    _LM_HEAD = "lm_head.weight"
+    _LM_HEAD_B = None
+    _EMBED_LN_W = None
+    _EMBED_LN_B = None
+    _LAYER_PREFIX = "transformer.h"
+
+    def parse_args(self, hf) -> NeoxArgs:
+        head_dim = hf.hidden_size // hf.num_attention_heads
+        rope = RopeConfig(
+            head_size=head_dim, rotary_dim=head_dim,
+            max_position=getattr(hf, "max_position_embeddings", 8192),
+            base=float(getattr(hf, "rotary_emb_base",
+                               getattr(hf, "rope_theta", 10000.0))),
+        )
+        return NeoxArgs(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads,
+            num_kv_heads=hf.num_attention_heads,
+            head_dim=head_dim,
+            intermediate_size=hf.intermediate_size // 2,
+            ln_eps=float(getattr(hf, "layer_norm_epsilon", 1e-6)),
+            rope=rope,
+            parallel_residual=False,
+            gated_mlp=True,
+            act="silu",
+            norm_type="rms",
+            ln_bias=False,
+            qkv_bias=True,
+            o_bias=False,
+            mlp_bias=False,
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        False)),
+            max_position=getattr(hf, "max_position_embeddings", 8192),
+        )
+
+    def _hf_layer_map(self):
+        # qwen-1 checkpoints store w1=up, w2=gate (reference
+        # qwen.py:293-294 stacks (gate_up, w2, 0), (gate_up, w1, 1))
+        return {
+            "ln_1.weight": ("input_ln_w", "", False),
+            "ln_2.weight": ("post_ln_w", "", False),
+            "attn.c_attn.weight": ("qkv.w", "", True),
+            "attn.c_attn.bias": ("qkv.b", "", False),
+            "attn.c_proj.weight": ("o.w", "", True),
+            "mlp.w2.weight": ("gate_up.w", "gate", True),
+            "mlp.w1.weight": ("gate_up.w", "up2", True),
+            "mlp.c_proj.weight": ("down.w", "", True),
+        }

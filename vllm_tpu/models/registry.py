@@ -51,8 +51,11 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                               "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("vllm_tpu.models.deepseek",
                               "DeepseekV3ForCausalLM"),
-    "InternLM2ForCausalLM": ("vllm_tpu.models.llama",
-                             "LlamaForCausalLM"),
+    "InternLM2ForCausalLM": ("vllm_tpu.models.llama_variants",
+                             "InternLM2ForCausalLM"),
+    "InternLM2ForRewardModel": ("vllm_tpu.models.llama_variants",
+                                "InternLM2ForRewardModel"),
+    "RobertaForMaskedLM": ("vllm_tpu.models.bert", "XLMRobertaModel"),
     "TinyLlamaForCausalLM": ("vllm_tpu.models.llama", "LlamaForCausalLM"),
     "OlmoeForCausalLM": ("vllm_tpu.models.mixtral", "OlmoeForCausalLM"),
     "Qwen2VLForConditionalGeneration": (
@@ -194,6 +197,28 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
         "vllm_tpu.models.paligemma", "Gemma3ForConditionalGeneration"),
     "Mistral3ForConditionalGeneration": (
         "vllm_tpu.models.mistral3", "Mistral3ForConditionalGeneration"),
+    "OrionForCausalLM": ("vllm_tpu.models.neox", "OrionForCausalLM"),
+    "QWenLMHeadModel": ("vllm_tpu.models.neox", "QWenLMHeadModel"),
+    "StableLMEpochForCausalLM": ("vllm_tpu.models.neox",
+                                 "StableLmForCausalLM"),
+    "TeleFLMForCausalLM": ("vllm_tpu.models.llama_variants",
+                           "TeleFLMForCausalLM"),
+    "SolarForCausalLM": ("vllm_tpu.models.llama_variants",
+                         "SolarForCausalLM"),
+    "TeleChat2ForCausalLM": ("vllm_tpu.models.llama_variants",
+                             "TeleChat2ForCausalLM"),
+    "DeciLMForCausalLM": ("vllm_tpu.models.llama_variants",
+                          "DeciLMForCausalLM"),
+    "MiMoForCausalLM": ("vllm_tpu.models.llama", "Qwen2ForCausalLM"),
+    "QuantMixtralForCausalLM": ("vllm_tpu.models.mixtral",
+                                "MixtralForCausalLM"),
+    "DeepseekForCausalLM": ("vllm_tpu.models.gqa_moe",
+                            "DeepseekForCausalLM"),
+    "GraniteMoeSharedForCausalLM": ("vllm_tpu.models.mixtral",
+                                    "GraniteMoeSharedForCausalLM"),
+    "JAISLMHeadModel": ("vllm_tpu.models.gpt2", "JAISLMHeadModel"),
+    "ExaoneForCausalLM": ("vllm_tpu.models.llama_variants",
+                          "ExaoneForCausalLM"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}
