@@ -312,6 +312,16 @@ def make_hf_model(arch):
             HunYuanMoEV1Config(num_key_value_heads=2, head_dim=16,
                                num_experts=4, moe_topk=2,
                                pad_token_id=0, **common))
+    if arch == "qwen2_moe":
+        from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+        return Qwen2MoeForCausalLM(
+            Qwen2MoeConfig(num_key_value_heads=2, num_experts=4,
+                           num_experts_per_tok=2,
+                           moe_intermediate_size=32,
+                           shared_expert_intermediate_size=48,
+                           norm_topk_prob=False, decoder_sparse_step=1,
+                           pad_token_id=0, **common))
     if arch == "granitemoe_shared":
         from transformers import (GraniteMoeSharedConfig,
                                   GraniteMoeSharedForCausalLM)
@@ -356,7 +366,7 @@ def make_hf_model(arch):
     "persimmon", "bloom", "mpt", "olmoe", "granitemoe", "ernie45",
     "smollm3", "seed_oss", "hunyuan_dense", "dbrx", "phimoe", "arcee",
     "apertus", "dots1", "glm4_moe", "ernie45_moe", "hunyuan_moe",
-    "granitemoe_shared"
+    "granitemoe_shared", "qwen2_moe"
 ])
 def test_arch_logits_match_hf(arch, tmp_path):
     import torch
@@ -403,7 +413,7 @@ def test_arch_logits_match_hf(arch, tmp_path):
     tol = 2e-3 if arch in ("mixtral", "deepseek_v2", "deepseek_v3",
                            "dbrx", "phimoe", "dots1", "glm4_moe",
                            "ernie45_moe", "hunyuan_moe",
-                           "granitemoe_shared") else 5e-4
+                           "granitemoe_shared", "qwen2_moe") else 5e-4
     offset = 0
     for r, toks in enumerate(TOKENS):
         ours = logits[offset:offset + len(toks)]

@@ -802,3 +802,189 @@ def test_internlm2_reward_model(tmp_path):
         h = hf.model(torch.tensor([list(TOKENS)]))[0][0, -1].numpy()
     expect = float(h @ t["v_head.weight"][0])
     np.testing.assert_allclose(score, expect, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------- Grok-1
+
+
+def test_grok1_matches_numpy(tmp_path):
+    from scipy.special import erf  # exact gelu, matching GeluAndMul
+
+    rng = np.random.default_rng(41)
+    V, H, I, nq, nk, d, L, E, K = 128, 64, 48, 4, 2, 16, 2, 4, 2
+    t = {"model.embed_tokens.weight": _w(rng, V, H),
+         "model.norm.weight": 1 + 0.1 * _w(rng, H)}
+    for i in range(L):
+        lp = f"model.layers.{i}."
+        for n in ("pre_attn_norm", "post_attn_norm", "pre_moe_norm",
+                  "post_moe_norm"):
+            t[lp + n + ".weight"] = 1 + 0.1 * _w(rng, H)
+        t[lp + "attn.q_proj.weight"] = _w(rng, nq * d, H)
+        t[lp + "attn.k_proj.weight"] = _w(rng, nk * d, H)
+        t[lp + "attn.v_proj.weight"] = _w(rng, nk * d, H)
+        t[lp + "attn.o_proj.weight"] = _w(rng, H, nq * d)
+        t[lp + "moe_block.gate.weight"] = _w(rng, E, H)
+        for e in range(E):
+            ep = lp + f"moe_block.experts.{e}."
+            t[ep + "linear.weight"] = _w(rng, I, H)     # gate
+            t[ep + "linear_v.weight"] = _w(rng, I, H)   # up
+            t[ep + "linear_1.weight"] = _w(rng, H, I)   # down
+    d_dir = tmp_path / "grok1"
+    d_dir.mkdir()
+    _save_st(d_dir, t)
+    (d_dir / "config.json").write_text(json.dumps({
+        "model_type": "grok-1", "architectures": ["Grok1ModelForCausalLM"],
+        "vocab_size": V, "hidden_size": H, "intermediate_size": I,
+        "num_hidden_layers": L, "num_attention_heads": nq,
+        "num_key_value_heads": nk, "num_experts": E,
+        "num_experts_per_tok": K, "rms_norm_eps": 1e-5,
+        "max_position_embeddings": 128,
+        "attn_output_multiplier": 0.5, "attn_logit_softcapping": 30.0,
+        "embedding_multiplier_scale": 2.0,
+        "output_multiplier_scale": 0.25, "tie_word_embeddings": True,
+    }))
+
+    def ref(ids):
+        T = len(ids)
+        eps = 1e-5
+
+        def rms(x, g):
+            return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+        def gelu(x):
+            return 0.5 * x * (1 + erf(x / np.sqrt(2.0)))
+
+        x = 2.0 * t["model.embed_tokens.weight"][ids]
+        mask = np.tril(np.ones((T, T), bool))
+        for i in range(L):
+            lp = f"model.layers.{i}."
+            h = rms(x, t[lp + "pre_attn_norm.weight"])
+            q = (h @ t[lp + "attn.q_proj.weight"].T).reshape(T, nq, d)
+            k = (h @ t[lp + "attn.k_proj.weight"].T).reshape(T, nk, d)
+            v = (h @ t[lp + "attn.v_proj.weight"].T).reshape(T, nk, d)
+            q, k = _rope(q), _rope(k)
+            k = np.repeat(k, nq // nk, axis=1)
+            v = np.repeat(v, nq // nk, axis=1)
+            s = np.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
+            s = 30.0 * np.tanh(s / 30.0)  # attn logit soft cap
+            s = np.where(mask[None], s, -1e30)
+            pr = np.exp(s - s.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            o = np.einsum("hqk,khd->qhd", pr, v).reshape(T, nq * d)
+            attn = 0.5 * (o @ t[lp + "attn.o_proj.weight"].T)
+            x = x + rms(attn, t[lp + "post_attn_norm.weight"])
+
+            h = rms(x, t[lp + "pre_moe_norm.weight"])
+            logits = h @ t[lp + "moe_block.gate.weight"].T
+            logits = 30.0 * np.tanh(logits / 30.0)  # router cap
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            ffw = np.zeros_like(h)
+            for tok in range(T):
+                top = np.argsort(-probs[tok])[:K]
+                wsum = probs[tok, top].sum()
+                for e in top:
+                    ep = lp + f"moe_block.experts.{e}."
+                    g = h[tok] @ t[ep + "linear.weight"].T
+                    u = h[tok] @ t[ep + "linear_v.weight"].T
+                    out = (gelu(g) * u) @ t[ep + "linear_1.weight"].T
+                    ffw[tok] += probs[tok, e] / wsum * out
+            x = x + rms(ffw, t[lp + "post_moe_norm.weight"])
+        x = rms(x, t["model.norm.weight"])
+        return 0.25 * (x @ t["model.embed_tokens.weight"].T)  # tied
+
+    got = _engine_greedy(str(d_dir))
+    expect = _ref_greedy(ref)
+    assert got == expect, (got, expect)
+
+
+# --------------------------------------------------------------- BailingMoe
+
+
+def test_bailing_moe_matches_numpy(tmp_path):
+    rng = np.random.default_rng(43)
+    V, H, mi, nq, nk, d, L, E, K = 128, 64, 32, 4, 2, 16, 2, 4, 2
+    t = {"model.word_embeddings.weight": _w(rng, V, H),
+         "model.norm.weight": 1 + 0.1 * _w(rng, H),
+         "lm_head.weight": _w(rng, V, H)}
+    for i in range(L):
+        lp = f"model.layers.{i}."
+        t[lp + "input_layernorm.weight"] = 1 + 0.1 * _w(rng, H)
+        t[lp + "post_attention_layernorm.weight"] = 1 + 0.1 * _w(rng, H)
+        t[lp + "attention.query_key_value.weight"] = \
+            _w(rng, (nq + 2 * nk) * d, H)
+        t[lp + "attention.dense.weight"] = _w(rng, H, nq * d)
+        t[lp + "mlp.gate.weight"] = _w(rng, E, H)
+        for e in range(E):
+            ep = lp + f"mlp.experts.{e}."
+            t[ep + "gate_proj.weight"] = _w(rng, mi, H)
+            t[ep + "up_proj.weight"] = _w(rng, mi, H)
+            t[ep + "down_proj.weight"] = _w(rng, H, mi)
+        sp = lp + "mlp.shared_experts."
+        t[sp + "gate_proj.weight"] = _w(rng, mi, H)
+        t[sp + "up_proj.weight"] = _w(rng, mi, H)
+        t[sp + "down_proj.weight"] = _w(rng, H, mi)
+    d_dir = tmp_path / "bailing"
+    d_dir.mkdir()
+    _save_st(d_dir, t)
+    (d_dir / "config.json").write_text(json.dumps({
+        "model_type": "bailing_moe",
+        "architectures": ["BailingMoeForCausalLM"],
+        "vocab_size": V, "hidden_size": H, "intermediate_size": 96,
+        "moe_intermediate_size": mi, "num_hidden_layers": L,
+        "num_attention_heads": nq, "num_key_value_heads": nk,
+        "num_experts": E, "num_experts_per_tok": K,
+        "num_shared_experts": 1, "norm_topk_prob": True,
+        "rms_norm_eps": 1e-5, "max_position_embeddings": 128,
+        "hidden_act": "silu", "use_bias": False, "use_qkv_bias": False,
+    }))
+
+    def ref(ids):
+        T = len(ids)
+        eps = 1e-5
+
+        def rms(x, g):
+            return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+        def gated(h, pre):
+            g = h @ t[pre + "gate_proj.weight"].T
+            u = h @ t[pre + "up_proj.weight"].T
+            return (g / (1 + np.exp(-g)) * u) @ \
+                t[pre + "down_proj.weight"].T
+
+        x = t["model.word_embeddings.weight"][ids]
+        mask = np.tril(np.ones((T, T), bool))
+        for i in range(L):
+            lp = f"model.layers.{i}."
+            h = rms(x, t[lp + "input_layernorm.weight"])
+            qkv = h @ t[lp + "attention.query_key_value.weight"].T
+            q = qkv[:, :nq * d].reshape(T, nq, d)
+            k = qkv[:, nq * d:(nq + nk) * d].reshape(T, nk, d)
+            v = qkv[:, (nq + nk) * d:].reshape(T, nk, d)
+            q, k = _rope(q), _rope(k)
+            k = np.repeat(k, nq // nk, axis=1)
+            v = np.repeat(v, nq // nk, axis=1)
+            s = np.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
+            s = np.where(mask[None], s, -1e30)
+            pr = np.exp(s - s.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            o = np.einsum("hqk,khd->qhd", pr, v).reshape(T, nq * d)
+            x = x + o @ t[lp + "attention.dense.weight"].T
+            h = rms(x, t[lp + "post_attention_layernorm.weight"])
+            logits = h @ t[lp + "mlp.gate.weight"].T
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            ffw = np.zeros_like(h)
+            for tok in range(T):
+                top = np.argsort(-probs[tok])[:K]
+                wsum = probs[tok, top].sum()  # norm_topk_prob
+                for e in top:
+                    ffw[tok] += probs[tok, e] / wsum * gated(
+                        h[tok:tok + 1], lp + f"mlp.experts.{e}.")[0]
+            x = x + ffw + gated(h, lp + "mlp.shared_experts.")
+        x = rms(x, t["model.norm.weight"])
+        return x @ t["lm_head.weight"].T
+
+    got = _engine_greedy(str(d_dir))
+    expect = _ref_greedy(ref)
+    assert got == expect, (got, expect)

@@ -300,7 +300,10 @@ class SpeculativeConfig:
         "EagleLlamaForCausalLM": "eagle",
         "EagleLlama4ForCausalLM": "eagle",
         "EagleMiniCPMForCausalLM": "eagle",
+        "Eagle3LlamaForCausalLM": "eagle3",
+        "LlamaForCausalLMEagle3": "eagle3",
         "MedusaModel": "medusa",
+        "MLPSpeculatorPreTrainedModel": "mlp_speculator",
     }
 
     def __post_init__(self):
@@ -318,12 +321,11 @@ class SpeculativeConfig:
                         self.method = self._ARCH_METHODS[a]
                         break
                 else:
-                    if any("eagle3" in a.lower() or "mtp" in a.lower()
-                           or "MLPSpeculator" in a for a in archs):
+                    if any("mtp" in a.lower() for a in archs):
                         raise NotImplementedError(
                             f"speculative draft architectures {archs} "
-                            "not supported (supported: EAGLE-1 family, "
-                            "Medusa, ngram)")
+                            "not supported (supported: EAGLE-1/EAGLE-3, "
+                            "Medusa, MLPSpeculator, ngram)")
 
     @property
     def enabled(self) -> bool:

@@ -417,3 +417,60 @@ class DeepseekForCausalLM(GqaMoEForCausalLM):
         self.norm_topk_prob = bool(getattr(hf, "norm_topk_prob", False))
         self.routed_scaling = 1.0
         return args
+
+
+class BailingMoeForCausalLM(GqaMoEForCausalLM):
+    """inclusionAI Ling / BailingMoe (reference: models/bailing_moe.py):
+    GQA attention with one fused ``attention.query_key_value``
+    projection, softmax greedy routing (renormalize per
+    ``norm_topk_prob``), shared experts, every layer MoE. Checkpoint
+    names ride the GqaMoE loader via a name adapter."""
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        self.n_experts = int(hf.num_experts)
+        self.moe_top_k = int(hf.num_experts_per_tok)
+        self.moe_inter = int(hf.moe_intermediate_size)
+        self.n_shared = int(getattr(hf, "num_shared_experts", 0) or 0)
+        self.first_k_dense = int(getattr(hf, "first_k_dense_replace", 0))
+        self.last_k_dense = 0
+        self.scoring = "softmax"
+        self.topk_method = "greedy"
+        self.n_group = 1
+        self.topk_group = 1
+        self.norm_topk_prob = bool(getattr(hf, "norm_topk_prob", True))
+        self.routed_scaling = 1.0
+        if bool(getattr(hf, "use_bias", False)):
+            # the GqaMoE stack has no o/mlp bias slots
+            raise NotImplementedError("bailing_moe use_bias projections")
+        return dataclass_replace(
+            args,
+            attn_bias=bool(getattr(hf, "use_qkv_bias", False)))
+
+    def load_weights(self, weights_iter):
+        a = self.args
+        nq, nk, d = a.num_heads, a.num_kv_heads, a.head_dim
+
+        def adapt(it):
+            for name, w in it:
+                if name == "model.word_embeddings.weight":
+                    yield "model.embed_tokens.weight", w
+                elif name.endswith("attention.query_key_value.weight") \
+                        or name.endswith("attention.query_key_value.bias"):
+                    w = np.asarray(w)
+                    base = name[:name.rindex("attention.")] + "self_attn."
+                    sfx = name.rsplit(".", 1)[1]
+                    q, k, v = np.split(w, [nq * d, (nq + nk) * d])
+                    yield base + "q_proj." + sfx, q
+                    yield base + "k_proj." + sfx, k
+                    yield base + "v_proj." + sfx, v
+                elif name.endswith("attention.dense.weight"):
+                    yield name.replace("attention.dense.",
+                                       "self_attn.o_proj."), w
+                elif name.endswith("attention.dense.bias"):
+                    yield name.replace("attention.dense.",
+                                       "self_attn.o_proj."), w
+                else:
+                    yield name, w
+
+        return super().load_weights(adapt(weights_iter))

@@ -196,13 +196,21 @@ class LlamaForCausalLM:
         if pp > 1:
             from vllm_tpu.parallel.pipeline import pipeline_layers
 
+            assert not self.aux_hidden_state_layers, \
+                "EAGLE-3 aux hidden capture not supported under pp"
             x, new_kv = pipeline_layers(self._run_layers,
                                         params["layers"], kv_caches[0], x,
                                         metadata, lora, self.mesh, pp)
         else:
             x, new_kv = self._run_layers(params["layers"], kv_caches[0],
                                          x, metadata, lora)
+        aux = self._aux_out
+        self._aux_out = None
         x = self._final_ln(params, x)
+        if self.aux_hidden_state_layers:
+            # EAGLE-3 taps: each layer's INPUT x at the configured ids
+            # (reference llama.py:415 hidden+residual before the layer)
+            return x, [new_kv], aux
         return x, [new_kv]
 
     def forward_stream(
@@ -257,6 +265,12 @@ class LlamaForCausalLM:
         pattern = self.layer_pattern
         p = len(pattern)
         assert num_layers % p == 0
+        aux_ids = None
+        aux = None
+        if self.aux_hidden_state_layers:
+            aux_ids = jnp.asarray(self.aux_hidden_state_layers, jnp.int32)
+            aux = jnp.zeros((len(self.aux_hidden_state_layers),
+                             *x.shape), x.dtype)
 
         def regroup(leaf):
             return leaf.reshape(num_layers // p, p, *leaf.shape[1:])
@@ -279,9 +293,15 @@ class LlamaForCausalLM:
         # trace with its _kv_slab_base baked in.
         def make_body():
             def body(carry, scanned):
-                h, kv = carry
+                h, kv, aux_c = carry
                 gi, lora_g = scanned
                 for i, cfg in enumerate(pattern):
+                    if aux_c is not None:
+                        # gi is the GLOBAL group index (slabs scan
+                        # jnp.arange(g0, g1)), so gi*p+i is global
+                        cond = ((gi * p + i) == aux_ids)[:, None, None]
+                        aux_c = jnp.where(cond, h[None].astype(
+                            aux_c.dtype), aux_c)
                     lora_ctx = None
                     if lora_g is not None:
                         lora_ctx = (jax.tree.map(lambda leaf: leaf[i],
@@ -289,7 +309,7 @@ class LlamaForCausalLM:
                     h, kv = self._decoder_layer(layer_params, h, kv,
                                                 gi * p + i, metadata,
                                                 lora_ctx=lora_ctx, **cfg)
-                return (h, kv), None
+                return (h, kv, aux_c), None
 
             return body
 
@@ -304,12 +324,13 @@ class LlamaForCausalLM:
                 lambda leaf: leaf[g0:g1], lora_layers)
             self._kv_slab_base = base
             try:
-                (x, slab), _ = jax.lax.scan(
-                    make_body(), (x, slab), (group_idx, lora_slab))
+                (x, slab, aux), _ = jax.lax.scan(
+                    make_body(), (x, slab, aux), (group_idx, lora_slab))
             finally:
                 self._kv_slab_base = 0
             new_slabs.append(slab)
             base += nl
+        self._aux_out = aux
         return x, (KVSlabs(new_slabs) if slabbed else new_slabs[0])
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
@@ -376,6 +397,16 @@ class LlamaForCausalLM:
     # slab-local layer rebase for _cached_attention; _run_layers sets it
     # (a Python int, baked in at trace time) while scanning a KV slab
     _kv_slab_base = 0
+
+    # EAGLE-3 aux hidden-state taps (reference llama.py:584-589): the
+    # runner sets the layer ids; forward() then returns a third value
+    # aux [n_taps, T, H] holding each tapped layer's input
+    aux_hidden_state_layers: tuple = ()
+    _aux_out = None
+
+    def get_eagle3_aux_hidden_state_layers(self) -> tuple:
+        L = self.args.num_layers
+        return (2, L // 2, max(L - 3, 0))
 
     def _cached_attention(self, lp: dict, li, q, k, v, kv, metadata,
                           sliding_window=None, logits_soft_cap=None,

@@ -164,6 +164,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
 
 class Qwen2MoeForCausalLM(MixtralForCausalLM):
+    """Qwen1.5/2-MoE (reference: models/qwen2_moe.py): Mixtral-style
+    routed MoE plus an always-on shared expert whose output is scaled
+    by a sigmoid ``shared_expert_gate``; router does NOT renormalize
+    by default (``norm_topk_prob``)."""
 
     def parse_args(self, hf) -> ModelArgs:
         args = ModelArgs.from_hf_config(hf)
@@ -172,11 +176,44 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
         self.top_k = int(getattr(hf, "num_experts_per_tok", 4))
         self.moe_intermediate = int(
             getattr(hf, "moe_intermediate_size", 1408))
+        self.shared_inter = int(
+            getattr(hf, "shared_expert_intermediate_size", 0) or 0)
+        self.norm_topk = bool(getattr(hf, "norm_topk_prob", False))
         return args
+
+    def _route(self, router_logits):
+        return topk_routing(router_logits, self.top_k,
+                            renormalize=self.norm_topk)
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        if self.shared_inter:
+            a = self.args
+            L, H, S = a.num_layers, a.hidden_size, self.shared_inter
+            layers["shared_gate_up"] = {"w": np.empty((L, H, 2 * S),
+                                                      np_dtype)}
+            layers["shared_down"] = {"w": np.empty((L, S, H), np_dtype)}
+            layers["shared_gate"] = {"w": np.empty((L, H, 1), np_dtype)}
+        return layers
+
+    def _fused_offset(self, part: str) -> tuple[int, int]:
+        if part in ("sgate", "sup"):
+            S = self.shared_inter
+            return (0, S) if part == "sgate" else (S, S)
+        return super()._fused_offset(part)
 
     def _hf_layer_map(self):
         m = LlamaForCausalLM._hf_layer_map(self)
         m["mlp.gate.weight"] = ("router.w", "", True)
+        if self.shared_inter:
+            m["mlp.shared_expert.gate_proj.weight"] = (
+                "shared_gate_up.w", "sgate", True)
+            m["mlp.shared_expert.up_proj.weight"] = (
+                "shared_gate_up.w", "sup", True)
+            m["mlp.shared_expert.down_proj.weight"] = (
+                "shared_down.w", "", True)
+            m["mlp.shared_expert_gate.weight"] = (
+                "shared_gate.w", "", True)
         for e in range(self.num_experts):
             m[f"mlp.experts.{e}.gate_proj.weight"] = (
                 f"experts_gate_up@{e}", "gate", True)
@@ -185,6 +222,20 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
             m[f"mlp.experts.{e}.down_proj.weight"] = (
                 f"experts_down@{e}", "", True)
         return m
+
+    def _mlp(self, lp: dict, h: jnp.ndarray, li, lora_ctx=None):
+        out = super()._mlp(lp, h, li, lora_ctx)
+        if self.shared_inter:
+            from vllm_tpu.ops.activation import GATED_ACTIVATIONS
+
+            gate_up = linear(h, lp["shared_gate_up"], layer=li)
+            shared = linear(GATED_ACTIVATIONS[self.args.act](gate_up),
+                            lp["shared_down"], layer=li)
+            gate = jax.nn.sigmoid(
+                linear(h, lp["shared_gate"], layer=li).astype(
+                    jnp.float32)).astype(out.dtype)
+            out = out + gate * shared
+        return out
 
 
 class OlmoeForCausalLM(MixtralForCausalLM):

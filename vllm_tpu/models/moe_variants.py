@@ -13,7 +13,7 @@ import numpy as np
 from vllm_tpu.models.llama import ModelArgs, dataclass_replace
 from vllm_tpu.models.mixtral import MixtralForCausalLM
 from vllm_tpu.ops.attention import AttentionMetadata
-from vllm_tpu.ops.layernorm import layer_norm
+from vllm_tpu.ops.layernorm import layer_norm, rms_norm
 from vllm_tpu.ops.linear import linear
 from vllm_tpu.ops.moe import topk_routing
 from vllm_tpu.ops.rotary import RopeConfig, apply_rope
@@ -320,3 +320,96 @@ class HunYuanMoEV1ForCausalLM(MixtralForCausalLM):
         return out + linear(
             GATED_ACTIVATIONS[self.args.act](gate_up),
             lp["shared_down"], layer=li)
+
+
+class Grok1ModelForCausalLM(MixtralForCausalLM):
+    """xAI Grok-1 (reference: models/grok1.py): Mixtral-style MoE with
+    sandwich norms (pre/post attention AND pre/post MoE), tanh-capped
+    router logits (30), attention logit soft cap (30), an attention
+    output multiplier, and muP-style embedding/output scales. Community
+    HF checkpoints name the blocks ``attn``/``moe_block`` with experts
+    ``linear`` (gate) / ``linear_v`` (up) / ``linear_1`` (down)."""
+
+    _ROUTER_CAP = 30.0
+
+    def parse_args(self, hf) -> ModelArgs:
+        args = ModelArgs.from_hf_config(hf)
+        self.num_experts = int(getattr(hf, "num_experts", None) or
+                               getattr(hf, "num_local_experts", 8))
+        self.top_k = int(getattr(hf, "num_experts_per_tok", 2))
+        self.moe_intermediate = int(
+            getattr(hf, "intermediate_size", args.intermediate_size))
+        self.attn_multiplier = float(
+            getattr(hf, "attn_output_multiplier", 1.0))
+        emb = float(getattr(hf, "embedding_multiplier_scale", 1.0))
+        out = float(getattr(hf, "output_multiplier_scale", 1.0))
+        return dataclass_replace(
+            args,
+            act=getattr(hf, "hidden_act", "gelu"),
+            attn_soft_cap=float(getattr(hf, "attn_logit_softcapping",
+                                        30.0) or 0) or None,
+            embedding_multiplier=emb if emb != 1.0 else None,
+            logits_scale=out if out != 1.0 else None,
+            tie_embeddings=bool(getattr(hf, "tie_word_embeddings",
+                                        True)),
+        )
+
+    def _route(self, router_logits):
+        capped = self._ROUTER_CAP * jnp.tanh(
+            router_logits.astype(jnp.float32) / self._ROUTER_CAP)
+        return topk_routing(capped, self.top_k, renormalize=True)
+
+    def _alloc_layer_stack(self, np_dtype) -> dict:
+        layers = super()._alloc_layer_stack(np_dtype)
+        a = self.args
+        L, H = a.num_layers, a.hidden_size
+        layers["post_attn_ln"] = np.empty((L, H), np_dtype)
+        layers["post_ffw_ln"] = np.empty((L, H), np_dtype)
+        return layers
+
+    def _hf_layer_map(self):
+        m = {
+            "pre_attn_norm.weight": ("input_ln", "", False),
+            "post_attn_norm.weight": ("post_attn_ln", "", False),
+            "pre_moe_norm.weight": ("post_ln", "", False),
+            "post_moe_norm.weight": ("post_ffw_ln", "", False),
+            "attn.q_proj.weight": ("qkv.w", "q", True),
+            "attn.k_proj.weight": ("qkv.w", "k", True),
+            "attn.v_proj.weight": ("qkv.w", "v", True),
+            "attn.o_proj.weight": ("o.w", "", True),
+            "moe_block.gate.weight": ("router.w", "", True),
+        }
+        for e in range(self.num_experts):
+            m[f"moe_block.experts.{e}.linear.weight"] = (
+                f"experts_gate_up@{e}", "gate", True)
+            m[f"moe_block.experts.{e}.linear_v.weight"] = (
+                f"experts_gate_up@{e}", "up", True)
+            m[f"moe_block.experts.{e}.linear_1.weight"] = (
+                f"experts_down@{e}", "", True)
+        return m
+
+    def _decoder_layer(self, lp, x, kv, li, metadata, lora_ctx=None,
+                       **_cfg):
+        from vllm_tpu.ops.rotary import apply_rope
+
+        args = self.args
+        T = x.shape[0]
+        nq, nk, d = args.num_heads, args.num_kv_heads, args.head_dim
+
+        h = rms_norm(x, lp["input_ln"][li], args.rms_eps)
+        qkv = linear(h, lp["qkv"], layer=li)
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q, k = apply_rope(q.reshape(T, nq, d), k.reshape(T, nk, d),
+                          metadata.positions, self.inv_freq,
+                          args.rope.is_neox_style, self.rope_mscale)
+        attn, kv = self._cached_attention(
+            lp, li, q, k, v.reshape(T, nk, d), kv, metadata,
+            logits_soft_cap=args.attn_soft_cap)
+        attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)
+        attn = attn * jnp.asarray(self.attn_multiplier, attn.dtype)
+        x = x + rms_norm(attn, lp["post_attn_ln"][li], args.rms_eps)
+
+        h = rms_norm(x, lp["post_ln"][li], args.rms_eps)
+        ffw = self._mlp(lp, h, li, lora_ctx)
+        x = x + rms_norm(ffw, lp["post_ffw_ln"][li], args.rms_eps)
+        return x, kv

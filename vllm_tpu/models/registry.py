@@ -219,6 +219,29 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "JAISLMHeadModel": ("vllm_tpu.models.gpt2", "JAISLMHeadModel"),
     "ExaoneForCausalLM": ("vllm_tpu.models.llama_variants",
                           "ExaoneForCausalLM"),
+    "Grok1ModelForCausalLM": ("vllm_tpu.models.moe_variants",
+                              "Grok1ModelForCausalLM"),
+    "BailingMoeForCausalLM": ("vllm_tpu.models.gqa_moe",
+                              "BailingMoeForCausalLM"),
+}
+
+# Draft-model architectures (reference registry's
+# _SPECULATIVE_DECODING_MODELS): these resolve to spec_decode proposers
+# selected via SpeculativeConfig auto-detection, not get_model().
+_SPECULATIVE_DECODING_MODELS = {
+    "EagleLlamaForCausalLM": ("vllm_tpu.spec_decode.eagle",
+                              "EagleProposer"),
+    "EagleLlama4ForCausalLM": ("vllm_tpu.spec_decode.eagle",
+                               "EagleProposer"),
+    "EagleMiniCPMForCausalLM": ("vllm_tpu.spec_decode.eagle",
+                                "EagleProposer"),
+    "Eagle3LlamaForCausalLM": ("vllm_tpu.spec_decode.eagle",
+                               "Eagle3Proposer"),
+    "LlamaForCausalLMEagle3": ("vllm_tpu.spec_decode.eagle",
+                               "Eagle3Proposer"),
+    "MedusaModel": ("vllm_tpu.spec_decode.medusa", "MedusaProposer"),
+    "MLPSpeculatorPreTrainedModel": (
+        "vllm_tpu.spec_decode.mlp_speculator", "MLPSpeculatorProposer"),
 }
 
 _EXTRA_MODELS: dict[str, Callable] = {}
@@ -252,7 +275,8 @@ def get_model(model_config: "ModelConfig"):
 
 
 def get_supported_archs() -> list[str]:
-    return sorted(set(_TEXT_GENERATION_MODELS) | set(_EXTRA_MODELS))
+    return sorted(set(_TEXT_GENERATION_MODELS) | set(_EXTRA_MODELS) |
+                  set(_SPECULATIVE_DECODING_MODELS))
 
 
 # HF model_type -> architecture, for composite models whose text_config

@@ -265,3 +265,236 @@ class EagleProposer:
             h_prev = h_out
 
         return jnp.stack(drafts, axis=1), kv
+
+
+class Eagle3Proposer(EagleProposer):
+    """EAGLE-3 drafting (reference: models/llama_eagle3.py +
+    v1/spec_decode/eagle.py eagle3 paths).
+
+    Differences from EAGLE-1:
+    - the TARGET model taps three layer inputs (aux hidden states,
+      llama.py:584-589); the proposer's ``fc`` combines the [T, 3*H_t]
+      concat into the draft hidden once per verify pass,
+    - the draft layer consumes cat(input_ln(embeds), hidden_norm(h))
+      (a 2H-wide qkv) with the residual taken from the UN-normed h,
+    - the draft carries its own final norm, lm_head over a reduced
+      draft vocabulary, a d2t offset table mapping draft argmax ids to
+      target token ids, and (optionally) its own embedding table.
+    """
+
+    def __init__(self, target_model, spec_config, cache_config) -> None:
+        super().__init__(target_model, spec_config, cache_config)
+        hf = {}
+        path = spec_config.model
+        if path and os.path.isdir(path):
+            cfg_file = os.path.join(path, "config.json")
+            if os.path.exists(cfg_file):
+                with open(cfg_file) as f:
+                    hf = json.load(f)
+        t = target_model.args
+        self.target_hidden = int(hf.get("target_hidden_size",
+                                        t.hidden_size))
+        self.draft_vocab = int(hf.get("draft_vocab_size",
+                                      hf.get("vocab_size",
+                                             t.vocab_size)))
+        self.vocab_size = int(hf.get("vocab_size", t.vocab_size))
+        self.aux_layer_ids = tuple(
+            hf.get("eagle_aux_hidden_state_layer_ids") or
+            target_model.get_eagle3_aux_hidden_state_layers())
+
+    def param_shapes(self) -> dict:
+        H, I = self.hidden, self.inter
+        nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+        return {
+            "fc": {"w": (3 * self.target_hidden, H)},
+            "input_ln": (H,),
+            "hidden_norm": (H,),
+            "qkv": {"w": (2 * H, (nq + 2 * nk) * d)},
+            "o": {"w": (nq * d, H)},
+            "gate_up": {"w": (H, 2 * I)},
+            "down": {"w": (I, H)},
+            "post_ln": (H,),
+            "final_norm": (H,),
+            "embed": {"w": (self.vocab_size, H)},
+            "lm_head": {"w": (H, self.draft_vocab)},
+        }
+
+    def init_dummy_params(self, seed: int = 0) -> dict:
+        params = super().init_dummy_params(seed)
+        params["d2t"] = np.zeros((self.draft_vocab,), np.int32)
+        return params
+
+    def load_weights(self, dtype) -> dict:
+        path = self.spec_config.model
+        if not path or not os.path.isdir(path):
+            logger.warning("eagle3: no draft checkpoint at %r, "
+                           "using dummy weights", path)
+            params = self.init_dummy_params()
+        else:
+            from vllm_tpu.models.weight_utils import weights_iterator
+
+            shapes = self.param_shapes()
+            params = jax.tree.map(
+                lambda s: np.zeros(s, np.float32), shapes,
+                is_leaf=lambda x: isinstance(x, tuple))
+            params["d2t"] = np.zeros((self.draft_vocab,), np.int32)
+            seen_embed = False
+            nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+            I = self.inter
+            lmap = {
+                "fc.weight": ("fc", True),
+                "layers.0.input_layernorm.weight": ("input_ln", False),
+                "layers.0.hidden_norm.weight": ("hidden_norm", False),
+                "layers.0.self_attn.o_proj.weight": ("o", True),
+                "layers.0.mlp.down_proj.weight": ("down", True),
+                "layers.0.post_attention_layernorm.weight":
+                    ("post_ln", False),
+                "norm.weight": ("final_norm", False),
+                "lm_head.weight": ("lm_head", True),
+                "embed_tokens.weight": ("embed", False),
+            }
+            fused = {
+                "layers.0.self_attn.q_proj.weight": ("qkv", 0, nq * d),
+                "layers.0.self_attn.k_proj.weight":
+                    ("qkv", nq * d, nk * d),
+                "layers.0.self_attn.v_proj.weight":
+                    ("qkv", (nq + nk) * d, nk * d),
+                "layers.0.mlp.gate_proj.weight": ("gate_up", 0, I),
+                "layers.0.mlp.up_proj.weight": ("gate_up", I, I),
+            }
+            for name, w in weights_iterator(path):
+                name = name.removeprefix("model.")
+                name = name.replace("midlayer.", "layers.0.")
+                if name in ("d2t", "d2t.weight"):
+                    params["d2t"] = np.asarray(w, np.int32)
+                    continue
+                if name in ("t2d", "t2d.weight"):
+                    continue
+                w = np.asarray(w, np.float32)
+                if name in lmap:
+                    key, transpose = lmap[name]
+                    w = w.T if transpose else w
+                    if key == "embed":
+                        seen_embed = True
+                    if isinstance(params[key], dict):
+                        params[key]["w"][...] = w
+                    else:
+                        params[key][...] = w
+                elif name in fused:
+                    key, start, length = fused[name]
+                    params[key]["w"][:, start:start + length] = w.T
+            if not seen_embed:
+                # share the target's embedding table (reference
+                # llama_eagle3.py skip_substrs embed_tokens)
+                params["embed"]["w"][...] = 0.0
+                self._share_target_embed = True
+        d2t = params.pop("d2t")
+        out = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        out["d2t"] = jnp.asarray(d2t, jnp.int32)
+        return out
+
+    _share_target_embed = False
+
+    def _embed_w(self, draft_params, target_params):
+        if self._share_target_embed:
+            return target_params["embed"]["w"]
+        return draft_params["embed"]["w"]
+
+    def _layer3(self, dp, embeds, hidden, kv, metadata):
+        """Returns (prenorm [T,H] — next-step hidden, normed [T,H] —
+        logits input, kv)."""
+        nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+        T = embeds.shape[0]
+        e = rms_norm(embeds, dp["input_ln"], self.rms_eps)
+        hn = rms_norm(hidden.astype(embeds.dtype), dp["hidden_norm"],
+                      self.rms_eps)
+        qkv = linear(jnp.concatenate([e, hn], axis=-1), dp["qkv"])
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          self.is_neox, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=0)
+        attn = attention(q, kv, metadata, self.scale, layer=0)
+        r = hidden.astype(embeds.dtype) + \
+            linear(attn.reshape(T, nq * d), dp["o"])
+        h = rms_norm(r, dp["post_ln"], self.rms_eps)
+        gate_up = linear(h, dp["gate_up"])
+        mlp = linear(GATED_ACTIVATIONS[self.act](gate_up), dp["down"])
+        prenorm = r + mlp
+        normed = rms_norm(prenorm, dp["final_norm"], self.rms_eps)
+        return prenorm, normed, kv
+
+    def _draft_argmax(self, dp, normed):
+        logits = lm_head_logits(normed, dp["lm_head"])
+        draft_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # d2t stores per-draft-id OFFSETS to target token ids
+        return draft_ids + dp["d2t"][draft_ids]
+
+    def propose(
+        self,
+        draft_params: dict,
+        target_params: dict,
+        draft_kv: jnp.ndarray,
+        input_ids: jnp.ndarray,  # i32[T]
+        target_hidden: jnp.ndarray,  # [T, 3*H_t] concat of aux taps
+        metadata: AttentionMetadata,
+        emitted: jnp.ndarray,
+        num_emitted: jnp.ndarray,
+        num_drafts: jnp.ndarray,
+        max_model_len: int,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        S = self.num_speculative_tokens
+        R = metadata.seq_lens.shape[0]
+        qsl = metadata.query_start_loc
+        rows = jnp.arange(R, dtype=jnp.int32)
+
+        num_rejected = num_drafts + 1 - num_emitted
+        accepted_last = jnp.maximum(qsl[1:] - 1 - num_rejected, 0)
+        shifted = jnp.concatenate([input_ids[1:], input_ids[-1:]])
+        corr = emitted[rows, jnp.maximum(num_emitted - 1, 0)]
+        shifted = shifted.at[accepted_last].set(corr)
+
+        embed_w = self._embed_w(draft_params, target_params)
+        embeds = embedding_lookup(shifted, embed_w)
+        hidden = linear(target_hidden.astype(embeds.dtype),
+                        draft_params["fc"])  # combine_hidden_states
+
+        seq_acc = jnp.maximum(metadata.seq_lens - num_rejected, 0)
+        md0 = dataclasses.replace(metadata, seq_lens=seq_acc)
+        prenorm, normed, kv = self._layer3(draft_params, embeds, hidden,
+                                           draft_kv, md0)
+        token = self._draft_argmax(draft_params, normed[accepted_last])
+        drafts = [token]
+        h_prev = prenorm[accepted_last]
+
+        if S > 1:
+            from vllm_tpu.ops.pallas.ragged_paged_attention import \
+                build_logical_blocks
+
+            qsl_dec = np.arange(R + 1, dtype=np.int32)
+            lb_seq, lb_q_start = build_logical_blocks(qsl_dec, R, R)
+            bs = self.block_size
+
+        for j in range(1, S):
+            pos_j = seq_acc + j - 1
+            ok = pos_j < max_model_len
+            posc = jnp.where(ok, pos_j, 0)
+            block_ids = metadata.block_tables[rows, posc // bs]
+            slots = jnp.where(ok, block_ids * bs + posc % bs, 0)
+            md_j = AttentionMetadata(
+                slot_mapping=slots,
+                block_tables=metadata.block_tables,
+                query_start_loc=jnp.asarray(qsl_dec),
+                seq_lens=jnp.where(ok, seq_acc + j, 1),
+                positions=posc,
+                lb_seq=jnp.asarray(lb_seq),
+                lb_q_start=jnp.asarray(lb_q_start),
+            )
+            embeds = embedding_lookup(drafts[-1], embed_w)
+            prenorm, normed, kv = self._layer3(draft_params, embeds,
+                                               h_prev, kv, md_j)
+            drafts.append(self._draft_argmax(draft_params, normed))
+            h_prev = prenorm
+        return jnp.stack(drafts, axis=1), kv

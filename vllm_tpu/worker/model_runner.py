@@ -84,7 +84,15 @@ class TPUModelRunner:
         self.num_spec_tokens = (spec_cfg.num_speculative_tokens
                                 if spec_cfg.enabled else 0)
         self.eagle: Optional[Any] = None
-        if spec_cfg.enabled and spec_cfg.method in ("eagle", "eagle3"):
+        if spec_cfg.enabled and spec_cfg.method == "eagle3":
+            from vllm_tpu.spec_decode.eagle import Eagle3Proposer
+
+            self.eagle = Eagle3Proposer(self.model, spec_cfg,
+                                        self.cache_config)
+            # target taps: forward() returns aux [3, T, H] that the
+            # proposer's fc combines (reference gpu_model_runner:1911)
+            self.model.aux_hidden_state_layers = self.eagle.aux_layer_ids
+        elif spec_cfg.enabled and spec_cfg.method == "eagle":
             from vllm_tpu.spec_decode.eagle import EagleProposer
 
             self.eagle = EagleProposer(self.model, spec_cfg,
@@ -94,6 +102,12 @@ class TPUModelRunner:
 
             self.eagle = MedusaProposer(self.model, spec_cfg,
                                         self.cache_config)
+        elif spec_cfg.enabled and spec_cfg.method == "mlp_speculator":
+            from vllm_tpu.spec_decode.mlp_speculator import \
+                MLPSpeculatorProposer
+
+            self.eagle = MLPSpeculatorProposer(self.model, spec_cfg,
+                                               self.cache_config)
         self.draft_params: Any = None
         self.draft_kv: Any = ()
         self.lora_manager = None  # created in load_model (needs args)
@@ -414,8 +428,15 @@ class TPUModelRunner:
                 step=arrs["seq_lens"],
                 **skw,
             )
-            hidden, kv_caches = model.forward(params, input_ids, kv_caches,
-                                              metadata, lora=lora, **kw)
+            out = model.forward(params, input_ids, kv_caches,
+                                metadata, lora=lora, **kw)
+            spec_hidden = None
+            if len(out) == 3:  # EAGLE-3 aux taps [n, T, H]
+                hidden, kv_caches, aux = out
+                spec_hidden = jnp.concatenate(
+                    [aux[i] for i in range(aux.shape[0])], axis=-1)
+            else:
+                hidden, kv_caches = out
             pooled = None
             if "token_req" in arrs:
                 # mean + last pooling over each row's token span
@@ -451,7 +472,8 @@ class TPUModelRunner:
                 next_drafts = None
                 if draft_params is not None:
                     next_drafts, draft_kv = eagle.propose(
-                        draft_params, params, draft_kv, input_ids, hidden,
+                        draft_params, params, draft_kv, input_ids,
+                        hidden if spec_hidden is None else spec_hidden,
                         metadata, tokens, num_emitted,
                         arrs["spec_num_drafts"], max_model_len)
                 lp = None
