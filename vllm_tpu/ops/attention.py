@@ -173,21 +173,29 @@ def write_kv_cache(
             kv = jnp.round(kv.astype(jnp.float32))
         kv = jnp.clip(kv, -float(finfo_max), float(finfo_max))
         kv = kv.astype(kv_cache.dtype)
+    T, two_k, d = kv.shape
+    # The quantize chain must NOT fuse into the scatter: XLA evaluates a
+    # scatter's fused producer per update row on the scalar core
+    # (measured 5 GB/s, 283 us/layer at the flagship decode shape —
+    # more than the whole attention kernel). The barrier materializes
+    # the int8 rows first; the bare scatter then streams at full rate.
+    kv = jax.lax.optimization_barrier(kv)
     block_ids = slot_mapping // page
     offsets = slot_mapping % page
     # Scatter D-contiguous ROWS on the (free, adjacent-dims) merged view
-    # [..., N, 2K*page, D]. The naive `at[blocks, :, offsets]` form
-    # (advanced indices separated by the head slice) makes XLA lay the
-    # scatter temp out token-major and materialize a full transposed
-    # COPY of the cache inside the step program (+6.6GB HBM and a
-    # cache-sized copy per step at the flagship config); row scatter is
-    # layout-neutral and aliases the donated input.
-    T, two_k, d = kv.shape
-    rows = (jnp.arange(two_k, dtype=jnp.int32)[:, None] * page +
-            offsets[None, :]).reshape(-1)                  # [2K*T]
-    blocks_rep = jnp.broadcast_to(block_ids[None, :],
-                                  (two_k, T)).reshape(-1)  # [2K*T]
-    updates = jnp.swapaxes(kv, 0, 1).reshape(two_k * T, d)
+    # [..., N, 2K*page, D], ordered TOKEN-major so the update tensor is
+    # a free reshape of kv (no transpose). The naive
+    # `at[blocks, :, offsets]` window form makes XLA lay the scatter
+    # temp out token-major and materialize a full transposed COPY of
+    # the cache inside the step program (+6.6GB HBM at the flagship
+    # config); row scatter is layout-neutral and aliases the donated
+    # input.
+    rows = (offsets[:, None] +
+            jnp.arange(two_k, dtype=jnp.int32)[None, :] * page
+            ).reshape(-1)                                  # [T*2K]
+    blocks_rep = jnp.broadcast_to(block_ids[:, None],
+                                  (T, two_k)).reshape(-1)  # [T*2K]
+    updates = kv.reshape(T * two_k, d)
     shape = kv_cache.shape
     merged = kv_cache.reshape(*shape[:-3], shape[-3] * page, d)
     if layer is None:
