@@ -1,0 +1,59 @@
+"""KV-scatter microbench: Pallas DMA scatter vs XLA row scatter.
+
+python tools/bench_kv_scatter.py   (on the real chip)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(T, pallas: bool, iters=30, layers=8):
+    os.environ["VLLM_TPU_PALLAS_SCATTER"] = "1" if pallas else "0"
+    from vllm_tpu.ops import attention as att
+    L, N, two_k, ps, d = 32, 400, 16, 256, 128  # 6.5 GB cache
+    cache = jnp.zeros((L, N, two_k, ps, d), jnp.int8)
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(T, 8, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(T, 8, d)), jnp.bfloat16)
+    slots = jnp.asarray(rng.choice(N * ps, size=T, replace=False), jnp.int32)
+    ks = jnp.float32(0.05)
+    vs = jnp.float32(0.05)
+
+    @jax.jit
+    def many(cache, k):
+        def body(c, li):
+            return att.write_kv_cache(c, k, v, slots, ks, vs, layer=li), 0
+        cache, _ = jax.lax.scan(body, cache,
+                                jnp.arange(layers, dtype=jnp.int32))
+        # chain: fold one cache byte back into k so the axon replay
+        # cache can't serve a byte-identical execution
+        return cache, k + cache[0, 0, 0, 0, 0].astype(k.dtype) * 1e-9
+
+    cache, k = many(cache, k)
+    np.asarray(k[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cache, k = many(cache, k)
+    np.asarray(k[0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters / layers
+    mb = T * two_k * d / 1e6
+    print(f"T={T} pallas={pallas}: {dt * 1e6:8.1f} us/layer "
+          f"({mb:.2f} MB, {mb / dt / 1e3:.1f} GB/s)", flush=True)
+
+
+def main():
+    print("# backend:", jax.default_backend(), file=sys.stderr)
+    for T in (256, 4096):
+        for pallas in (False, True):
+            run(T, pallas)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,11 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # the cost of more VMEM scratch
     "VLLM_TPU_DECODE_SB":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_SB", "16")),
+    # KV-cache write path: 1 = Pallas DMA scatter (one strided
+    # HBM->HBM copy per token; XLA's row scatter runs on the scalar
+    # core at ~5.7 GB/s), 0 = XLA scatter fallback
+    "VLLM_TPU_PALLAS_SCATTER":
+    lambda: int(os.environ.get("VLLM_TPU_PALLAS_SCATTER", "1")),
     # decode kernel: wait on DMA semaphores via static descriptors
     # instead of re-deriving the per-page copy descriptors (saves
     # serial scalar-core work; 0 to fall back to full reconstruction)

@@ -33,6 +33,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from vllm_tpu import envs
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -174,6 +176,14 @@ def write_kv_cache(
         kv = jnp.clip(kv, -float(finfo_max), float(finfo_max))
         kv = kv.astype(kv_cache.dtype)
     T, two_k, d = kv.shape
+    if _use_pallas() and envs.VLLM_TPU_PALLAS_SCATTER:
+        # XLA's TPU scatter runs row-by-row on the scalar core (~5.7
+        # GB/s measured: 281 us/layer at the flagship decode shape,
+        # 9 ms/step over 32 layers, linear in tokens so prefill paid
+        # more) — the Pallas kernel issues one strided HBM->HBM DMA
+        # per token instead.
+        from vllm_tpu.ops.pallas.kv_scatter import kv_cache_scatter
+        return kv_cache_scatter(kv_cache, kv, slot_mapping, layer)
     # The quantize chain must NOT fuse into the scatter: XLA evaluates a
     # scatter's fused producer per update row on the scalar core
     # (measured 5 GB/s, 283 us/layer at the flagship decode shape —
