@@ -9,9 +9,21 @@ scalar core — measured 281 us for 256 decode tokens x 16 head-rows of
 128 B (~5.7 GB/s) in the flagship bench, 9 ms/step across 32 layers,
 and it grows linearly with tokens so a 4096-token prefill step paid
 ~4.5 ms/layer. The DMA engines handle strided writes natively: this
-kernel issues ONE async copy per token ([2K, 1, d] rows striding
-page*d through the head-major page) straight HBM->HBM, no VMEM
+kernel issues ONE async copy per token straight HBM->HBM, no VMEM
 staging, and software-pipelines CH copies deep.
+
+Tiling-legality note (the shape choreography below is load-bearing):
+Mosaic tiles the LAST TWO dims of every memref — (2,128) for bf16,
+(4,128) for int8 — and rejects `memref_slice` windows not aligned to
+the tile (a size-1 slice of the page dim, the obvious way to address
+one token's row, fails to compile on real hardware). So the kernel
+addresses the head-major cache through the merged view
+[L, N, 2K, ps*d]: one token's write is then a [2K, d]-shaped window —
+full in the second-minor dim (2K) and a d-sized, d-aligned window of
+the minor dim at offset off*d — which is tile-aligned for every cache
+dtype (d == 128 == the lane tile). The DMA engine renders it as 2K
+rows of d bytes striding ps*d through the page, exactly the intended
+strided write.
 
 kv_cache: [L, N, 2K, ps, d] stacked head-major pages (or [N, 2K, ps, d]
 with L=1 squeezed by the caller). kv_rows: [T, 2K, d] quantized rows.
@@ -42,14 +54,15 @@ def _kernel(
     slots_ref,  # i32[T]
     layer_ref,  # i32[1]
     # operands (ANY/HBM)
-    rows_hbm,  # [T, 2K, 1, d]
-    cache_in,  # [L, N, 2K, ps, d] (aliased to output)
-    cache_out,  # [L, N, 2K, ps, d]
+    rows_hbm,  # [T, 2K, d]
+    cache_in,  # [L, N, 2K, ps*d] (aliased to output)
+    cache_out,  # [L, N, 2K, ps*d]
     # scratch
     sems,  # DMA [CH]
     *,
     tokens: int,
     page_size: int,
+    head_dim: int,
 ):
     layer = layer_ref[0]
 
@@ -62,8 +75,8 @@ def _kernel(
         bid = slot // page_size
         off = slot % page_size
         return pltpu.make_async_copy(
-            rows_hbm.at[t],
-            cache_out.at[layer, bid, :, pl.ds(off, 1)],
+            rows_hbm.at[t],  # [2K, d]
+            cache_out.at[layer, bid, :, pl.ds(off * head_dim, head_dim)],
             sems.at[j])
 
     nchunks = pl.cdiv(tokens, _CH)
@@ -83,29 +96,29 @@ def _kernel(
 def _scatter_impl(kv_cache, rows, slots, layer):
     T = rows.shape[0]
     L, N, two_k, ps, d = kv_cache.shape
-    kernel = functools.partial(_kernel, tokens=T, page_size=ps)
+    kernel = functools.partial(_kernel, tokens=T, page_size=ps,
+                               head_dim=d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            # rows MUST stay in HBM: ANY lets Mosaic promote the small
-            # array to VMEM, whose int8 tiling pads the size-1 page dim
-            # to 4 and rejects the per-token slices
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # rows
             pl.BlockSpec(memory_space=pltpu.HBM),  # cache
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_CH,))],
     )
-    return pl.pallas_call(
+    merged = kv_cache.reshape(L, N, two_k, ps * d)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        out_shape=jax.ShapeDtypeStruct(merged.shape, merged.dtype),
         input_output_aliases={3: 0},  # cache operand -> output
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_INTERPRET,
-    )(slots, layer, rows.reshape(T, two_k, 1, d), kv_cache)
+    )(slots, layer, rows, merged)
+    return out.reshape(L, N, two_k, ps, d)
 
 
 def kv_cache_scatter(kv_cache: jnp.ndarray, rows: jnp.ndarray,
