@@ -47,7 +47,8 @@ def make_case(rng, seq_specs, num_q_heads, num_kv_heads, head, page,
         offset += q_len
     qsl[len(seq_specs) + 1:] = offset
 
-    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R,
+                                               skip_single=True)
     meta = AttentionMetadata(
         slot_mapping=jnp.zeros(T, jnp.int32),
         block_tables=jnp.asarray(block_tables),
@@ -121,6 +122,43 @@ def test_kernel_soft_cap():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_kernel_per_head_kv_scales():
+    """int8 KV + per-head dequant scale VECTORS consumed in-kernel
+    (scalar-prefetch SMEM) vs the fp32 reference — both the prefill
+    (ragged) and the mixed decode-row split paths."""
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        ragged_paged_attention
+
+    rng = np.random.default_rng(11)
+    for seq_specs, token_pad, req_pad in [
+            ([(30, 30), (17, 17), (1, 40), (1, 12)], 64, 8),  # mixed
+            ([(1, 17), (1, 32), (1, 5), (1, 64)], 8, 8),  # decode bucket
+    ]:
+        q, kv, meta, total_q = make_case(
+            rng, seq_specs, num_q_heads=8, num_kv_heads=2, head=128,
+            page=16, max_blocks=8, token_pad=token_pad, req_pad=req_pad)
+        K = 2
+        ks = np.abs(np.asarray(kv[:, :K])).max(axis=(0, 2, 3)) / 127.0
+        vs = np.abs(np.asarray(kv[:, K:])).max(axis=(0, 2, 3)) / 127.0
+        qkv = np.asarray(kv, np.float32).copy()
+        qkv[:, :K] = np.round(qkv[:, :K] / ks[None, :, None, None])
+        qkv[:, K:] = np.round(qkv[:, K:] / vs[None, :, None, None])
+        kv_q = jnp.asarray(np.clip(qkv, -127, 127), jnp.int8)
+        # reference: exact dequant through a float cache
+        deq = np.asarray(kv_q, np.float32).copy()
+        deq[:, :K] *= ks[None, :, None, None]
+        deq[:, K:] *= vs[None, :, None, None]
+        ref = ragged_paged_attention_ref(q, jnp.asarray(deq), meta,
+                                         scale=0.125)
+        out = ragged_paged_attention(
+            q, kv_q, meta, scale=0.125, chunk_pages=2,
+            k_scale=jnp.asarray(ks, jnp.float32),
+            v_scale=jnp.asarray(vs, jnp.float32))
+        np.testing.assert_allclose(np.asarray(out)[:total_q],
+                                   np.asarray(ref)[:total_q],
+                                   rtol=5e-3, atol=5e-3)
+
+
 # ------------------------------------------------------------- MLA kernel
 
 def make_mla_case(rng, seq_specs, num_heads, latent_dim, page, max_blocks,
@@ -149,7 +187,8 @@ def make_mla_case(rng, seq_specs, num_heads, latent_dim, page, max_blocks,
         qsl[r + 1] = offset + q_len
         offset += q_len
     qsl[len(seq_specs) + 1:] = offset
-    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R,
+                                               skip_single=True)
     meta = AttentionMetadata(
         slot_mapping=jnp.zeros(T, jnp.int32),
         block_tables=jnp.asarray(block_tables),

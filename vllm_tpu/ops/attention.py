@@ -356,22 +356,6 @@ def attention(
     k_scale/v_scale dequant inside paged_attention_kernel,
     csrc/attention/attention_kernels.cu).
     """
-    if k_scale is not None and getattr(k_scale, "ndim", 0) >= 1:
-        num_kv = kv_cache.shape[-3] // 2
-        group = q.shape[1] // num_kv
-        qs = jnp.repeat(k_scale.astype(jnp.float32).reshape(num_kv),
-                        group)
-        q = (q.astype(jnp.float32) * qs[None, :, None]).astype(q.dtype)
-        vs = jnp.repeat(v_scale.astype(jnp.float32).reshape(num_kv),
-                        group)
-        out = attention(q, kv_cache, metadata, scale,
-                        sliding_window=sliding_window,
-                        logits_soft_cap=logits_soft_cap,
-                        k_scale=None, v_scale=None, layer=layer,
-                        causal=causal, local_chunk=local_chunk,
-                        alibi_slopes=alibi_slopes)
-        return (out.astype(jnp.float32) *
-                vs[None, :, None]).astype(out.dtype)
     bidir_prefill = False
     if metadata.bidir_spans is not None:
         from vllm_tpu.ops.pallas.ragged_paged_attention import q_block_size
@@ -388,12 +372,36 @@ def attention(
         except ImportError:
             pass
         else:
+            # per-head scale arrays go INTO the kernels (scalar-prefetch
+            # SMEM), where the dequant multiply already exists — folding
+            # them into q / the output out here costs a full fp32
+            # elementwise pass over both tensors per layer (measured
+            # 9 ms/step at bs=256).
             return ragged_paged_attention(
                 q, kv_cache, metadata, scale,
                 sliding_window=sliding_window,
                 logits_soft_cap=logits_soft_cap,
                 k_scale=k_scale, v_scale=v_scale, layer=layer,
                 alibi_slopes=alibi_slopes)
+    if k_scale is not None and getattr(k_scale, "ndim", 0) >= 1:
+        # jnp reference path: fold per-head array scales exactly — the
+        # score is linear in k (K-scale into q) and the output is linear
+        # in v (V-scale onto the output).
+        num_kv = kv_cache.shape[-3] // 2
+        group = q.shape[1] // num_kv
+        qs = jnp.repeat(k_scale.astype(jnp.float32).reshape(num_kv),
+                        group)
+        q2 = (q.astype(jnp.float32) * qs[None, :, None]).astype(q.dtype)
+        vs = jnp.repeat(v_scale.astype(jnp.float32).reshape(num_kv),
+                        group)
+        out = ragged_paged_attention_ref(
+            q2, kv_cache, metadata, scale,
+            sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap,
+            k_scale=None, v_scale=None, layer=layer, causal=causal,
+            local_chunk=local_chunk, alibi_slopes=alibi_slopes)
+        return (out.astype(jnp.float32) *
+                vs[None, :, None]).astype(out.dtype)
     return ragged_paged_attention_ref(
         q, kv_cache, metadata, scale,
         sliding_window=sliding_window,

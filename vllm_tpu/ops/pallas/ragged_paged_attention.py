@@ -66,19 +66,28 @@ def max_logical_blocks(num_tokens: int, num_reqs: int) -> int:
 
 
 def build_logical_blocks(query_start_loc: np.ndarray, num_tokens: int,
-                         num_reqs: int) -> tuple[np.ndarray, np.ndarray]:
+                         num_reqs: int, skip_single: bool = False
+                         ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side: (lb_seq, lb_q_start) arrays, padded with -1.
 
     Called by InputBatch.prepare_inputs; the result rides in
     AttentionMetadata so the kernel never sees dynamic shapes.
+
+    ``skip_single``: leave q_len==1 requests out (prefill-shaped buckets
+    route them through the batched-row decode kernel instead — a decode
+    row in a BQ=128 tile would compute at 1/BQ utilization). Only valid
+    for the non-MLA GQA path whose dispatcher performs that split.
     """
     bq = q_block_size(num_tokens, num_reqs)
     maxlb = max_logical_blocks(num_tokens, num_reqs)
     lb_seq = np.full(maxlb, -1, np.int32)
     lb_q_start = np.zeros(maxlb, np.int32)
+    skip = skip_single and bq != 16
     i = 0
     for s in range(num_reqs):
         start, end = int(query_start_loc[s]), int(query_start_loc[s + 1])
+        if skip and end - start == 1:
+            continue
         for q0 in range(start, end, bq):
             lb_seq[i] = s
             lb_q_start[i] = q0
@@ -118,6 +127,8 @@ def _kernel(
     seq_lens_ref,  # i32[R]
     block_tables_ref,  # i32[R, MAXP]
     layer_ref,  # i32[1] — which layer of the stacked cache to read/DMA
+    k_scale_ref,  # f32[nk] per-head K dequant scales (ones when unquantized)
+    v_scale_ref,  # f32[nk]
     # tensors (HBM)
     q_hbm,  # [T + BQ, nq, d]
     kv_hbm,  # [L, N, 2*nk, ps, d] (head-major pages)
@@ -141,8 +152,6 @@ def _kernel(
     sliding_window: Optional[int],
     soft_cap: Optional[float],
     kv_quant: bool,
-    k_scale: float,
-    v_scale: float,
     maxlb: int,
     alibi: Optional[tuple] = None,
 ):
@@ -268,17 +277,18 @@ def _kernel(
             kv = kv_buf[slot]  # [2nk, C, d]: per-head rows contiguous
             new_m, new_l, new_acc = [], [], []
             for h in range(num_kv_heads):
-                k = kv[h]
-                v = kv[num_kv_heads + h]
-                if kv_quant:
-                    k = (k.astype(jnp.float32) * k_scale).astype(qf.dtype)
-                    v = (v.astype(jnp.float32) * v_scale).astype(qf.dtype)
+                # dequant folds: raw int8/fp8 -> bf16 convert (one VPU
+                # pass); the per-head K scale folds into the f32 score
+                # scale and the V scale applies once on the epilogue
+                k = kv[h].astype(qf.dtype)
+                v = kv[num_kv_heads + h].astype(qf.dtype)
+                eff = scale * k_scale_ref[h] if kv_quant else scale
                 qh = qf[:, h * group:(h + 1) * group, :].reshape(
                     bq * group, head_dim)
                 scores = jax.lax.dot_general(
                     qh, k,
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32) * eff
                 if alibi is not None:
                     # ALiBi bias: slope_h * (col - pos), 0 at the query
                     # position (reference: csrc attention kernels'
@@ -318,6 +328,10 @@ def _kernel(
 
         # normalize + scatter heads back to [BQ, nq, d]
         out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, BQ*G, d]
+        if kv_quant:
+            vs = jnp.stack([v_scale_ref[h]
+                            for h in range(num_kv_heads)])
+            out = out * vs[:, None, None]
         out = out.reshape(num_kv_heads, bq, group, head_dim)
         out = out.transpose(1, 0, 2, 3).reshape(bq, nq, head_dim)
 
@@ -354,9 +368,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_scale_arr", "v_scale_arr", "scale",
-                     "sliding_window", "logits_soft_cap", "chunk_pages",
-                     "alibi"))
+    static_argnames=("scale", "sliding_window", "logits_soft_cap",
+                     "chunk_pages", "alibi"))
 def _ragged_paged_attention_impl(
     q: jnp.ndarray,
     kv_cache: jnp.ndarray,  # [L, N, 2nk, ps, d]
@@ -366,8 +379,8 @@ def _ragged_paged_attention_impl(
     query_start_loc: jnp.ndarray,
     seq_lens: jnp.ndarray,
     block_tables: jnp.ndarray,
-    k_scale_arr: Optional[float],
-    v_scale_arr: Optional[float],
+    k_scale_vec: jnp.ndarray,  # f32[nk] (ones when unquantized)
+    v_scale_vec: jnp.ndarray,  # f32[nk]
     scale: float,
     sliding_window: Optional[int],
     logits_soft_cap: Optional[float],
@@ -383,10 +396,6 @@ def _ragged_paged_attention_impl(
     maxlb = lb_seq.shape[0]
 
     kv_quant = kv_cache.dtype != q.dtype
-    # Per-layer KV scales must be static floats for now (checkpoint
-    # scalars); dynamic activation scales land with the quant milestone.
-    k_scale = k_scale_arr if k_scale_arr is not None else 1.0
-    v_scale = v_scale_arr if v_scale_arr is not None else 1.0
 
     q_pad = jnp.pad(q, ((0, bq), (0, 0), (0, 0)))
 
@@ -403,13 +412,11 @@ def _ragged_paged_attention_impl(
         sliding_window=sliding_window,
         soft_cap=logits_soft_cap,
         kv_quant=kv_quant,
-        k_scale=k_scale,
-        v_scale=v_scale,
         maxlb=maxlb,
         alibi=alibi,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(maxlb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q
@@ -439,7 +446,7 @@ def _ragged_paged_attention_impl(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(lb_seq, lb_q_start, query_start_loc, seq_lens, block_tables, layer,
-      q_pad, kv_cache)
+      k_scale_vec, v_scale_vec, q_pad, kv_cache)
     return out_pad[:T]
 
 
@@ -453,6 +460,8 @@ def _decode_kernel(
     block_tables_ref,  # i32[R, MAXP]
     layer_ref,  # i32[1]
     cascade_ref,  # i32[MAXP+1]: [0]=num shared pages, [1:]=page ids
+    k_scale_ref,  # f32[nk] per-head K dequant scales (ones if unquantized)
+    v_scale_ref,  # f32[nk]
     # tensors
     q_ref,  # [SB, nq, d] auto-pipelined block
     kv_hbm,  # [L, N, 2nk, ps, d] (ANY, head-major pages)
@@ -475,8 +484,6 @@ def _decode_kernel(
     sliding_window: Optional[int],
     soft_cap: Optional[float],
     kv_quant: bool,
-    k_scale: float,
-    v_scale: float,
     cascade: bool,
     alibi: Optional[tuple] = None,
     cheap_wait: bool = True,
@@ -590,7 +597,9 @@ def _decode_kernel(
                                      pl.cdiv(kv_needed, C))
     nxt_has_work = jnp.logical_and(nxt_has_work, nxt_num_chunks > 0)
 
-    eff_scale = scale * k_scale if kv_quant else scale
+    def eff_scale(h):
+        # per-head dequant fold: K scale into the f32 score scale
+        return scale * k_scale_ref[h] if kv_quant else scale
 
     # Block-diagonal batching: per KV head, contract a GROUP of MG rows'
     # queries against the concatenation of those rows' KV chunks in one
@@ -690,7 +699,7 @@ def _decode_kernel(
                          h * G:(h + 1) * G, :].reshape(mg * G, head_dim)
                 scores = jax.lax.dot_general(
                     q_h, k_big, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * eff_scale
+                    preferred_element_type=jnp.float32) * eff_scale(h)
                 if alibi is not None:
                     slope = _alibi_col(alibi, h, G, mg * G)
                     scores = scores + slope * (
@@ -771,7 +780,7 @@ def _decode_kernel(
                     sb * G, head_dim)
                 scores = jax.lax.dot_general(
                     q_h, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * eff_scale
+                    preferred_element_type=jnp.float32) * eff_scale(h)
                 if alibi is not None:
                     slope = _alibi_col(alibi, h, G, sb * G)
                     scores = scores + slope * (
@@ -810,7 +819,8 @@ def _decode_kernel(
 
     out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, SB*G, d]
     if kv_quant:
-        out = out * v_scale  # dequant fold (see body)
+        vs = jnp.stack([v_scale_ref[h] for h in range(num_kv_heads)])
+        out = out * vs[:, None, None]  # per-head dequant fold (see body)
     out = out.reshape(num_kv_heads, sb, G, head_dim)
     out = out.transpose(1, 0, 2, 3).reshape(sb, nq, head_dim)
     out_ref[...] = out.astype(out_ref.dtype)
@@ -818,9 +828,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_scale_arr", "v_scale_arr", "scale",
-                     "sliding_window", "logits_soft_cap", "chunk_pages",
-                     "alibi", "sb", "mg", "cheap_wait"))
+    static_argnames=("scale", "sliding_window", "logits_soft_cap",
+                     "chunk_pages", "alibi", "sb", "mg", "cheap_wait"))
 def _decode_attention_impl(
     q: jnp.ndarray,
     kv_cache: jnp.ndarray,
@@ -828,8 +837,8 @@ def _decode_attention_impl(
     query_start_loc: jnp.ndarray,
     seq_lens: jnp.ndarray,
     block_tables: jnp.ndarray,
-    k_scale_arr: Optional[float],
-    v_scale_arr: Optional[float],
+    k_scale_vec: jnp.ndarray,  # f32[nk] (ones when unquantized)
+    v_scale_vec: jnp.ndarray,  # f32[nk]
     scale: float,
     sliding_window: Optional[int],
     logits_soft_cap: Optional[float],
@@ -874,8 +883,6 @@ def _decode_attention_impl(
         sliding_window=sliding_window,
         soft_cap=logits_soft_cap,
         kv_quant=kv_cache.dtype != q.dtype,
-        k_scale=k_scale_arr if k_scale_arr is not None else 1.0,
-        v_scale=v_scale_arr if v_scale_arr is not None else 1.0,
         cascade=cascade_meta is not None,
         alibi=alibi,
         cheap_wait=cheap_wait,
@@ -887,7 +894,7 @@ def _decode_attention_impl(
         cascade_arr = cascade_meta
         sh_shape = (2, two_nk, C, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(num_progs,),
         in_specs=[
             pl.BlockSpec((SB, nq, d), lambda i, *_: (i, 0, 0)),
@@ -911,7 +918,7 @@ def _decode_attention_impl(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(row_seq, query_start_loc, seq_lens, block_tables, layer,
-      cascade_arr, q_pad, kv_cache)
+      cascade_arr, k_scale_vec, v_scale_vec, q_pad, kv_cache)
     return out_pad[:T]
 
 
@@ -942,27 +949,65 @@ def ragged_paged_attention(
     layer_arr = jnp.asarray([layer if layer is not None else 0], jnp.int32)
     T = q.shape[0]
     R = metadata.seq_lens.shape[0]
+    nk = kv_cache.shape[-3] // 2
+    ps = kv_cache.shape[-2]
+
+    def _vec(sc):
+        # per-head f32[nk] dequant scale consumed in-kernel via scalar
+        # prefetch (kills the former outer fp32 fold of the whole q /
+        # output tensor — measured 9 ms/step of elementwise at bs=256)
+        if sc is None:
+            return jnp.ones((nk,), jnp.float32)
+        sc = jnp.asarray(sc, jnp.float32)
+        if sc.ndim == 0:
+            return jnp.full((nk,), sc)
+        return sc.reshape(nk)
+
+    k_vec, v_vec = _vec(k_scale), _vec(v_scale)
+    # Keep KV chunks near 256 tokens regardless of page size: short
+    # sequences then stream no clamped duplicate page copies, and the
+    # double-buffered chunk loop still pipelines long contexts.
+    dec_chunk = max(1, min(chunk_pages, 256 // ps))
     if q_block_size(T, R) == 16:
         # decode-shaped bucket: the batched-row kernel amortizes the
         # ~3us fixed per-program cost over SB rows; cascade_meta (when
         # the scheduler found a batch-wide shared prefix) streams the
         # shared blocks once per program instead of once per row.
-        # Keep KV chunks near 256 tokens regardless of page size: the
-        # per-program cost is dominated by serially ISSUING the
-        # (rows x pages) DMA descriptors, so bigger pages want
-        # proportionally fewer pages per chunk.
-        ps = kv_cache.shape[-2]
-        dec_chunk = max(1, min(chunk_pages, 256 // ps))
         return _decode_attention_impl(
             q, kv_cache, layer_arr, metadata.query_start_loc,
-            metadata.seq_lens, metadata.block_tables, k_scale, v_scale,
+            metadata.seq_lens, metadata.block_tables, k_vec, v_vec,
             scale, sliding_window, logits_soft_cap, dec_chunk,
             cascade_meta=getattr(metadata, "cascade_meta", None),
             alibi=alibi, mg=envs.VLLM_TPU_DECODE_MG,
             sb=envs.VLLM_TPU_DECODE_SB,
             cheap_wait=bool(envs.VLLM_TPU_DECODE_CHEAP_WAIT))
-    return _ragged_paged_attention_impl(
+    # Prefill-shaped bucket. The ragged kernel covers the true prefill
+    # tiles; q_len==1 rows (decode riding a mixed chunked-prefill step)
+    # go through the batched-row decode kernel instead — a single decode
+    # row inside a BQ=128 tile computes at 1/BQ utilization and was
+    # measured at ~10 ms/layer for a 4096-token bucket with 224 decode
+    # rows. build_logical_blocks(skip_single=True) already left those
+    # rows out of lb_seq.
+    out = _ragged_paged_attention_impl(
         q, kv_cache, layer_arr, metadata.lb_seq, metadata.lb_q_start,
         metadata.query_start_loc, metadata.seq_lens, metadata.block_tables,
-        k_scale, v_scale, scale, sliding_window, logits_soft_cap,
-        chunk_pages, alibi=alibi)
+        k_vec, v_vec, scale, sliding_window, logits_soft_cap,
+        dec_chunk, alibi=alibi)
+    qsl = metadata.query_start_loc
+    qlen = qsl[1:] - qsl[:-1]
+    is_dec = qlen == 1
+    dec_tok = jnp.where(is_dec, qsl[:-1], T)  # T = padded zero row
+    qz = jnp.pad(q, ((0, 1), (0, 0), (0, 0)))
+    q_dec = qz[dec_tok]  # [R, nq, d]
+    dec_out = _decode_attention_impl(
+        q_dec, kv_cache, layer_arr,
+        jnp.arange(R + 1, dtype=jnp.int32),
+        jnp.where(is_dec, metadata.seq_lens, 0),
+        metadata.block_tables, k_vec, v_vec,
+        scale, sliding_window, logits_soft_cap, dec_chunk,
+        cascade_meta=None, alibi=alibi, mg=envs.VLLM_TPU_DECODE_MG,
+        sb=envs.VLLM_TPU_DECODE_SB,
+        cheap_wait=bool(envs.VLLM_TPU_DECODE_CHEAP_WAIT))
+    # scatter AFTER the ragged output so BQ-tile write spill over decode
+    # rows is overwritten; non-decode rows carry index T -> dropped
+    return out.at[dec_tok].set(dec_out.astype(out.dtype), mode="drop")

@@ -99,7 +99,12 @@ class InputBatch:
         num_kv_groups: int = 1,
         image_token_index: Optional[int] = None,
         bidir_mode: Optional[str] = None,
+        lb_skip_single: bool = True,
     ) -> None:
+        # prefill-bucket logical blocks leave q_len==1 rows out (they
+        # ride the batched-row decode kernel); MLA models keep them in
+        # (the MLA kernel serves every row from lb_seq)
+        self.lb_skip_single = lb_skip_single
         self.image_token_index = image_token_index
         # "prompt" (PaliGemma prefix-LM) | "mm_span" (Gemma3 image span)
         self.bidir_mode = bidir_mode
@@ -442,7 +447,8 @@ class InputBatch:
         from vllm_tpu.ops.pallas.ragged_paged_attention import \
             build_logical_blocks
 
-        lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
+        lb_seq, lb_q_start = build_logical_blocks(
+            qsl, T, R, skip_single=self.lb_skip_single)
 
         spec_kw = {}
         if num_spec_tokens > 0:

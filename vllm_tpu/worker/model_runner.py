@@ -288,6 +288,9 @@ class TPUModelRunner:
                                else getattr(self.model,
                                             "image_token_index", None)),
             bidir_mode=getattr(self.model, "bidir_attention", None),
+            lb_skip_single=not any(
+                isinstance(g.kv_cache_spec, MLASpec)
+                for g in kv_cache_config.kv_cache_groups),
         )
         for gi, group in enumerate(kv_cache_config.kv_cache_groups):
             if not isinstance(group.kv_cache_spec, MambaSpec):
