@@ -667,9 +667,13 @@ class LlamaForCausalLM:
                             tensors.pop(base + ".qzeros"),
                             tensors.pop(base + ".scales"), g_idx)
                         if "perm" in unpacked:
-                            raise NotImplementedError(
-                                "GPTQ act-order (desc_act=True) "
-                                "checkpoints are not yet supported")
+                            # desc_act checkpoints: repack onto
+                            # contiguous groups at load (gptq_shuffle
+                            # analog; reference gptq.py:262)
+                            from vllm_tpu.models.quant_checkpoints \
+                                import requantize_act_order
+
+                            unpacked = requantize_act_order(unpacked)
                     else:  # awq
                         unpacked = unpack_awq(
                             tensors.pop(base + ".qweight"),

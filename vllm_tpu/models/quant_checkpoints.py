@@ -84,6 +84,35 @@ def unpack_awq(qweight: np.ndarray, qzeros: np.ndarray,
     }
 
 
+def requantize_act_order(unpacked: dict, bits: int = 4) -> dict:
+    """Act-order (``desc_act=True``) repack: exact dequant through the
+    g_idx group map, then an asymmetric requantization onto CONTIGUOUS
+    groups in natural channel order (TPU load-time analog of the
+    reference's gptq_shuffle, vllm gptq.py:262 — the serving layout
+    indexes groups as k//group with no per-row indirection).
+
+    The requant is the only lossy step: int4 codes re-gridded onto new
+    group ranges. For the default w8a8 execution layout the codes are
+    requantized per-channel int8 downstream, where this intermediate adds
+    ~1e-3 relative error (tests/test_quant_checkpoints.py bounds it)."""
+    w = dequant_reference(unpacked)  # [K, N] f32, natural channel order
+    K, N = w.shape
+    G = unpacked["scale"].shape[0]
+    group = K // G
+    qmax = float((1 << bits) - 1)
+    wg = w.reshape(G, group, N)
+    wmin = wg.min(axis=1)
+    wmax = wg.max(axis=1)
+    scale = np.maximum((wmax - wmin) / qmax, 1e-10).astype(np.float32)
+    zero = (-wmin / scale).astype(np.float32)
+    q = np.clip(np.round(wg / scale[:, None] + zero[:, None]), 0, qmax)
+    return {
+        "w_q": q.reshape(K, N).astype(np.int8),
+        "scale": scale,
+        "zero": zero,
+    }
+
+
 def pack_int4_np(w_q: np.ndarray) -> np.ndarray:
     """Host-side split-K-half nibble packing (device analog:
     ops/quant.py pack_int4): byte row r holds K-row r (low nibble) and
