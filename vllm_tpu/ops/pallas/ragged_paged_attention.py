@@ -329,9 +329,10 @@ def _kernel(
         # normalize + scatter heads back to [BQ, nq, d]
         out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, BQ*G, d]
         if kv_quant:
-            vs = jnp.stack([v_scale_ref[h]
-                            for h in range(num_kv_heads)])
-            out = out * vs[:, None, None]
+            # per-head V dequant fold: scalar SMEM read x static slice
+            # (Mosaic cannot shape-cast a stack of SMEM scalars)
+            out = jnp.stack([out[h] * v_scale_ref[h]
+                             for h in range(num_kv_heads)])
         out = out.reshape(num_kv_heads, bq, group, head_dim)
         out = out.transpose(1, 0, 2, 3).reshape(bq, nq, head_dim)
 
@@ -819,8 +820,9 @@ def _decode_kernel(
 
     out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, SB*G, d]
     if kv_quant:
-        vs = jnp.stack([v_scale_ref[h] for h in range(num_kv_heads)])
-        out = out * vs[:, None, None]  # per-head dequant fold (see body)
+        # per-head V dequant fold (see body); scalar x static slice
+        out = jnp.stack([out[h] * v_scale_ref[h]
+                         for h in range(num_kv_heads)])
     out = out.reshape(num_kv_heads, sb, G, head_dim)
     out = out.transpose(1, 0, 2, 3).reshape(sb, nq, head_dim)
     out_ref[...] = out.astype(out_ref.dtype)
