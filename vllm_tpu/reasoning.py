@@ -54,6 +54,9 @@ class StreamingReasoningSplitter:
     def __init__(self, parser: ReasoningParser):
         self.start = getattr(parser, "start", "<think>")
         self.end = getattr(parser, "end", "</think>")
+        # qwen3 semantics: no opening tag means NO reasoning block at
+        # all (enable_thinking=False); R1's template pre-emits the tag
+        self.require_start = getattr(parser, "require_start", False)
         self._buf = ""
         self._mode = "head"  # head -> reasoning -> content
 
@@ -76,7 +79,8 @@ class StreamingReasoningSplitter:
                     and len(s) < len(self.start):
                 return "", ""  # could still become the opening tag
             else:
-                self._mode = "reasoning"
+                self._mode = "content" if self.require_start \
+                    else "reasoning"
         if self._mode == "reasoning":
             pos = self._buf.find(self.end)
             if pos >= 0:
@@ -99,10 +103,80 @@ class StreamingReasoningSplitter:
         return buf, ""  # unterminated thought: stays reasoning
 
 
+class Qwen3ReasoningParser(ThinkTagReasoningParser):
+    """Qwen3 semantics (reference qwen3_reasoning_parser.py): BOTH tags
+    must be present — with enable_thinking=False the model emits no
+    <think> block and the whole completion is content (unlike R1, whose
+    template pre-emits the opening tag so it may be absent)."""
+
+    name = "qwen3"
+    require_start = True
+
+    def extract(self, text: str) -> ExtractedReasoning:
+        if self.start not in text or self.end not in text:
+            return ExtractedReasoning(None, text)
+        head, _, tail = text.partition(self.end)
+        _, _, body = head.partition(self.start)
+        return ExtractedReasoning(body.strip() or None,
+                                  tail.lstrip("\n") or None)
+
+
+class GraniteReasoningParser(ReasoningParser):
+    """IBM Granite textual markers (reference
+    granite_reasoning_parser.py): "Here is my thought process:" ...
+    "Here is my response:" (both also appear as "Here's ...")."""
+
+    name = "granite"
+    _THOUGHT = ("Here is my thought process:", "Here's my thought process:")
+    _RESPONSE = ("Here is my response:", "Here's my response:")
+
+    def extract(self, text: str) -> ExtractedReasoning:
+        start = end = None
+        for m in self._THOUGHT:
+            i = text.find(m)
+            if i >= 0:
+                start = (i, i + len(m))
+                break
+        if start is None:
+            return ExtractedReasoning(None, text)
+        for m in self._RESPONSE:
+            i = text.find(m, start[1])
+            if i >= 0:
+                end = (i, i + len(m))
+                break
+        if end is None:
+            return ExtractedReasoning(text[start[1]:].strip() or None,
+                                      None)
+        return ExtractedReasoning(text[start[1]:end[0]].strip() or None,
+                                  text[end[1]:].lstrip() or None)
+
+
+class HunyuanA13BReasoningParser(ReasoningParser):
+    """Hunyuan-A13B (reference hunyuan_a13b_reasoning_parser.py):
+    "<think>...\\n</think>\\n<answer>...</answer>" — the answer rides its
+    own tag pair; reasoning precedes "</think>"."""
+
+    name = "hunyuan_a13b"
+
+    def extract(self, text: str) -> ExtractedReasoning:
+        head, sep, tail = text.partition("</think>")
+        if not sep:
+            return ExtractedReasoning(None, text)
+        _, _, reasoning = head.partition("<think>")
+        answer = tail
+        a_head, a_sep, a_tail = tail.partition("<answer>")
+        if a_sep:
+            answer = a_tail.partition("</answer>")[0]
+        return ExtractedReasoning(reasoning.strip() or None,
+                                  answer.strip() or None)
+
+
 _PARSERS = {
     "deepseek_r1": ThinkTagReasoningParser,
-    "qwen3": ThinkTagReasoningParser,
+    "qwen3": Qwen3ReasoningParser,
     "glm45": ThinkTagReasoningParser,
+    "granite": GraniteReasoningParser,
+    "hunyuan_a13b": HunyuanA13BReasoningParser,
 }
 
 
