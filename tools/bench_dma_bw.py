@@ -214,7 +214,10 @@ def bench_scatter(total_mb, n_copies, copy_kb, buf_mb=4096, shuffle=True,
             vmem_limit_bytes=110 * 1024 * 1024),
     )
 
-    @jax.jit
+    # donate x: without donation every call COPIES the buffer for the
+    # .at update (a buf_mb-sized copy that halves the apparent rate on
+    # big buffers — the round-4 "big-alloc penalty" artifact)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def f(x, i):
         for k in range(INNER):
             s = call(pages, x)[0, 0]
