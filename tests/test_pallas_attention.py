@@ -426,3 +426,22 @@ def test_kernel_alibi_matches_reference():
     np.testing.assert_allclose(np.asarray(out[:total]),
                                np.asarray(ref[:total]), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_decode_grid_kernel_variant(monkeypatch):
+    """The grid (per-program) decode kernel stays correct with the
+    single-program loop variant off."""
+    monkeypatch.setenv("VLLM_TPU_DECODE_LOOP", "0")
+    from vllm_tpu.ops.pallas.ragged_paged_attention import \
+        ragged_paged_attention
+
+    rng = np.random.default_rng(21)
+    q, kv, meta, total_q = make_case(
+        rng, [(1, 17), (2, 30), (1, 64), (3, 9)], num_q_heads=8,
+        num_kv_heads=2, head=128, page=16, max_blocks=8, token_pad=8,
+        req_pad=8)
+    ref = ragged_paged_attention_ref(q, kv, meta, scale=0.125)
+    out = ragged_paged_attention(q, kv, meta, scale=0.125, chunk_pages=2)
+    np.testing.assert_allclose(np.asarray(out)[:total_q],
+                               np.asarray(ref)[:total_q],
+                               rtol=2e-3, atol=2e-3)

@@ -74,6 +74,12 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # serial scalar-core work; 0 to fall back to full reconstruction)
     "VLLM_TPU_DECODE_CHEAP_WAIT":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_CHEAP_WAIT", "1")),
+    # Decode-attention kernel structure: 1 = single-program loop (one
+    # Pallas program fori-loops over row groups; kills the ~13us fixed
+    # per-program dispatch+handoff cost of the grid version, measured
+    # r5), 0 = grid of SB-row programs (r3/r4 kernel).
+    "VLLM_TPU_DECODE_LOOP":
+    lambda: int(os.environ.get("VLLM_TPU_DECODE_LOOP", "1")),
     # max bytes per KV-cache device allocation, in MB; >0 splits the
     # stacked [L, N, ...] cache into per-layer-group slabs
     # (ops/attention.KVSlabs) and scans layers slab by slab. Default

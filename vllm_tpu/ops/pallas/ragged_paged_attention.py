@@ -828,6 +828,246 @@ def _decode_kernel(
     out_ref[...] = out.astype(out_ref.dtype)
 
 
+
+
+def _decode_kernel_loop(
+    # scalar prefetch
+    row_seq_ref,  # i32[Tpad]
+    cu_q_lens_ref,  # i32[R+1]
+    seq_lens_ref,  # i32[R]
+    block_tables_ref,  # i32[R, MAXP]
+    layer_ref,  # i32[1]
+    k_scale_ref,  # f32[nk]
+    v_scale_ref,  # f32[nk]
+    # tensors (all HBM / ANY)
+    q_hbm,  # [Tpad, nq, d]
+    kv_hbm,  # [L, N, 2nk, ps, d]
+    out_hbm,  # [Tpad, nq, d]
+    # scratch
+    q_buf,  # VMEM [Tpad, nq, d]
+    out_buf,  # VMEM [Tpad, nq, d]
+    kv_buf,  # VMEM [2, SB, 2nk, C, d]
+    q_sem,
+    out_sem,
+    kv_sems,  # DMA [2, SB, chunk_pages]
+    *,
+    sb: int,
+    mg: int,
+    num_groups: int,
+    chunk_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+    scale: float,
+    sliding_window,
+    soft_cap,
+    kv_quant: bool,
+    alibi=None,
+    cheap_wait: bool = True,
+):
+    """Single-program decode kernel (r5): ONE Pallas program fori-loops
+    over row groups of SB token rows, double-buffering each group's
+    batched page DMAs against the previous group's compute.  The grid
+    version paid ~13.4 us of fixed dispatch + pipeline-handoff cost per
+    SB-row program (bs=256/SB=16 -> 16 programs -> ~215 us/layer of pure
+    overhead at a ~250 us/layer DMA roofline); here that cost is paid
+    once, and the (group, chunk) DMA schedule streams back-to-back at
+    the measured ~500 GB/s page-copy rate (tools/bench_dma_bw.py)."""
+    C = chunk_pages * page_size
+    G = group
+    nq = num_kv_heads * group
+    ngrp = sb // mg
+
+    pltpu.make_async_copy(q_hbm, q_buf, q_sem).start()
+
+    def row_params(g, j):
+        r0 = g * sb
+        s = row_seq_ref[r0 + j]
+        valid = s >= 0
+        sc = jnp.maximum(s, 0)
+        kv_len = jnp.where(valid, seq_lens_ref[sc], 0)
+        pos = kv_len - (cu_q_lens_ref[sc + 1] - (r0 + j))
+        kv_needed = jnp.where(valid, jnp.minimum(kv_len, pos + 1), 0)
+        return sc, kv_len, pos, kv_needed
+
+    def group_chunks(g):
+        nc = jnp.int32(0)
+        for j in range(sb):
+            _, _, _, kv_needed = row_params(g, j)
+            nc = jnp.maximum(nc, pl.cdiv(kv_needed, C))
+        return nc
+
+    def chunk_dma(g, slot, ci):
+        copies = []
+        for j in range(sb):
+            sc, kv_len, _, _ = row_params(g, j)
+            for p in range(chunk_pages):
+                page_pos = ci * chunk_pages + p
+                max_page = pl.cdiv(kv_len, page_size) - 1
+                safe_pos = jnp.clip(page_pos, 0, jnp.maximum(max_page, 0))
+                page_id = block_tables_ref[sc, safe_pos]
+                copies.append(
+                    pltpu.make_async_copy(
+                        kv_hbm.at[layer_ref[0], page_id],
+                        kv_buf.at[slot, j, :,
+                                  pl.ds(p * page_size, page_size)],
+                        kv_sems.at[slot, j, p]))
+        return copies
+
+    # bootstrap: first group with work issues its chunk 0 at parity 0
+    nc0 = group_chunks(0)
+
+    @pl.when(nc0 > 0)
+    def _():
+        for cpy in chunk_dma(0, 0, 0):
+            cpy.start()
+
+    pltpu.make_async_copy(q_hbm, q_buf, q_sem).wait()
+
+    # per-group compute identical to the grid kernel's body
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (mg * G, 1), 0) // G
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, mg * C), 1) // C
+    col_off = jax.lax.broadcasted_iota(jnp.int32, (1, mg * C), 1) % C
+    diag = row_blk == col_blk
+
+    def eff_scale(h):
+        return scale * k_scale_ref[h] if kv_quant else scale
+
+    def group_body(g, slot0):
+        num_chunks = group_chunks(g)
+        g_nxt = jnp.minimum(g + 1, num_groups - 1)
+        nxt_has_work = jnp.logical_and(
+            g + 1 < num_groups, group_chunks(g_nxt) > 0)
+        next_slot = jax.lax.rem(slot0 + num_chunks, 2)
+
+        kv_len_rows, pos_rows = [], []
+        for j in range(sb):
+            _, kv_len_j, pos_j, _ = row_params(g, j)
+            kv_len_rows.append(jnp.full((G, 1), kv_len_j, jnp.int32))
+            pos_rows.append(jnp.full((G, 1), pos_j, jnp.int32))
+        kv_len_row = jnp.concatenate(kv_len_rows)
+        pos_row = jnp.concatenate(pos_rows)
+        kv_len_grp = [
+            kv_len_row[ig * mg * G:(ig + 1) * mg * G] for ig in range(ngrp)
+        ]
+        pos_grp = [
+            pos_row[ig * mg * G:(ig + 1) * mg * G] for ig in range(ngrp)
+        ]
+        qt = q_buf[pl.ds(g * sb, sb)]  # [SB, nq, d]
+
+        def chunk_body(ci, carry):
+            m_all, l_all, acc_all = carry
+            slot = jax.lax.rem(slot0 + ci, 2)
+
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                for cpy in chunk_dma(g, jax.lax.rem(slot0 + ci + 1, 2),
+                                     ci + 1):
+                    cpy.start()
+
+            @pl.when(jnp.logical_and(ci + 1 == num_chunks, nxt_has_work))
+            def _():
+                for cpy in chunk_dma(g_nxt, next_slot, 0):
+                    cpy.start()
+
+            if cheap_wait:
+                for j in range(sb):
+                    for p in range(chunk_pages):
+                        pltpu.make_async_copy(
+                            kv_hbm.at[0, 0],
+                            kv_buf.at[slot, j, :, pl.ds(0, page_size)],
+                            kv_sems.at[slot, j, p]).wait()
+            else:
+                for cpy in chunk_dma(g, slot, ci):
+                    cpy.wait()
+
+            col_base = ci * C + col_off
+            oks = []
+            for ig in range(ngrp):
+                ok = (diag & (col_base < kv_len_grp[ig])
+                      & (col_base <= pos_grp[ig]))
+                if sliding_window is not None:
+                    ok &= col_base > pos_grp[ig] - sliding_window
+                oks.append(ok)
+
+            kv_all = kv_buf[slot]  # [SB, 2nk, C, d]
+            new_m, new_l, new_acc = [], [], []
+            for h in range(num_kv_heads):
+                gm, gl, gacc = [], [], []
+                for ig in range(ngrp):
+                    kv_g = kv_all[ig * mg:(ig + 1) * mg]
+                    k_big = kv_g[:, h].reshape(mg * C, head_dim)
+                    v_big = kv_g[:, num_kv_heads + h].reshape(
+                        mg * C, head_dim)
+                    k_big = k_big.astype(qt.dtype)
+                    v_big = v_big.astype(qt.dtype)
+                    q_h = qt[ig * mg:(ig + 1) * mg,
+                             h * G:(h + 1) * G, :].reshape(
+                                 mg * G, head_dim)
+                    scores = jax.lax.dot_general(
+                        q_h, k_big, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * eff_scale(h)
+                    if alibi is not None:
+                        slope = _alibi_col(alibi, h, G, mg * G)
+                        scores = scores + slope * (
+                            col_base - pos_grp[ig]).astype(jnp.float32)
+                    if soft_cap is not None:
+                        scores = soft_cap * jnp.tanh(scores / soft_cap)
+                    scores = jnp.where(oks[ig], scores, NEG_INF)
+
+                    sl = slice(ig * mg * G, (ig + 1) * mg * G)
+                    m_prev = m_all[h, sl]
+                    l_prev = l_all[h, sl]
+                    acc_prev = acc_all[h, sl]
+                    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    p2 = jnp.exp(scores - m_new)
+                    l_cur = jnp.sum(p2, axis=-1, keepdims=True)
+                    alpha = jnp.exp(m_prev - m_new)
+                    pv = jax.lax.dot_general(
+                        p2.astype(v_big.dtype), v_big,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    gm.append(m_new)
+                    gl.append(l_prev * alpha + l_cur)
+                    gacc.append(acc_prev * alpha + pv)
+                new_m.append(jnp.concatenate(gm) if ngrp > 1 else gm[0])
+                new_l.append(jnp.concatenate(gl) if ngrp > 1 else gl[0])
+                new_acc.append(
+                    jnp.concatenate(gacc) if ngrp > 1 else gacc[0])
+            return (jnp.stack(new_m), jnp.stack(new_l),
+                    jnp.stack(new_acc))
+
+        init = (
+            jnp.full((num_kv_heads, sb * G, 1), NEG_INF, jnp.float32),
+            jnp.zeros((num_kv_heads, sb * G, 1), jnp.float32),
+            jnp.zeros((num_kv_heads, sb * G, head_dim), jnp.float32),
+        )
+        m_all, l_all, acc_all = jax.lax.fori_loop(0, num_chunks,
+                                                  chunk_body, init)
+
+        @pl.when(jnp.logical_and(num_chunks == 0, nxt_has_work))
+        def _():
+            # all-padding group: still hand the next group its first
+            # chunk (parity unchanged since we consumed no chunks)
+            for cpy in chunk_dma(g_nxt, slot0, 0):
+                cpy.start()
+
+        out = acc_all / jnp.maximum(l_all, 1e-20)  # [nk, SB*G, d]
+        if kv_quant:
+            out = jnp.stack([out[h] * v_scale_ref[h]
+                             for h in range(num_kv_heads)])
+        out = out.reshape(num_kv_heads, sb, G, head_dim)
+        out = out.transpose(1, 0, 2, 3).reshape(sb, nq, head_dim)
+        out_buf[pl.ds(g * sb, sb)] = out.astype(out_buf.dtype)
+        return next_slot
+
+    jax.lax.fori_loop(0, num_groups, group_body, jnp.int32(0))
+    pltpu.make_async_copy(out_buf, out_hbm, out_sem).start()
+    pltpu.make_async_copy(out_buf, out_hbm, out_sem).wait()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logits_soft_cap",
@@ -872,6 +1112,55 @@ def _decode_attention_impl(
 
     q_pad = jnp.pad(q, ((0, num_progs * SB - T), (0, 0), (0, 0)))
     C = chunk_pages * ps
+    if cascade_meta is None and envs.VLLM_TPU_DECODE_LOOP:
+        # single-program loop variant (r5): one program, fori over row
+        # groups — kills the fixed per-program dispatch/handoff cost
+        kernel = functools.partial(
+            _decode_kernel_loop,
+            sb=SB,
+            mg=MG,
+            num_groups=num_progs,
+            chunk_pages=chunk_pages,
+            page_size=ps,
+            num_kv_heads=nk,
+            group=group,
+            head_dim=d,
+            scale=scale,
+            sliding_window=sliding_window,
+            soft_cap=logits_soft_cap,
+            kv_quant=kv_cache.dtype != q.dtype,
+            alibi=alibi,
+            cheap_wait=cheap_wait,
+        )
+        Tpad = num_progs * SB
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # q
+                pl.BlockSpec(memory_space=pl.ANY),  # kv
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((Tpad, nq, d), q.dtype),
+                pltpu.VMEM((Tpad, nq, d), q.dtype),
+                pltpu.VMEM((2, SB, two_nk, C, d), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, SB, chunk_pages)),
+            ],
+        )
+        out_pad = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Tpad, nq, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(row_seq, query_start_loc, seq_lens, block_tables, layer,
+          k_scale_vec, v_scale_vec, q_pad, kv_cache)
+        return out_pad[:T]
     kernel = functools.partial(
         _decode_kernel,
         sb=SB,
