@@ -179,3 +179,73 @@ def test_physical_routing_ep_sharded():
         x, gu_s, d_s, weights, phys_ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- serving
+
+
+@pytest.fixture(scope="module")
+def tiny_moe_dir(tmp_path_factory):
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(0)
+    cfg = MixtralConfig(vocab_size=256, hidden_size=64,
+                        intermediate_size=96, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        num_local_experts=8, num_experts_per_tok=2,
+                        max_position_embeddings=256)
+    m = MixtralForCausalLM(cfg)
+    m.eval()
+    d = tmp_path_factory.mktemp("tiny_moe_eplb")
+    m.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def _gen_moe(model_dir, prompts, **kw):
+    from vllm_tpu.entrypoints.llm import LLM
+    from vllm_tpu.sampling_params import SamplingParams
+
+    llm = LLM(model=model_dir, dtype="float32", max_model_len=128,
+              max_num_seqs=8, max_num_batched_tokens=256, block_size=16,
+              num_gpu_blocks_override=64, enforce_eager=True,
+              skip_tokenizer_init=True, **kw)
+    outs = llm.generate(
+        [{"prompt_token_ids": p} for p in prompts],
+        SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True))
+    toks = [o.outputs[0].token_ids for o in outs]
+    runner = llm.llm_engine.engine_core.executor.worker.runner
+    state = runner.eplb_state
+    llm.llm_engine.shutdown()
+    return toks, state
+
+
+def test_eplb_serving_rearranges_and_keeps_numerics(tiny_moe_dir):
+    """End-to-end EPLB (reference: eplb_state.py wired into the MoE
+    layer + runner): redundant physical experts, in-graph load stats,
+    and a mid-generation rearrangement must leave greedy decoding
+    bit-identical — replicas hold identical weights and the routing
+    tables move with them."""
+    prompts = [[7, 11, 13, 17, 19], [3, 5], [23, 29, 31, 37]]
+    base, state0 = _gen_moe(tiny_moe_dir, prompts)
+    assert state0 is None
+    toks, state = _gen_moe(tiny_moe_dir, prompts, enable_eplb=True,
+                           eplb_num_redundant_experts=2,
+                           eplb_window_size=4, eplb_step_interval=3)
+    assert toks == base
+    assert state is not None
+    assert state.num_physical == 10
+    assert state.num_rearrangements >= 2
+    # load stats were really recorded (every MoE layer routed tokens)
+    assert state.window_load().sum() > 0
+
+
+def test_eplb_serving_no_redundancy_identity(tiny_moe_dir):
+    """num_redundant_experts=0: pure load-stat tracking + rearrangement
+    of the identity-width tables must also hold numerics."""
+    prompts = [[2, 4, 6, 8]]
+    base, _ = _gen_moe(tiny_moe_dir, prompts)
+    toks, state = _gen_moe(tiny_moe_dir, prompts, enable_eplb=True,
+                           eplb_window_size=4, eplb_step_interval=5)
+    assert toks == base
+    assert state.num_rearrangements >= 1

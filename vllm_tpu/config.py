@@ -166,6 +166,15 @@ class ParallelConfig:
     data_parallel_size: int = 1
     expert_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    # EPLB (expert-parallel load balancing; reference:
+    # vllm/distributed/eplb/): physical expert slots = logical +
+    # redundant, per-step load stats recorded in the engine loop,
+    # periodic weight rearrangement.
+    enable_eplb: bool = False
+    eplb_window_size: int = 1000
+    eplb_step_interval: int = 3000
+    eplb_num_redundant_experts: int = 0
+    eplb_log_balancedness: bool = False
     # Sequence-sharded prefill over the TP axis (long-context helper).
     enable_sequence_parallel: bool = False
     distributed_executor_backend: str = "uniproc"  # uniproc | mp

@@ -40,6 +40,10 @@ class EngineArgs:
     pipeline_parallel_size: int = 1
     data_parallel_size: int = 1
     enable_expert_parallel: bool = False
+    enable_eplb: bool = False
+    eplb_window_size: int = 1000
+    eplb_step_interval: int = 3000
+    eplb_num_redundant_experts: int = 0
     distributed_executor_backend: str = "uniproc"
     # Multi-host: host 0 is the driver (scheduler + front-end), others
     # run the follower verb loop (vllm-tpu serve --headless).
@@ -111,6 +115,10 @@ class EngineArgs:
             pipeline_parallel_size=self.pipeline_parallel_size,
             data_parallel_size=self.data_parallel_size,
             enable_expert_parallel=self.enable_expert_parallel,
+            enable_eplb=self.enable_eplb,
+            eplb_window_size=self.eplb_window_size,
+            eplb_step_interval=self.eplb_step_interval,
+            eplb_num_redundant_experts=self.eplb_num_redundant_experts,
             distributed_executor_backend=backend,
             num_hosts=self.num_hosts,
             host_id=self.host_id,

@@ -271,6 +271,10 @@ class LlamaForCausalLM:
             aux_ids = jnp.asarray(self.aux_hidden_state_layers, jnp.int32)
             aux = jnp.zeros((len(self.aux_hidden_state_layers),
                              *x.shape), x.dtype)
+        # EPLB: per-layer physical-expert token counts accumulated by
+        # the MoE _mlp hook (mixtral.py) via the self._eplb_stats
+        # tracer attribute, threaded through the scan carry
+        stats = self._init_eplb_stats()
 
         def regroup(leaf):
             return leaf.reshape(num_layers // p, p, *leaf.shape[1:])
@@ -293,7 +297,8 @@ class LlamaForCausalLM:
         # trace with its _kv_slab_base baked in.
         def make_body():
             def body(carry, scanned):
-                h, kv, aux_c = carry
+                h, kv, aux_c, stats_c = carry
+                self._eplb_stats = stats_c
                 gi, lora_g = scanned
                 for i, cfg in enumerate(pattern):
                     if aux_c is not None:
@@ -309,7 +314,7 @@ class LlamaForCausalLM:
                     h, kv = self._decoder_layer(layer_params, h, kv,
                                                 gi * p + i, metadata,
                                                 lora_ctx=lora_ctx, **cfg)
-                return (h, kv, aux_c), None
+                return (h, kv, aux_c, self._eplb_stats), None
 
             return body
 
@@ -324,13 +329,16 @@ class LlamaForCausalLM:
                 lambda leaf: leaf[g0:g1], lora_layers)
             self._kv_slab_base = base
             try:
-                (x, slab, aux), _ = jax.lax.scan(
-                    make_body(), (x, slab, aux), (group_idx, lora_slab))
+                (x, slab, aux, stats), _ = jax.lax.scan(
+                    make_body(), (x, slab, aux, stats),
+                    (group_idx, lora_slab))
             finally:
                 self._kv_slab_base = 0
             new_slabs.append(slab)
             base += nl
         self._aux_out = aux
+        self._eplb_stats = None
+        self._eplb_stats_out = stats
         return x, (KVSlabs(new_slabs) if slabbed else new_slabs[0])
 
     def _decoder_layer(self, lp: dict, x: jnp.ndarray, kv: jnp.ndarray,
@@ -403,6 +411,14 @@ class LlamaForCausalLM:
     # aux [n_taps, T, H] holding each tapped layer's input
     aux_hidden_state_layers: tuple = ()
     _aux_out = None
+    # EPLB accumulators (see _run_layers; consumed by the runner step)
+    _eplb_stats = None
+    _eplb_stats_out = None
+
+    def _init_eplb_stats(self):
+        """MoE models with EPLB enabled override to return a zeroed
+        [num_layers, num_physical] i32 accumulator."""
+        return None
 
     def get_eagle3_aux_hidden_state_layers(self) -> tuple:
         L = self.args.num_layers

@@ -34,6 +34,24 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def _mlp(self, lp: dict, h: jnp.ndarray, li, lora_ctx=None):
         router_logits = linear(h, lp["router"], layer=li)
         weights, expert_ids = self._route(router_logits)
+        if getattr(self, "eplb_enabled", False):
+            # redundancy-aware routing: logical -> physical slot via
+            # the device-resident placement tables (reference:
+            # eplb_state.py wired into the MoE layer), plus the
+            # in-graph per-layer load counts the engine loop records
+            from vllm_tpu.distributed.eplb.rebalance_execute import \
+                map_to_physical
+
+            T = h.shape[0]
+            token_idx = jnp.arange(T, dtype=jnp.int32)
+            expert_ids = map_to_physical(
+                expert_ids, token_idx, lp["eplb_log2phy"],
+                lp["eplb_logcnt"], layer=li)
+            if self._eplb_stats is not None:
+                counts = jnp.bincount(
+                    expert_ids.reshape(-1),
+                    length=self.num_physical_experts).astype(jnp.int32)
+                self._eplb_stats = self._eplb_stats.at[li].set(counts)
         lp_l = {k2: jax.tree.map(lambda leaf: leaf[li], v2)
                 for k2, v2 in lp.items()
                 if k2.startswith("experts")}
@@ -52,6 +70,62 @@ class MixtralForCausalLM(LlamaForCausalLM):
                                 act=act, mesh=self.mesh)
         return fused_moe(h, lp["experts_gate_up"], lp["experts_down"],
                          weights, expert_ids, act=act)
+
+    # ------------------------------------------------------------- EPLB
+
+    def _init_eplb_stats(self):
+        if not getattr(self, "eplb_enabled", False):
+            return None
+        return jnp.zeros((self.args.num_layers,
+                          self.num_physical_experts), jnp.int32)
+
+    def init_eplb(self, params: dict, parallel_config):
+        """Enable EPLB serving: expand the logical expert stacks to
+        physical slots, install the routing tables as (small) params,
+        and hand back the host-side state machine (reference:
+        vllm/distributed/eplb/eplb_state.py build + model wiring)."""
+        from vllm_tpu.distributed.eplb.eplb_state import (EplbConfig,
+                                                          EplbState)
+        from vllm_tpu.distributed.eplb.rebalance_execute import \
+            expand_to_physical
+
+        pc = parallel_config
+        ep_ranks = 1
+        if getattr(self, "ep_enabled", False) and \
+                getattr(self, "mesh", None) is not None:
+            from vllm_tpu.parallel.mesh import EP_AXES
+            for a in EP_AXES:
+                ep_ranks *= self.mesh.shape[a]
+        state = EplbState(
+            num_layers=self.args.num_layers,
+            num_logical=self.num_experts,
+            config=EplbConfig(
+                window_size=pc.eplb_window_size,
+                step_interval=pc.eplb_step_interval,
+                num_redundant_experts=pc.eplb_num_redundant_experts,
+                log_balancedness=pc.eplb_log_balancedness),
+            num_ranks=ep_ranks)
+        self.eplb_enabled = True
+        self.num_physical_experts = state.num_physical
+        stacks = {k: v for k, v in params["layers"].items()
+                  if k.startswith("experts")}
+        params["layers"].update(
+            expand_to_physical(stacks, state.phy2log))
+        self.install_eplb_tables(params, state)
+        return params, state
+
+    def install_eplb_tables(self, params: dict, state) -> None:
+        """(Re)upload the placement tables, padded to the static
+        max-replica width so rearrangements never change shapes."""
+        l2p, logcnt = state.physical_routing_tables()
+        width = state.config.num_redundant_experts + 1
+        pad = width - l2p.shape[-1]
+        if pad > 0:
+            l2p = np.concatenate(
+                [l2p, np.repeat(l2p[..., :1], pad, axis=-1)], axis=-1)
+        params["layers"]["eplb_log2phy"] = jnp.asarray(
+            l2p[..., :width], jnp.int32)
+        params["layers"]["eplb_logcnt"] = jnp.asarray(logcnt, jnp.int32)
 
     # ---- weights
 

@@ -67,6 +67,8 @@ class TPUModelRunner:
         self.kv_cache_config: Optional[KVCacheConfig] = None
         self.input_batch: Optional[InputBatch] = None
         self.rng = np.random.default_rng(self.model_config.seed)
+        # EPLB serving state (set by load_model when enabled)
+        self.eplb_state = None
         # state-space models carry per-request recurrent state instead
         # of a paged KV cache
         self.is_ssm = bool(getattr(self.model, "is_ssm", False))
@@ -173,6 +175,19 @@ class TPUModelRunner:
         t0 = time.perf_counter()
         self.params = load_model_params(self.model, self.config,
                                         mesh=self.mesh)
+        pc = self.config.parallel_config
+        if pc.enable_eplb:
+            if not hasattr(self.model, "init_eplb"):
+                raise ValueError(
+                    "--enable-eplb: model does not support EPLB "
+                    "(MoE models with the mixtral-family MoE block do)")
+            self.params, self.eplb_state = self.model.init_eplb(
+                self.params, pc)
+            logger.info(
+                "EPLB enabled: %d logical + %d redundant experts, "
+                "rearrange every %d steps",
+                self.eplb_state.num_logical,
+                pc.eplb_num_redundant_experts, pc.eplb_step_interval)
         logger.info("model weights loaded in %.1fs",
                     time.perf_counter() - t0)
         if self.eagle is not None:
@@ -500,7 +515,11 @@ class TPUModelRunner:
                 lp = compute_logprobs(logits, tokens, num_logprobs)
             else:
                 lp = None
-            return (kv_caches, draft_kv), _rep((tokens, pooled)), _rep(lp)
+            # EPLB: [L, P] per-physical-expert token counts accumulated
+            # by the MoE layers this step (None when disabled)
+            eplb_counts = getattr(model, "_eplb_stats_out", None)
+            return (kv_caches, draft_kv), _rep(
+                (tokens, pooled, eplb_counts)), _rep(lp)
 
         return jax.jit(step, donate_argnums=(1, 2),
                        static_argnums=(5, 6))
@@ -1047,9 +1066,9 @@ class TPUModelRunner:
             # dispatch-only: the engine core fetches via
             # finalize_pending() one step later; the D2H fetch itself
             # starts NOW on the worker thread
-            fut = self._fetch_pool.submit(self._fetch_step,
-                                          tokens_dev[0], tokens_dev[1],
-                                          lp_dev)
+            fut = self._fetch_pool.submit(
+                self._fetch_step, tokens_dev[0], tokens_dev[1], lp_dev,
+                tokens_dev[2] if len(tokens_dev) > 2 else None)
             self._pending_steps.append(
                 (prep, tokens_dev[0], fut, num_logprobs,
                  scheduler_output))
@@ -1064,6 +1083,8 @@ class TPUModelRunner:
                                            next_drafts, lp_dev,
                                            num_logprobs)
         tokens = np.asarray(tokens_dev[0])
+        if len(tokens_dev) > 2 and tokens_dev[2] is not None:
+            self._eplb_record(np.asarray(tokens_dev[2]))
         out = self._build_output(scheduler_output, prep, tokens, lp_dev,
                                  num_logprobs)
         if tokens_dev[1] is not None:
@@ -1071,8 +1092,34 @@ class TPUModelRunner:
                 prep, tokens_dev[1])
         return out
 
+    def _eplb_record(self, counts) -> None:
+        """Record one step's [L, P] physical expert-token counts; every
+        step_interval steps compute a new placement from the windowed
+        load and move the expert weights (reference:
+        vllm/distributed/eplb/eplb_state.py step + rebalance_execute)."""
+        if self.eplb_state is None or counts is None:
+            return
+        st = self.eplb_state
+        st.record_load(st.combine_physical_counts(counts))
+        if not st.should_rearrange():
+            return
+        from vllm_tpu.distributed.eplb.rebalance_execute import \
+            permute_expert_weights
+
+        if st.config.log_balancedness:
+            logger.info("EPLB balancedness before rearrange: %.3f",
+                        st.balancedness())
+        perm = st.rearrange()
+        stacks = {k: v for k, v in self.params["layers"].items()
+                  if k.startswith("experts")}
+        self.params["layers"].update(
+            permute_expert_weights(stacks, perm))
+        self.model.install_eplb_tables(self.params, st)
+        logger.info("EPLB rearrangement #%d applied",
+                    st.num_rearrangements)
+
     @staticmethod
-    def _fetch_step(tokens_dev, pooled_dev, lp_dev):
+    def _fetch_step(tokens_dev, pooled_dev, lp_dev, eplb_dev=None):
         """Worker-thread D2H fetch of one step's outputs -> numpy."""
         tokens = np.asarray(tokens_dev)
         pooled = None
@@ -1081,7 +1128,8 @@ class TPUModelRunner:
         lp = None
         if lp_dev is not None:
             lp = tuple(np.asarray(x) for x in lp_dev)
-        return tokens, pooled, lp
+        eplb = None if eplb_dev is None else np.asarray(eplb_dev)
+        return tokens, pooled, lp, eplb
 
     def finalize_pending(self) -> ModelRunnerOutput:
         """Join the prefetched oldest dispatched step and build its
@@ -1095,7 +1143,8 @@ class TPUModelRunner:
                 self._dispatch_stream(None)
         prep, _tokens_dev, fut, num_logprobs, so = \
             self._pending_steps.pop(0)
-        tokens, pooled, lp = fut.result()
+        tokens, pooled, lp, eplb = fut.result()
+        self._eplb_record(eplb)
         out = self._build_output(so, prep, tokens, lp, num_logprobs)
         if pooled is not None:
             out.pooler_output = self._build_pooler_output(prep, pooled)
