@@ -187,8 +187,10 @@ def make_mla_case(rng, seq_specs, num_heads, latent_dim, page, max_blocks,
         qsl[r + 1] = offset + q_len
         offset += q_len
     qsl[len(seq_specs) + 1:] = offset
-    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R,
-                                               skip_single=True)
+    # NO skip_single: the MLA kernel serves every row from lb_seq (the
+    # decode-row split is a GQA-dispatcher feature; runner sets
+    # lb_skip_single=False for MLASpec groups)
+    lb_seq, lb_q_start = build_logical_blocks(qsl, T, R)
     meta = AttentionMetadata(
         slot_mapping=jnp.zeros(T, jnp.int32),
         block_tables=jnp.asarray(block_tables),
