@@ -68,6 +68,11 @@ class SchedulerOutput:
     # Prefix blocks shared by ALL running requests (cascade attention).
     num_common_prefix_blocks: list[int] = field(default_factory=list)
     finished_req_ids: set[str] = field(default_factory=set)
+    # Requests preempted THIS step: the runner evicts their batch rows
+    # (they re-enter via the resumed path with full token ids later);
+    # without this, stale preempted rows + newly admitted requests can
+    # overflow the persistent batch (found by tests/test_engine_stress_e2e).
+    preempted_req_ids: set[str] = field(default_factory=set)
     free_encoder_mm_hashes: list[str] = field(default_factory=list)
     # Structured-output: req_id -> row into the grammar bitmask array.
     # disagg-P/D connector loads for this step (base.KVConnectorMetadata)

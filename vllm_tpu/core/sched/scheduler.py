@@ -216,7 +216,8 @@ class Scheduler:
                     num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is not None:
                     break
-                victim = self._choose_preemption_victim()
+                victim = self._choose_preemption_victim(
+                    num_scheduled_tokens, request)
                 self._preempt(victim)
                 preempted_reqs.add(victim)
                 if victim is request:
@@ -400,6 +401,7 @@ class Scheduler:
             scheduled_spec_decode_tokens=scheduled_spec_decode_tokens,
             num_common_prefix_blocks=num_common_prefix_blocks,
             finished_req_ids=self.finished_req_ids,
+            preempted_req_ids={r.request_id for r in preempted_reqs},
             kv_connector_metadata=(self.kv_connector.build_connector_meta()
                                    if self.kv_connector else None),
             freed_mm_hashes=self.encoder_cache_manager.take_freed_hashes(),
@@ -450,13 +452,20 @@ class Scheduler:
     def set_runner_inflight(self, req_ids: set[str]) -> None:
         self.runner_inflight = req_ids
 
-    def _choose_preemption_victim(self) -> Request:
+    def _choose_preemption_victim(self, scheduled: dict,
+                                  requester: Request) -> Request:
         # Ring-resident requests cannot be preempted (their in-flight
-        # stages still write KV through their current block tables); the
-        # requesting request itself is never ring-resident, so an
-        # eligible victim always exists.
+        # stages still write KV through their current block tables), and
+        # neither can requests ALREADY SCHEDULED this step (their step
+        # allocation is committed; freeing it would run them on freed
+        # blocks — the runner has also evicted nothing for them). The
+        # requesting request itself is never ring-resident or scheduled,
+        # so an eligible victim always exists.
         eligible = [r for r in self.running
-                    if r.request_id not in self.runner_inflight]
+                    if r.request_id not in self.runner_inflight
+                    and r.request_id not in scheduled]
+        if not eligible:
+            return requester
         if self.scheduler_config.policy == "priority":
             return max(eligible,
                        key=lambda r: (r.priority, r.arrival_time))

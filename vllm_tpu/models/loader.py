@@ -460,9 +460,17 @@ def calibrate_kv_scales(model, params, cache_dtype: str,
         lb_q_start=jnp.asarray(lb_q_start))
     kv = jnp.zeros((a.num_layers, nb + 2, 2 * a.num_kv_heads,
                     block_size, a.head_dim), model.dtype)
-    _, new_kv = model.forward(params, jnp.asarray(ids), [kv], md)
-    cache = np.asarray(new_kv[0].astype(jnp.float32))
-    amax = np.abs(cache).max(axis=(1, 3, 4))  # [L, 2K]
+
+    # jit the whole calibration forward and reduce ON DEVICE: run eagerly
+    # this is thousands of per-op dispatches (130s measured through the
+    # remote-runtime tunnel) and a multi-MB cache fetch; jitted it is one
+    # persistently-cacheable compile + a [L, 2K] fetch
+    def _amax_fwd(p, ids_dev, kv_dev, md_dev):
+        _, new_kv = model.forward(p, ids_dev, [kv_dev], md_dev)
+        c = new_kv[0].astype(jnp.float32)
+        return jnp.max(jnp.abs(c), axis=(1, 3, 4))  # [L, 2K]
+
+    amax = np.asarray(jax.jit(_amax_fwd)(params, jnp.asarray(ids), kv, md))
     denom = {"int8": 127.0, "fp8": 448.0, "fp8_e4m3": 448.0,
              "fp8_e5m2": 57344.0}[cache_dtype]
     scales = np.maximum(amax, 1e-6) / denom

@@ -120,6 +120,9 @@ class InputBatch:
         self.req_ids: list[Optional[str]] = [None] * max_num_reqs
         self.req_id_to_index: dict[str, int] = {}
         self.num_reqs = 0
+        # meta of rows evicted at preemption, keyed by req_id (see
+        # update_states / _restore_preempted)
+        self._preempt_stash: dict[str, dict] = {}
 
         self.token_ids = np.zeros((max_num_reqs, max_model_len), np.int32)
         self.num_tokens = np.zeros(max_num_reqs, np.int32)
@@ -256,9 +259,41 @@ class InputBatch:
         (reference: gpu_model_runner._update_states:368)."""
         for req_id in scheduler_output.finished_req_ids:
             self.remove_request(req_id)
+            self._preempt_stash.pop(req_id, None)
+
+        # Preempted rows leave the batch (their slots must be free for
+        # newly admitted requests — the reference evicts every
+        # unscheduled row, gpu_model_runner.py:399); the immutable
+        # per-request meta is stashed so the resumed path can rebuild
+        # the row without the scheduler resending params.
+        for req_id in getattr(scheduler_output, "preempted_req_ids", ()):
+            idx = self.req_id_to_index.get(req_id)
+            if idx is None:
+                continue
+            self._preempt_stash[req_id] = dict(
+                sampling_params=self.sampling_params[idx],
+                seed=self.seeds[idx],
+                num_prompt_tokens=int(self.num_prompt_tokens[idx]),
+                lora_request=self.lora_requests[idx],
+                pooling_params=self.pooling_params[idx],
+                mm_inputs=self.mm_inputs[idx],
+                mm_hashes=self.mm_hashes[idx],
+                mm_positions=self.mm_positions[idx],
+                mrope_pos=self.mrope_pos[idx],
+                mrope_delta=self.mrope_delta[idx],
+                num_logprobs=int(self.num_logprobs[idx]),
+            )
+            self.remove_request(req_id)
 
         cached: CachedRequestData = scheduler_output.scheduled_cached_reqs
         for i, req_id in enumerate(cached.req_ids):
+            if (cached.resumed_from_preemption[i]
+                    and req_id not in self.req_id_to_index):
+                self._restore_preempted(
+                    req_id, cached.resumed_req_token_ids[i],
+                    cached.new_block_ids[i],
+                    cached.num_computed_tokens[i], rng)
+                continue
             idx = self.req_id_to_index[req_id]
             if cached.resumed_from_preemption[i]:
                 toks = cached.resumed_req_token_ids[i]
@@ -285,6 +320,33 @@ class InputBatch:
             idx = self.req_id_to_index[req_id]
             n = self.num_tokens[idx]
             self.token_ids[idx, n:n + len(spec)] = spec
+
+    def _restore_preempted(self, req_id: str, token_ids: list[int],
+                           block_ids, num_computed: int,
+                           rng: np.random.Generator) -> None:
+        """Rebuild a row evicted at preemption: token ids + blocks come
+        from the scheduler's resumed delta, the immutable meta (params,
+        seed, prompt length) from the stash."""
+        meta = self._preempt_stash.pop(req_id)
+        data = NewRequestData(
+            req_id=req_id,
+            prompt_token_ids=token_ids,
+            sampling_params=meta["sampling_params"],
+            block_ids=block_ids,
+            num_computed_tokens=num_computed,
+            lora_request=meta["lora_request"],
+            pooling_params=meta["pooling_params"],
+            mm_inputs=meta["mm_inputs"],
+            mm_hashes=meta["mm_hashes"],
+        )
+        idx = self.add_request(data, rng)
+        # restore what add_request derives differently for a fresh request
+        self.num_prompt_tokens[idx] = meta["num_prompt_tokens"]
+        self.seeds[idx] = meta["seed"]
+        self.num_logprobs[idx] = meta["num_logprobs"]
+        self.mm_positions[idx] = meta["mm_positions"]
+        self.mrope_pos[idx] = meta["mrope_pos"]
+        self.mrope_delta[idx] = meta["mrope_delta"]
 
     def append_sampled(self, req_id: str, token_ids: list[int]) -> None:
         """Commit accepted tokens after a step (host mirror of the
