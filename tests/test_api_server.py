@@ -288,3 +288,96 @@ def test_responses_api_e2e(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_pooling_route(server):
+    status, body = _post(server, "/pooling",
+                         {"input": "hello world", "task": "embed"})
+    assert status == 200
+    data = json.loads(body)
+    assert data["object"] == "list"
+    assert data["data"][0]["object"] == "pooling"
+    vec = data["data"][0]["data"]
+    assert len(vec) > 4
+    # raw pooled states: NOT L2-normalized (that's /v1/embeddings)
+    norm = sum(x * x for x in vec) ** 0.5
+    assert abs(norm - 1.0) > 1e-3
+
+
+@pytest.fixture(scope="module")
+def classifier_server(tmp_path_factory):
+    """GPT-2 sequence-classifier server (reference: /classify route over
+    a ForSequenceClassification checkpoint)."""
+    import socket
+
+    import torch
+    from transformers import GPT2Config, GPT2ForSequenceClassification
+
+    d = tmp_path_factory.mktemp("clf")
+    # reuse the tiny trained tokenizer from build_tiny_llama, then
+    # overwrite the model with a GPT-2 classifier of matching vocab
+    from tests.utils import build_tiny_llama
+    build_tiny_llama(str(d))
+    torch.manual_seed(0)
+    cfg = GPT2Config(vocab_size=384, n_positions=128, n_embd=64,
+                     n_layer=2, n_head=4, n_inner=96, num_labels=3,
+                     pad_token_id=0,
+                     id2label={0: "neg", 1: "neu", 2: "pos"},
+                     label2id={"neg": 0, "neu": 1, "pos": 2})
+    m = GPT2ForSequenceClassification(cfg)
+    m.eval()
+    m.save_pretrained(str(d), safe_serialization=True)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    boot = tmp_path_factory.mktemp("srv2") / "boot.py"
+    boot.write_text(SERVER_BOOT)
+    proc = subprocess.Popen(
+        [
+            sys.executable, str(boot),
+            "--host", "127.0.0.1", "--port", str(port),
+            "--model", str(d),
+            "--dtype", "float32",
+            "--max-model-len", "64",
+            "--max-num-seqs", "4",
+            "--block-size", "16",
+            "--num-gpu-blocks-override", "32",
+            "--enforce-eager",
+        ],
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode()
+            raise RuntimeError(f"server died:\n{out[-3000:]}")
+        try:
+            if _get(base, "/health")[0] == 200:
+                break
+        except Exception:
+            time.sleep(0.5)
+    else:
+        proc.kill()
+        raise TimeoutError("server did not come up")
+    yield base
+    proc.send_signal(signal.SIGINT)
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def test_classify_route(classifier_server):
+    status, body = _post(classifier_server, "/classify",
+                         {"input": ["hello world", "the quick brown fox"]})
+    assert status == 200
+    data = json.loads(body)
+    assert len(data["data"]) == 2
+    for item in data["data"]:
+        assert item["num_classes"] == 3
+        assert item["label"] in ("neg", "neu", "pos")
+        assert abs(sum(item["probs"]) - 1.0) < 1e-4

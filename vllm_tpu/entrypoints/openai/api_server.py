@@ -24,12 +24,14 @@ import vllm_tpu
 from vllm_tpu.engine.args import EngineArgs
 from vllm_tpu.engine.async_llm import AsyncLLM, EngineDeadError
 from vllm_tpu.entrypoints.openai.protocol import (ChatCompletionRequest,
+                                                  ClassificationRequest,
                                                   CompletionRequest,
                                                   DetokenizeRequest,
                                                   DetokenizeResponse,
                                                   EmbeddingRequest,
                                                   ErrorInfo, ErrorResponse,
                                                   ModelCard, ModelList,
+                                                  PoolingRequest,
                                                   RerankRequest,
                                                   ScoreRequest,
                                                   TokenizeRequest,
@@ -260,6 +262,95 @@ def build_app(engine: AsyncLLM, served_model_name: str,
         })
 
 
+    async def pooling_route(request: web.Request) -> web.Response:
+        """Raw pooled hidden states (reference: api_server.py:741
+        /pooling): embeddings-shaped request, un-normalized vectors."""
+        from vllm_tpu.sampling_params import PoolingParams
+
+        try:
+            req = PoolingRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        inputs = req.input
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        pp = PoolingParams(task=req.task, normalize=False,
+                           dimensions=req.dimensions)
+        rid = f"pool-{random_uuid()}"
+        data = []
+        total_tokens = 0
+        try:
+            for i, item in enumerate(inputs):
+                prompt = item if isinstance(item, str) else {
+                    "prompt_token_ids": item
+                }
+                final = None
+                async for out in engine.encode(
+                        prompt, pp.clone(), f"{rid}-{i}",
+                        lora_request=completion._lora_for(req.model)):
+                    final = out
+                total_tokens += len(final.prompt_token_ids or [])
+                data.append({
+                    "object": "pooling", "index": i,
+                    "data": [float(x) for x in final.outputs.data],
+                })
+        except ValueError as e:
+            return _json_error(str(e))
+        return web.json_response({
+            "id": rid, "object": "list",
+            "created": int(asyncio.get_event_loop().time()),
+            "model": req.model or served_model_name,
+            "data": data,
+            "usage": {"prompt_tokens": total_tokens,
+                      "total_tokens": total_tokens},
+        })
+
+    async def classify_route(request: web.Request) -> web.Response:
+        """Sequence classification (reference: api_server.py:769
+        /classify): per-input label + softmax probabilities from the
+        model's classifier head."""
+        from vllm_tpu.sampling_params import PoolingParams
+
+        try:
+            req = ClassificationRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"invalid request: {e}")
+        inputs = [req.input] if isinstance(req.input, str) else req.input
+        hf = getattr(engine.config.model_config, "hf_config", None)
+        id2label = dict(getattr(hf, "id2label", None) or {})
+        pp = PoolingParams(task="classify", normalize=False, softmax=True)
+        rid = f"classify-{random_uuid()}"
+        data = []
+        total_tokens = 0
+        try:
+            for i, text in enumerate(inputs):
+                final = None
+                async for out in engine.encode(text, pp.clone(),
+                                               f"{rid}-{i}"):
+                    final = out
+                total_tokens += len(final.prompt_token_ids or [])
+                probs = [float(x) for x in final.outputs.data]
+                top = int(max(range(len(probs)), key=probs.__getitem__))
+                data.append({
+                    "index": i,
+                    "label": id2label.get(top, id2label.get(str(top),
+                                                            str(top))),
+                    "probs": probs,
+                    "num_classes": len(probs),
+                })
+        except ValueError as e:
+            return _json_error(str(e))
+        return web.json_response({
+            "id": rid, "object": "list",
+            "created": int(asyncio.get_event_loop().time()),
+            "model": req.model or served_model_name,
+            "data": data,
+            "usage": {"prompt_tokens": total_tokens,
+                      "total_tokens": total_tokens},
+        })
+
     async def _score_pairs(pairs, model_name):
         """Run cross-encoder scoring over (text_1, text_2) pairs."""
         from vllm_tpu.sampling_params import PoolingParams
@@ -456,6 +547,8 @@ def build_app(engine: AsyncLLM, served_model_name: str,
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_post("/pooling", pooling_route)
+    app.router.add_post("/classify", classify_route)
     app.router.add_post("/score", score)
     app.router.add_post("/v1/score", score)
     app.router.add_post("/rerank", rerank)

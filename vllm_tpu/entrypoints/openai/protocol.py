@@ -270,6 +270,23 @@ class RerankRequest(BaseModel):
     top_n: Optional[int] = None
 
 
+class PoolingRequest(BaseModel):
+    """Raw pooled hidden states (reference: protocol.py PoolingRequest —
+    the /pooling route returns un-normalized vectors)."""
+    model: Optional[str] = None
+    input: Union[str, list[str], list[int], list[list[int]]] = ""
+    encoding_format: str = "float"
+    dimensions: Optional[int] = None
+    task: str = "embed"
+
+
+class ClassificationRequest(BaseModel):
+    """Sequence classification (reference: protocol.py
+    ClassificationRequest)."""
+    model: Optional[str] = None
+    input: Union[str, list[str]] = ""
+
+
 class EmbeddingRequest(BaseModel):
     model: Optional[str] = None
     input: Union[str, list[str], list[int], list[list[int]]] = ""
