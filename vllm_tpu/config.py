@@ -82,6 +82,14 @@ class ModelConfig:
                 raise e
             with open(cfg_path) as f:
                 self.hf_config = PretrainedConfig.from_dict(json.load(f))
+            # composite configs (audio/vision + text) nest sub-configs as
+            # raw dicts under the generic fallback; model classes expect
+            # attribute access (cfg.audio_config.d_model)
+            for sub in ("text_config", "audio_config", "vision_config"):
+                v = getattr(self.hf_config, sub, None)
+                if isinstance(v, dict):
+                    setattr(self.hf_config, sub,
+                            PretrainedConfig.from_dict(v))
         if self.hf_overrides:
             for k, v in self.hf_overrides.items():
                 setattr(self.hf_config, k, v)

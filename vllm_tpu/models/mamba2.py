@@ -134,8 +134,14 @@ def mamba2_mixer(h, mp, conv_state, ssm_state, seg, seg_start, pad_mask,
         C.reshape(T, n_groups, state_size), seg, ssm_state,
         chunk_size=chunk)
     y = y + mp["D"][None, :, None] * xm.reshape(T, num_heads, head_dim)
-    y = gated_rms_norm(y.reshape(T, intermediate_size), z,
-                       mp["mixer_norm"], rms_eps)
+    y = y.reshape(T, intermediate_size)
+    if "mixer_norm" in mp:
+        y = gated_rms_norm(y, z, mp["mixer_norm"], rms_eps)
+    else:
+        # norm-free gate (FalconH1 with mamba_rms_norm=False:
+        # modeling_falcon_h1.py:772 — out = scan_output * silu(gate))
+        y = (y.astype(jnp.float32) *
+             jax.nn.silu(z.astype(jnp.float32))).astype(h.dtype)
     return linear(y, mp["out_proj"]), new_conv, new_ssm
 
 

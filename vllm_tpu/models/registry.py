@@ -163,6 +163,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "FalconMambaForCausalLM": ("vllm_tpu.models.mamba",
                                "FalconMambaForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
+    "FalconH1ForCausalLM": ("vllm_tpu.models.falcon_h1",
+                            "FalconH1ForCausalLM"),
+    "GraniteMoeHybridForCausalLM": ("vllm_tpu.models.granite_hybrid",
+                                    "GraniteMoeHybridForCausalLM"),
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
     "WhisperForConditionalGeneration":
     ("vllm_tpu.models.whisper", "WhisperForConditionalGeneration"),
@@ -176,6 +180,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
         "Qwen2AudioForConditionalGeneration"),
     "VoxtralForConditionalGeneration": (
         "vllm_tpu.models.qwen2_audio", "VoxtralForConditionalGeneration"),
+    "UltravoxModel": ("vllm_tpu.models.ultravox", "UltravoxModel"),
+    "FuyuForCausalLM": ("vllm_tpu.models.fuyu", "FuyuForCausalLM"),
     # multimodal
     "LlavaForConditionalGeneration": ("vllm_tpu.models.llava",
                                       "LlavaForConditionalGeneration"),

@@ -81,9 +81,14 @@ def ssd_chunked(
         cum = jnp.cumsum(dA, axis=0)  # inclusive
         # intra-chunk: y_t += sum_{s<=t} (C_t.B_s) e^{cum_t-cum_s} dt_s x_s
         Gm = jnp.einsum("thn,shn->tsh", Cq, Bq)
-        decay = jnp.exp(cum[:, None, :] - cum[None, :, :])
-        causal = jnp.tril(jnp.ones((chunk_size, chunk_size)))[:, :, None]
-        M = Gm * decay * causal * dtq[None, :, :]
+        causal = (jnp.arange(chunk_size)[:, None] >=
+                  jnp.arange(chunk_size)[None, :])[:, :, None]
+        # mask INSIDE the exp: the anti-causal (t < s) exponents are
+        # positive and overflow to inf for large |A*dt|; inf * 0 = NaN
+        decay = jnp.exp(jnp.where(causal,
+                                  cum[:, None, :] - cum[None, :, :],
+                                  -jnp.inf))
+        M = Gm * decay * dtq[None, :, :]
         y = jnp.einsum("tsh,shp->thp", M, xq)
         # inter-chunk: y_t += e^{cum_t} C_t . state
         y = y + jnp.einsum("thn,hpn->thp", Cq, state) * \
@@ -140,9 +145,13 @@ def ssd_chunked_segmented(
         same = (sq[:, None] == sq[None, :])  # [Q, Q]
         # intra-chunk (exact for same-segment pairs: segments contiguous)
         Gm = jnp.einsum("thn,shn->tsh", Cq, Bq)
-        decay = jnp.exp(cum[:, None, :] - cum[None, :, :])
         causal = (idx[:, None] >= idx[None, :])
-        M = Gm * decay * (causal & same)[:, :, None] * dtq[None, :, :]
+        ok = (causal & same)[:, :, None]
+        # mask INSIDE the exp (see ssd_chunked): anti-causal and
+        # cross-segment exponents can overflow to inf; inf * 0 = NaN
+        decay = jnp.exp(jnp.where(ok, cum[:, None, :] - cum[None, :, :],
+                                  -jnp.inf))
+        M = Gm * decay * dtq[None, :, :]
         y = jnp.einsum("tsh,shp->thp", M, xq)
         # segment-local cumulative decay: cum_t minus cum just before the
         # segment's first token in this chunk (0 if it starts the chunk)
