@@ -107,3 +107,40 @@ def test_jamba_engine_greedy_matches_hf(jamba_dir):
     for r in range(2):
         assert list(outs[r].outputs[0].token_ids) == hf_out[r], \
             (r, list(outs[r].outputs[0].token_ids), hf_out[r])
+
+
+def test_jamba_sequence_classification_matches_hf(tmp_path):
+    """JambaForSequenceClassification (reference: jamba.py:564): score
+    head over the last token via the pooling path."""
+    import torch
+    from transformers import JambaConfig, JambaForSequenceClassification
+
+    torch.manual_seed(0)
+    cfg = JambaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      attn_layer_offset=1, attn_layer_period=2,
+                      expert_layer_offset=0, expert_layer_period=2,
+                      num_experts=4, num_experts_per_tok=2,
+                      mamba_d_state=16, mamba_d_conv=4, mamba_expand=2,
+                      use_mamba_kernels=False, num_labels=3,
+                      pad_token_id=0, max_position_embeddings=128)
+    hf_model = JambaForSequenceClassification(cfg)
+    hf_model.eval()
+    hf_model.save_pretrained(str(tmp_path), safe_serialization=True)
+
+    from vllm_tpu.entrypoints.llm import LLM
+    from vllm_tpu.sampling_params import PoolingParams
+
+    toks = [3, 17, 9, 44, 5, 12]
+    llm = LLM(model=str(tmp_path), dtype="float32", max_model_len=64,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_gpu_blocks_override=32, enforce_eager=True,
+              skip_tokenizer_init=True)
+    out = llm.encode({"prompt_token_ids": toks},
+                     PoolingParams(task="classify", softmax=False))[0]
+    got = np.asarray(out.outputs.data, np.float32)
+
+    with torch.no_grad():
+        logits = hf_model(torch.tensor([toks])).logits[0].numpy()
+    np.testing.assert_allclose(got, logits, rtol=3e-4, atol=3e-4)

@@ -368,3 +368,46 @@ class JambaForCausalLM:
         if a.tie_embeddings and "lm_head" not in params:
             params["lm_head"] = {"w": params["embed"]["w"].T.copy()}
         return params
+
+
+class JambaForSequenceClassification(JambaForCausalLM):
+    """Jamba + classification head (reference: models/jamba.py:564
+    JambaForSequenceClassification): ``score`` linear (optional bias,
+    config.score_bias) over the LAST token's hidden state, served via
+    the pooling path (task="classify"/"score")."""
+
+    def __init__(self, model_config: ModelConfig,
+                 args: Optional[JambaArgs] = None) -> None:
+        super().__init__(model_config, args)
+        hf = model_config.resolve_hf_config()
+        self.num_labels = int(getattr(hf, "num_labels", 2))
+        self.score_bias = bool(getattr(hf, "score_bias", False))
+
+    def classify(self, params, hidden, metadata):
+        from vllm_tpu.ops.linear import linear
+
+        qsl = metadata.query_start_loc
+        last = hidden[jnp.maximum(qsl[1:] - 1, 0)]
+        return linear(last, params["score"])
+
+    def load_weights(self, weights_iter):
+        extra = {}
+
+        def tap(it):
+            for name, w in it:
+                if name.startswith("score."):
+                    extra[name] = np.asarray(w)
+                else:
+                    yield name, w
+
+        params = super().load_weights(tap(weights_iter))
+        score = {"w": extra.get(
+            "score.weight",
+            np.zeros((self.num_labels, self.args.hidden_size),
+                     np.float32)).T.astype(np.float32)}
+        if self.score_bias:
+            score["b"] = extra.get(
+                "score.bias",
+                np.zeros(self.num_labels, np.float32)).astype(np.float32)
+        params["score"] = score
+        return params

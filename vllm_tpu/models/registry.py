@@ -168,6 +168,12 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "GraniteMoeHybridForCausalLM": ("vllm_tpu.models.granite_hybrid",
                                     "GraniteMoeHybridForCausalLM"),
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
+    "JambaForSequenceClassification": (
+        "vllm_tpu.models.jamba", "JambaForSequenceClassification"),
+    # Mantis is Llava with a different chat processor
+    # (reference: llava.py:886 MantisForConditionalGeneration(Llava))
+    "MantisForConditionalGeneration": (
+        "vllm_tpu.models.llava", "LlavaForConditionalGeneration"),
     "WhisperForConditionalGeneration":
     ("vllm_tpu.models.whisper", "WhisperForConditionalGeneration"),
     "BartForConditionalGeneration": ("vllm_tpu.models.bart",
