@@ -167,6 +167,12 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                             "FalconH1ForCausalLM"),
     "GraniteMoeHybridForCausalLM": ("vllm_tpu.models.granite_hybrid",
                                     "GraniteMoeHybridForCausalLM"),
+    "MiniMaxText01ForCausalLM": ("vllm_tpu.models.minimax",
+                                 "MiniMaxText01ForCausalLM"),
+    "MiniMaxM1ForCausalLM": ("vllm_tpu.models.minimax",
+                             "MiniMaxM1ForCausalLM"),
+    "MiniMaxForCausalLM": ("vllm_tpu.models.minimax",
+                           "MiniMaxForCausalLM"),
     "JambaForCausalLM": ("vllm_tpu.models.jamba", "JambaForCausalLM"),
     "JambaForSequenceClassification": (
         "vllm_tpu.models.jamba", "JambaForSequenceClassification"),
