@@ -180,3 +180,63 @@ def test_int8_kv_cache_write_and_attend():
                                        k_scale=scale, v_scale=scale)
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f),
                                rtol=0.15, atol=0.05)
+
+
+def test_w4a8_matmul_matches_reference():
+    """W4A8 int8-MXU kernel (packed signed nibbles, int32 acc) vs exact
+    integer reference — both flat and layered variants."""
+    import jax.numpy as jnp
+
+    from vllm_tpu.ops.quant import w4a8_matmul
+
+    rng = np.random.default_rng(7)
+    T, K, N, L = 48, 256, 384, 3
+    q4 = rng.integers(-8, 8, (L, K, N)).astype(np.int32)
+    lo, hi = q4[:, :K // 2], q4[:, K // 2:]
+    packed = ((lo & 0xF) | (hi << 4)).astype(np.int8)
+    cs = (rng.random((L, N)) * 0.01 + 0.001).astype(np.float32)
+    x = rng.standard_normal((T, K)).astype(np.float32)
+
+    # reference: per-token int8 activation quant, exact integer dot
+    ax = np.maximum(np.abs(x).max(axis=-1), 1e-6) / 127.0
+    x8 = np.clip(np.round(x / ax[:, None]), -127, 127).astype(np.int32)
+
+    for li in range(L):
+        expect = (x8 @ q4[li]).astype(np.float32) * ax[:, None] * cs[li]
+        got = np.asarray(w4a8_matmul(
+            jnp.asarray(x), {"w4": jnp.asarray(packed[li]),
+                             "chan_scale": jnp.asarray(cs[li])}))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+        got_l = np.asarray(w4a8_matmul(
+            jnp.asarray(x), {"w4": jnp.asarray(packed),
+                             "chan_scale": jnp.asarray(cs)},
+            layer=li))
+        np.testing.assert_allclose(got_l, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_requant_roundtrip():
+    """loader int4 -> w4a8 exec repack: dequantized packed weights must
+    match the per-channel int4 requantization of the grouped original."""
+    from vllm_tpu.models.loader import (_requant_entry_w8a8,
+                                        _quantize_stacked)
+
+    rng = np.random.default_rng(3)
+    L, K, N = 2, 128, 64
+    w = rng.standard_normal((L, K, N)).astype(np.float32) * 0.1
+    p = _quantize_stacked(w, 4, 32)  # grouped int4 checkpoint layout
+    out = _requant_entry_w8a8(dict(p), wbits=4)
+    assert "w4" in out and out["w4"].shape == (L, K // 2, N)
+    pk = out["w4"].astype(np.int32)
+    lo = (pk << 28) >> 28
+    hi = pk >> 4
+    q4 = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    deq = q4 * out["chan_scale"][:, None, :]
+    # vs the grouped dequant of the checkpoint (within int4 step size)
+    from vllm_tpu.ops.quant import unpack_int4
+    import jax.numpy as jnp
+    ref = np.asarray(unpack_int4(jnp.asarray(p["w_p"]),
+                                 signed=True)).astype(np.float32)
+    ref = ref.reshape(L, 4, 32, N) * p["scale"][:, :, None, :]
+    ref = ref.reshape(L, K, N)
+    step = out["chan_scale"].max()
+    assert np.abs(deq - ref).max() <= step * 0.5 + 1e-6

@@ -46,7 +46,9 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # latency; sweep with tools/bench_decode_kernel.py. Must divide 16.
     "VLLM_TPU_DECODE_MG":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_MG", "4")),
-    # int4/int8 weight-only EXECUTION layout: "w8a8" requantizes the
+    # int4/int8 weight-only EXECUTION layout: "w4a8" repacks int4
+    # checkpoints to per-channel signed nibbles on the int8 MXU (half
+    # the weight HBM of w8a8); "w8a8" requantizes the
     # weights per-channel int8 at load and runs int8xint8->int32 on the
     # MXU (2x the bf16 rate via XLA; measured 0.100 vs 0.182 ms/layer at
     # bs=256) with per-token dynamic activation quant; "native" keeps

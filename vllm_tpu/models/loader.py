@@ -88,14 +88,18 @@ def apply_load_time_quantization(params: dict, method: str,
     return params
 
 
-def _requant_entry_w8a8(p: dict):
+def _requant_entry_w8a8(p: dict, wbits: int = 8):
     """One layer-stacked quantized linear {w_p|w_q, scale, zero?, b?}
-    -> {w8, chan_scale, b?}: dequantize the grouped int4/int8 weights
-    and requantize per output channel to int8. The re-quantization error
-    is ~2^-8 relative — far under the int4 quantization error itself —
-    and buys the int8 MXU's 2x matmul rate (ops/quant.w8a8_matmul).
-    Host (numpy) and device (jnp) arrays both supported; processed
-    layer-by-layer to bound f32 temporaries."""
+    -> the execution layout: dequantize the grouped int4/int8 weights
+    and requantize per output channel.
+
+    wbits=8 -> {w8, chan_scale}: int8 MXU 2x matmul rate; requant error
+    ~2^-8 relative, far under the int4 quantization error itself.
+    wbits=4 -> {w4 (split-K-half packed signed nibbles), chan_scale}:
+    HALF the weight HBM of w8a8 AND the int8 MXU rate
+    (ops/quant.w4a8_matmul) — per-channel int4, so only for weights that
+    were int4 to begin with. Host (numpy) and device (jnp) arrays both
+    supported; processed layer-by-layer to bound f32 temporaries."""
     packed = "w_p" in p
     w = p["w_p"] if packed else p["w_q"]
     scale, zero = p["scale"], p.get("zero")
@@ -129,6 +133,13 @@ def _requant_entry_w8a8(p: dict):
         if zl is not None:
             q = q - zl[:, None, :]
         wf = (q * sl[:, None, :].astype(xp.float32)).reshape(K, -1)
+        if wbits == 4:
+            cs = xp.maximum(xp.abs(wf).max(axis=0) / 7.0, 1e-10)
+            q4 = xp.clip(xp.round(wf / cs[None, :]), -8,
+                         7).astype(xp.int32)
+            lo, hi = q4[:K // 2], q4[K // 2:]
+            pk = (lo & 0xF) | (hi << 4)
+            return pk.astype(xp.int8), cs.astype(xp.float32)
         cs = xp.maximum(xp.abs(wf).max(axis=0) / 127.0, 1e-10)
         w8 = xp.clip(xp.round(wf / cs[None, :]), -127, 127)
         return w8.astype(xp.int8), cs.astype(xp.float32)
@@ -153,7 +164,7 @@ def _requant_entry_w8a8(p: dict):
         cs = np.stack([b for _, b in outs])
     if not stacked:
         w8, cs = w8[0], cs[0]
-    out = {"w8": w8, "chan_scale": cs}
+    out = {("w4" if wbits == 4 else "w8"): w8, "chan_scale": cs}
     if "b" in p:
         out["b"] = p["b"]
     return out
@@ -165,7 +176,8 @@ def convert_quant_exec(params: dict) -> dict:
     keep packed int4 / grouped int8 and half the weight HBM)."""
     from vllm_tpu import envs
 
-    if envs.VLLM_TPU_QUANT_EXEC != "w8a8":
+    mode = envs.VLLM_TPU_QUANT_EXEC
+    if mode not in ("w8a8", "w4a8"):
         return params
     layers = params.get("layers") if isinstance(params, dict) else None
     if not isinstance(layers, dict):
@@ -175,7 +187,12 @@ def convert_quant_exec(params: dict) -> dict:
         p = layers.get(key)
         if isinstance(p, dict) and ("w_p" in p or
                                     ("w_q" in p and "scale" in p)):
-            layers[key] = _requant_entry_w8a8(p)
+            if mode == "w4a8" and "w_p" not in p:
+                # int8 checkpoints don't round-trip through int4
+                layers[key] = _requant_entry_w8a8(p)
+            else:
+                layers[key] = _requant_entry_w8a8(
+                    p, wbits=4 if mode == "w4a8" else 8)
             converted = True
         elif isinstance(p, dict) and "w8" in p:
             converted = True  # emitted in the exec layout directly

@@ -180,6 +180,13 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     # (reference: llava.py:886 MantisForConditionalGeneration(Llava))
     "MantisForConditionalGeneration": (
         "vllm_tpu.models.llava", "LlavaForConditionalGeneration"),
+    # Tarsier: Llava tower+projector (reference: tarsier.py:142 — the
+    # image-newline splitting lives in the processor, not the model);
+    # Tarsier2 rides Qwen2-VL (reference: registry.py:242)
+    "TarsierForConditionalGeneration": (
+        "vllm_tpu.models.llava", "LlavaForConditionalGeneration"),
+    "Tarsier2ForConditionalGeneration": (
+        "vllm_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "WhisperForConditionalGeneration":
     ("vllm_tpu.models.whisper", "WhisperForConditionalGeneration"),
     "BartForConditionalGeneration": ("vllm_tpu.models.bart",

@@ -54,6 +54,12 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
         from vllm_tpu.ops.quant import w8a8_matmul
 
         out = w8a8_matmul(x, p, layer=layer)
+    elif "w4" in p:
+        # W4A8: packed int4 weights on the int8 MXU (half the HBM of
+        # w8a8; see ops/quant.w4a8_matmul)
+        from vllm_tpu.ops.quant import w4a8_matmul
+
+        out = w4a8_matmul(x, p, layer=layer)
     elif ("w_p" in p) or ("w_q" in p and p["w_q"].dtype == jnp.int8
                           and "scale" in p):
         # Weight-only int8 / packed-int4 ("w_p"): dequant then matmul. On

@@ -361,3 +361,109 @@ def fused_packed_int4_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+
+
+# ---------------------------------------------------------------- w4a8
+
+def _w4a8_kernel(x_lo_ref, x_hi_ref, w_ref, o_ref, acc_ref, *,
+                 num_k: int):
+    """W4A8 step: int8 activations x packed-int4 weights on the INT8
+    MXU with an int32 accumulator (reference intent:
+    csrc/quantization/gptq_marlin — int4 bytes in HBM, full-rate MXU).
+
+    Split-K-half byte tile [bk2, bn]: low nibble = K-row r, high =
+    K-row r + K/2, both SIGNED. Unpack runs in the i32 domain (Mosaic
+    vector shifts are 32-bit only) then narrows back to int8 so both
+    dots hit the MXU at the int8 rate — no bf16 dequant pass and no
+    per-element scale work; the single per-channel scale (x per-token
+    scale) applies once in the epilogue outside the k loop."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w32 = w_ref[...].astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.int8)  # sign-extended low nibble
+    hi = (w32 >> 4).astype(jnp.int8)  # arithmetic shift keeps the sign
+    acc_ref[...] += jax.lax.dot_general(
+        x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[...] += jax.lax.dot_general(
+        x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+def _w4a8_kernel_layered(li_ref, x_lo_ref, x_hi_ref, w_ref, o_ref,
+                         acc_ref, **kw):
+    _w4a8_kernel(x_lo_ref, x_hi_ref, w_ref.at[0], o_ref, acc_ref, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_n",
+                                             "block_k"))
+def fused_w4a8_matmul(
+    x8: jnp.ndarray,  # [T, K] int8 (per-token quantized activations)
+    w_p: jnp.ndarray,  # [K//2, N] int8 packed signed nibbles, or [L,...]
+    layer: Optional[jnp.ndarray] = None,  # i32[1]
+    block_t: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,  # packed (K/2) rows => 1024 logical K rows
+) -> jnp.ndarray:
+    """Returns the raw int32 accumulator [T, N]; the caller applies
+    out = acc * ax[:, None] * chan_scale[None, :] (XLA fuses that
+    epilogue into the consumer)."""
+    layered = layer is not None
+    T, K = x8.shape
+    Kp = w_p.shape[-2]
+    assert K == 2 * Kp, (K, Kp)
+    N = w_p.shape[-1]
+    bt = min(block_t, max(16, 1 << (T - 1).bit_length()))
+    bn = min(block_n, N)
+    bk2 = min(block_k, Kp)
+    while Kp % bk2:
+        bk2 //= 2
+    num_k = Kp // bk2
+    grid = (pl.cdiv(T, bt), pl.cdiv(N, bn), num_k)
+    kw = dict(num_k=num_k)
+
+    if not layered:
+        return pl.pallas_call(
+            functools.partial(_w4a8_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bt, bk2), lambda t, n, k: (t, k)),
+                pl.BlockSpec((bt, bk2), lambda t, n, k: (t, k + num_k)),
+                pl.BlockSpec((bk2, bn), lambda t, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda t, n, k: (t, n)),
+            out_shape=jax.ShapeDtypeStruct((T, N), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((bt, bn), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=_INTERPRET,
+        )(x8, x8, w_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bk2), lambda t, n, k, li: (t, k)),
+            pl.BlockSpec((bt, bk2), lambda t, n, k, li: (t, k + num_k)),
+            pl.BlockSpec((1, bk2, bn), lambda t, n, k, li: (li[0], k, n)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda t, n, k, li: (t, n)),
+        scratch_shapes=[pltpu.VMEM((bt, bn), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_w4a8_kernel_layered, **kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, N), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(layer, x8, x8, w_p)

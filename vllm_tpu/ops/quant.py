@@ -137,6 +137,36 @@ def w8a8_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     return o32.astype(jnp.float32) * ax[..., None] * cs
 
 
+def w4a8_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
+    """W4A8: packed signed-int4 weights on the INT8 MXU (reference
+    analog: gptq_marlin's whole premise — int4 bytes in HBM at the
+    full-rate MXU). Activations quantize per token to int8 (same as
+    w8a8_matmul); the Pallas kernel unpacks nibbles in-VMEM and
+    accumulates int32; this epilogue applies per-token x per-channel
+    scales (XLA fuses it into the consumer).
+
+    p: {"w4": int8 packed [K/2, N] or [L, K/2, N] (split-K-half signed
+    nibbles; see pack_int4), "chan_scale": f32 [N] or [L, N]}."""
+    from vllm_tpu.ops.pallas.quant_matmul import fused_w4a8_matmul
+
+    w4, cs = p["w4"], p["chan_scale"]
+    if layer is not None:
+        cs = jax.lax.dynamic_index_in_dim(cs, layer, 0, keepdims=False)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    ax = jnp.maximum(amax, 1e-6) / INT8_MAX
+    x8 = jnp.clip(jnp.round(xf / ax[..., None]), -INT8_MAX,
+                  INT8_MAX).astype(jnp.int8)
+    lay = None if layer is None else jnp.asarray(layer,
+                                                 jnp.int32).reshape(1)
+    import os
+    acc = fused_w4a8_matmul(
+        x8, w4, layer=lay,
+        block_n=int(os.environ.get("VLLM_TPU_W4A8_BN", "1024")),
+        block_k=int(os.environ.get("VLLM_TPU_W4A8_BK", "2048")))
+    return acc.astype(jnp.float32) * ax[..., None] * cs
+
+
 def fp8_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """FP8 W8A8 matmul (reference: vllm fp8.py Fp8LinearMethod):
     quantize activations to e4m3 (static scale from checkpoint or dynamic
