@@ -79,10 +79,14 @@ def test_stream_tp2_pp2_matches(tiny_model_dir, baseline):
 
 
 def test_stream_mixed_prefill_flushes(tiny_model_dir):
-    """A late-arriving prompt (prefill step) must flush the ring and
-    still produce the same tokens as a plain engine."""
+    """Late-arriving prompts: bucket-compatible prompt-bearing steps
+    now RIDE the ring (no flush — the reference's batch-queue PP covers
+    all step types, v1/engine/core.py:290); tokens must match a plain
+    engine either way."""
     from vllm_tpu.entrypoints.llm import LLM
     from vllm_tpu.sampling_params import SamplingParams
+
+    flush_counts = []
 
     def run(**kw):
         llm = LLM(model=tiny_model_dir, dtype="float32",
@@ -108,9 +112,14 @@ def test_stream_mixed_prefill_flushes(tiny_model_dir):
                     eng.add_request(str(3 + i), {"prompt_token_ids": p},
                                     sp)
             assert steps < 500
+        runner = eng.engine_core.executor.worker.runner
+        flush_counts.append(getattr(runner, "_stream_prompt_rides", 0))
         eng.shutdown()
         return [results[str(i)] for i in range(6)]
 
     base = run()
     stream = run(pipeline_parallel_size=2, async_scheduling=True)
     assert stream == base
+    # prompt-bearing steps rode the ring (no forced flush to the
+    # normal path for bucket-compatible prefills)
+    assert flush_counts[-1] > 0, flush_counts

@@ -160,6 +160,8 @@ class TPUModelRunner:
         # newest-first; slot s of the next dispatch = _stream_ring[s-1];
         # None entries are bubbles (nothing was injected that step)
         self._stream_ring: list = []
+        self._stream_flushes = 0
+        self._stream_prompt_rides = 0
         self._stream_resident = None
         self._stream_layout = None
         self._stream_hops = 0     # total ring hops dispatched
@@ -780,8 +782,19 @@ class TPUModelRunner:
     # --------------------------------------------------- PP stream path
 
     def _stream_compatible(self, so: SchedulerOutput) -> bool:
-        """A step can ride the resident ring iff it is pure decode (one
-        token per request) with none of the prefill-only features."""
+        """A step can ride the resident ring iff none of the
+        ring-incompatible features are scheduled AND its packed layout
+        matches the ring's (all pp slots share one jitted step, so the
+        (token, req) bucket must agree with the batches in flight).
+
+        Prompt-bearing rows (chunked prefill / admissions) DO ride: the
+        stacked metadata is the same forward, sampling covers the
+        exiting slot's logits_indices and invalid rows drop in
+        _build_output — so trickle admission under decode-heavy load no
+        longer flushes the ring to 1/pp utilization (reference analog:
+        v1 batch-queue pipelining covering all step types,
+        vllm/v1/engine/core.py:290). Big prefill buckets still flush
+        via the layout guard."""
         if not self.pp_stream or so.total_num_scheduled_tokens == 0:
             return False
         if so.scheduled_spec_decode_tokens:
@@ -790,12 +803,30 @@ class TPUModelRunner:
             return False
         if self.lora_manager is not None:
             return False
-        # pooling requests never decode, but a fully-prefix-cached
-        # 1-token new request could look like one — the stream step has
-        # no pooler outputs, so keep those on the normal path
+        # pooling requests never sample; the stream step has no pooler
+        # outputs, so keep those on the normal path
         if any(r.pooling_params is not None for r in so.scheduled_new_reqs):
             return False
-        return all(n == 1 for n in so.num_scheduled_tokens.values())
+        # multimodal admissions need the encoder pass (normal path only)
+        if any(r.mm_inputs is not None for r in so.scheduled_new_reqs):
+            return False
+        # prompt-logprob requests need the dedicated plp pass
+        if any(getattr(r.sampling_params, "prompt_logprobs", None)
+               for r in so.scheduled_new_reqs
+               if r.sampling_params is not None):
+            return False
+        if any(e is not None for e in self._stream_ring):
+            # layout must match the in-flight batches exactly
+            token_bucket = self._pick_bucket(
+                self.token_buckets, so.total_num_scheduled_tokens)
+            req_bucket = self._pick_bucket(
+                self.req_buckets, max(len(so.num_scheduled_tokens), 1))
+            lay = dict(self._stream_layout or ())
+            if ("input_ids" not in lay
+                    or lay["input_ids"][0] != token_bucket
+                    or lay["seq_lens"][0] != req_bucket):
+                return False
+        return True
 
     def _ring_req_ids(self) -> list[str]:
         ids: list[str] = []
@@ -806,6 +837,8 @@ class TPUModelRunner:
 
     def _execute_stream(
             self, so: SchedulerOutput) -> ModelRunnerOutput:
+        if any(n > 1 for n in so.num_scheduled_tokens.values()):
+            self._stream_prompt_rides += 1
         batch = self.input_batch
         batch.update_states(so, self.rng)
         token_bucket = self._pick_bucket(self.token_buckets,
@@ -907,6 +940,7 @@ class TPUModelRunner:
         """Drain every real batch out of the ring with bubble hops (the
         leftover resident activations are dead weight: later injections
         overwrite slot 0 and bubble slots carry zeroed metadata)."""
+        self._stream_flushes += 1
         while any(e is not None for e in self._stream_ring):
             self._dispatch_stream(None)
         self._stream_ring = []
