@@ -26,7 +26,9 @@ def run(T, pallas: bool, iters=30, layers=8):
     ks = jnp.float32(0.05)
     vs = jnp.float32(0.05)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def many(cache, k):
         def body(c, li):
             return att.write_kv_cache(c, k, v, slots, ks, vs, layer=li), 0

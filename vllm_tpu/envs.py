@@ -61,16 +61,6 @@ _FLAGS: dict[str, Callable[[], Any]] = {
     # the cost of more VMEM scratch
     "VLLM_TPU_DECODE_SB":
     lambda: int(os.environ.get("VLLM_TPU_DECODE_SB", "16")),
-    # KV-cache write path: 1 = Pallas DMA scatter, 0 = XLA scatter.
-    # Default OFF: with head-major pages a single token row is NOT
-    # tile-aligned for the int8/bf16 sublane packing (Mosaic rejects
-    # the slice), and routing the DMA through a merged [2K, ps*d] view
-    # makes XLA materialize full relayout copies of the cache around
-    # the kernel (OOM at the flagship config). The kernel remains
-    # correct when the cache already lives in HBM small enough for the
-    # relayout (see ops/pallas/kv_scatter.py docstring).
-    "VLLM_TPU_PALLAS_SCATTER":
-    lambda: int(os.environ.get("VLLM_TPU_PALLAS_SCATTER", "0")),
     # decode kernel: wait on DMA semaphores via static descriptors
     # instead of re-deriving the per-page copy descriptors (saves
     # serial scalar-core work; 0 to fall back to full reconstruction)

@@ -176,14 +176,10 @@ def write_kv_cache(
         kv = jnp.clip(kv, -float(finfo_max), float(finfo_max))
         kv = kv.astype(kv_cache.dtype)
     T, two_k, d = kv.shape
-    if _use_pallas() and envs.VLLM_TPU_PALLAS_SCATTER:
-        # XLA's TPU scatter runs row-by-row on the scalar core (~5.7
-        # GB/s measured: 281 us/layer at the flagship decode shape,
-        # 9 ms/step over 32 layers, linear in tokens so prefill paid
-        # more) — the Pallas kernel issues one strided HBM->HBM DMA
-        # per token instead.
-        from vllm_tpu.ops.pallas.kv_scatter import kv_cache_scatter
-        return kv_cache_scatter(kv_cache, kv, slot_mapping, layer)
+    # (a Pallas DMA-scatter alternative was benched post-Mosaic-fix at
+    # 45 ms/layer vs this path's sub-ms — per-token strided HBM->HBM
+    # DMAs lose badly to the barrier+row-scatter below, so it was
+    # deleted; tools/bench_kv_scatter.py r5)
     # The quantize chain must NOT fuse into the scatter: XLA evaluates a
     # scatter's fused producer per update row on the scalar core
     # (measured 5 GB/s, 283 us/layer at the flagship decode shape —

@@ -387,17 +387,25 @@ class VocabTrie:
             self.token_at[node] = tid
 
 
-_TRIE_CACHE: dict[int, VocabTrie] = {}
 _TRIE_LOCK = threading.Lock()
 
 
 def get_vocab_trie(tokenizer) -> VocabTrie:
-    key = id(tokenizer)
-    with _TRIE_LOCK:
-        trie = _TRIE_CACHE.get(key)
-        if trie is None:
-            trie = VocabTrie(tokenizer)
-            _TRIE_CACHE[key] = trie
+    """Trie shared per tokenizer OBJECT — stashed on the instance, NOT
+    in an id()-keyed module cache: a freed tokenizer's id() is reused
+    by later allocations, which served a stale trie for a different
+    vocab (wrong token masks; found by test-order-dependent pushdown
+    failures)."""
+    trie = getattr(tokenizer, "_vllm_tpu_vocab_trie", None)
+    if trie is None:
+        with _TRIE_LOCK:
+            trie = getattr(tokenizer, "_vllm_tpu_vocab_trie", None)
+            if trie is None:
+                trie = VocabTrie(tokenizer)
+                try:
+                    tokenizer._vllm_tpu_vocab_trie = trie
+                except (AttributeError, TypeError):
+                    pass  # unsettable tokenizer: rebuild per grammar
     return trie
 
 
