@@ -206,6 +206,17 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                                       "LlavaForConditionalGeneration"),
     "LlavaNextForConditionalGeneration": (
         "vllm_tpu.models.llava_next", "LlavaNextForConditionalGeneration"),
+    "LlavaOnevisionForConditionalGeneration": (
+        "vllm_tpu.models.llava_onevision",
+        "LlavaOnevisionForConditionalGeneration"),
+    # LlavaNextVideo's image path IS llava-next (video frames become
+    # extra mm tokens processor-side; reference: llava_next_video.py)
+    "LlavaNextVideoForConditionalGeneration": (
+        "vllm_tpu.models.llava_next", "LlavaNextForConditionalGeneration"),
+    # H2OVL (non-mono) subclasses InternVL with only processor-side
+    # tiling changes (reference: h2ovl.py:523)
+    "H2OVLChatModel": (
+        "vllm_tpu.models.internvl", "InternVLForConditionalGeneration"),
     "Idefics3ForConditionalGeneration": (
         "vllm_tpu.models.idefics3", "Idefics3ForConditionalGeneration"),
     "SmolVLMForConditionalGeneration": (

@@ -127,11 +127,17 @@ def w8a8_matmul(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     if layer is not None:
         w8 = jax.lax.dynamic_index_in_dim(w8, layer, 0, keepdims=False)
         cs = jax.lax.dynamic_index_in_dim(cs, layer, 0, keepdims=False)
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1)
+    # amax directly on the input dtype (max is exact in bf16) so the
+    # reduce has no f32 copy of x to read, and the quantize below is a
+    # SINGLE fused bf16-read -> int8-write pass. x.astype(f32) with two
+    # consumers (reduce + divide) materialized a full f32 activation
+    # tensor — at prefill T=4096 that is a 235 MB HBM round trip per
+    # gate_up, measured ~21 ms/step of convert+reduce self-time.
+    amax = jnp.max(jnp.abs(x), axis=-1).astype(jnp.float32)
     ax = jnp.maximum(amax, 1e-6) / INT8_MAX
-    x8 = jnp.clip(jnp.round(xf / ax[..., None]), -INT8_MAX,
-                  INT8_MAX).astype(jnp.int8)
+    inv = 1.0 / ax
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                  -INT8_MAX, INT8_MAX).astype(jnp.int8)
     o32 = jax.lax.dot_general(x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return o32.astype(jnp.float32) * ax[..., None] * cs
