@@ -165,6 +165,7 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
     "FalconH1ForCausalLM": ("vllm_tpu.models.falcon_h1",
                             "FalconH1ForCausalLM"),
+    "GritLM": ("vllm_tpu.models.gritlm", "GritLM"),
     "GraniteMoeHybridForCausalLM": ("vllm_tpu.models.granite_hybrid",
                                     "GraniteMoeHybridForCausalLM"),
     "MiniMaxText01ForCausalLM": ("vllm_tpu.models.minimax",

@@ -152,6 +152,10 @@ class InputBatch:
         # MRoPE (Qwen2-VL family): set by the runner to the model's
         # compute_mrope; per-slot 3D prompt positions + decode delta
         self.mrope_fn = None
+        # optional model hook: prompt token ids -> index of the first
+        # POOLED token (GritLM-style instruction-masked mean pooling;
+        # reference: gritlm.py _get_instruction_len)
+        self.pool_start_fn = None
         self.mrope_pos: list[Optional[np.ndarray]] = [None] * max_num_reqs
         self.mrope_delta = np.zeros(max_num_reqs, np.int32)
         self.mm_positions: list[Optional[np.ndarray]] = \
@@ -652,6 +656,16 @@ class InputBatch:
             for row, (idx, rid) in enumerate(active):
                 n = num_sched[rid]
                 token_req[off:off + n] = row
+                if pooling[row] is not None and self.pool_start_fn:
+                    # instruction tokens are excluded from the pooled
+                    # mean: map them to the scratch segment
+                    start = self.pool_start_fn(
+                        self.token_ids[idx,
+                                       :self.num_prompt_tokens[idx]])
+                    base = int(self.num_computed_tokens[idx])
+                    skip = min(max(start - base, 0), n)
+                    if skip:
+                        token_req[off:off + skip] = R
                 off += n
         else:
             pooling = None

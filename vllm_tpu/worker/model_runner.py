@@ -315,6 +315,8 @@ class TPUModelRunner:
                 break
         if getattr(self.model, "uses_mrope", False):
             self.input_batch.mrope_fn = self.model.compute_mrope
+        if hasattr(self.model, "pool_start_index"):
+            self.input_batch.pool_start_fn = self.model.pool_start_index
 
     # ------------------------------------------------------------- step fn
 
@@ -1202,6 +1204,10 @@ class TPUModelRunner:
                 pp, "task", "") in ("score", "classify")
             if classifier:
                 vec = np.asarray(pooled[2], np.float32)[row]
+            elif getattr(self.model, "force_mean_pool", False):
+                # GritLM-class models always mean-pool (reference:
+                # gritlm.py GritLMMeanPool)
+                vec = mean[row]
             else:
                 vec = mean[row] if getattr(pp, "pooling_type",
                                            "last") == "mean" else last[row]
