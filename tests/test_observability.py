@@ -150,3 +150,50 @@ def test_multi_connector_roundtrip(tiny_model_dir, tmp_path):  # noqa: F811
     out = consumer.generate(prompt, sp)[0]
     assert list(out.outputs[0].token_ids) == list(base)
     assert out.num_cached_tokens and out.num_cached_tokens > 0
+
+
+def test_p2p_zmq_kv_connector_disagg_prefill(tiny_model_dir):  # noqa: F811
+    """Disaggregated P/D over a direct engine-to-engine ZMQ block
+    server (reference analog: kv_connector/v1/p2p/p2p_nccl_connector.py
+    without the NCCL fabric): the prefill engine serves its finished
+    requests' KV; the decode engine pulls it over TCP instead of
+    recomputing, with identical greedy output — no shared filesystem."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"tcp://127.0.0.1:{port}"
+    prompt = "the quick brown fox jumps over the lazy dog " * 2
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    plain = _mk_llm(tiny_model_dir)
+    base = plain.generate(prompt, sp)[0].outputs[0].token_ids
+    plain.llm_engine.shutdown()
+    del plain
+
+    producer = _mk_llm(
+        tiny_model_dir, enable_prefix_caching=False,
+        kv_transfer_config=json.dumps({
+            "kv_connector": "P2pZmqConnector",
+            "kv_role": "kv_producer",
+            "kv_connector_extra_config": {"p2p_address": addr},
+        }))
+    out_a = producer.generate(prompt, sp)[0].outputs[0].token_ids
+    assert list(out_a) == list(base)
+    producer.llm_engine.collective_rpc("flush_kv_saves")
+
+    consumer = _mk_llm(
+        tiny_model_dir, enable_prefix_caching=False,
+        kv_transfer_config=json.dumps({
+            "kv_connector": "P2pZmqConnector",
+            "kv_role": "kv_consumer",
+            "kv_connector_extra_config": {"p2p_address": addr},
+        }))
+    out_b = consumer.generate(prompt, sp)[0].outputs[0].token_ids
+    assert list(out_b) == list(base), "p2p KV changed output"
+    req_out = consumer.generate(prompt, sp)[0]
+    assert req_out.num_cached_tokens and req_out.num_cached_tokens > 0
+
+    consumer.llm_engine.shutdown()
+    producer.llm_engine.shutdown()

@@ -116,4 +116,9 @@ def create_connector(kv_transfer_config: Any,
             MultiConnector
 
         return MultiConnector(kv_transfer_config, role)
+    if name == "P2pZmqConnector":
+        from vllm_tpu.distributed.kv_transfer.p2p_zmq import \
+            P2pZmqConnector
+
+        return P2pZmqConnector(kv_transfer_config, role)
     raise ValueError(f"unknown kv connector {name!r}")
