@@ -45,6 +45,29 @@ class LLMEngine:
         if self.engine_core.structured_output_manager is not None:
             self.engine_core.structured_output_manager.attach_tokenizer(
                 self.tokenizer)
+        # anonymous usage telemetry (reference: usage_lib.py:123; local
+        # sink only — no egress here). Opt out: VLLM_NO_USAGE_STATS=1
+        from vllm_tpu.usage import UsageContext, usage_message
+
+        mc = engine_config.model_config
+        pc = engine_config.parallel_config
+        usage_message.report_usage(
+            mc.architecture or "", UsageContext.ENGINE_CONTEXT,
+            extra_kvs={
+                "dtype": str(mc.dtype),
+                "quantization": str(mc.quantization),
+                "kv_cache_dtype": str(
+                    engine_config.cache_config.cache_dtype),
+                "block_size": engine_config.cache_config.block_size,
+                "max_model_len":
+                engine_config.scheduler_config.max_model_len,
+                "max_num_seqs":
+                engine_config.scheduler_config.max_num_seqs,
+                "tensor_parallel_size": pc.tensor_parallel_size,
+                "pipeline_parallel_size": pc.pipeline_parallel_size,
+                "data_parallel_size": pc.data_parallel_size,
+                "enable_expert_parallel": pc.enable_expert_parallel,
+            })
 
     @classmethod
     def from_engine_args(cls, engine_args) -> "LLMEngine":
