@@ -52,8 +52,13 @@ class OPTForCausalLM:
         self.args = _Args()
 
     def forward(self, params, input_ids, kv_caches, metadata,
-                lora=None):
+                lora=None, embed_override=None):
         x = embedding_lookup(input_ids, params["embed"]["w"])
+        if embed_override is not None:
+            # VLM composition (BLIP-2): query embeddings substituted at
+            # image-placeholder slots BEFORE positions are added
+            idx, vecs = embed_override
+            x = x.at[idx].set(vecs.astype(x.dtype))
         # OPT's learned positions are offset by 2 (padding legacy).
         x = x + embedding_lookup(metadata.positions + 2,
                                  params["pos_embed"])

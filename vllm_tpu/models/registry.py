@@ -166,6 +166,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "FalconH1ForCausalLM": ("vllm_tpu.models.falcon_h1",
                             "FalconH1ForCausalLM"),
     "GritLM": ("vllm_tpu.models.gritlm", "GritLM"),
+    "Blip2ForConditionalGeneration": (
+        "vllm_tpu.models.blip2", "Blip2ForConditionalGeneration"),
     "GraniteMoeHybridForCausalLM": ("vllm_tpu.models.granite_hybrid",
                                     "GraniteMoeHybridForCausalLM"),
     "MiniMaxText01ForCausalLM": ("vllm_tpu.models.minimax",
