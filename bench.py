@@ -152,7 +152,8 @@ def main() -> None:
     result = {
         "metric": "offline_throughput_tok_per_s_per_chip",
         "value": round(toks_per_s, 1),
-        "unit": "tok/s/chip (prompt+gen, Llama-3-8B-class INT4+8bit-KV "
+        "unit": "tok/s/chip (prompt+gen, Llama-3-8B-class INT4-stored/"
+                "w8a8-exec + int8-KV "
                 f"dummy, in{in_len}/out{out_len}x{num_prompts}; "
                 f"gen-only {gen_tokens / elapsed:.0f}; anchor "
                 "size-normalized MI300X 70B FP8 = 13825 tok/s)",
