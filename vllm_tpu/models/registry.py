@@ -168,6 +168,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "GritLM": ("vllm_tpu.models.gritlm", "GritLM"),
     "Blip2ForConditionalGeneration": (
         "vllm_tpu.models.blip2", "Blip2ForConditionalGeneration"),
+    "AriaForConditionalGeneration": (
+        "vllm_tpu.models.aria", "AriaForConditionalGeneration"),
+    "AriaTextForCausalLM": ("vllm_tpu.models.aria",
+                            "AriaTextForCausalLM"),
     "GraniteMoeHybridForCausalLM": ("vllm_tpu.models.granite_hybrid",
                                     "GraniteMoeHybridForCausalLM"),
     "MiniMaxText01ForCausalLM": ("vllm_tpu.models.minimax",
