@@ -235,3 +235,68 @@ def test_stream_chat_e2e_argument_deltas_before_finish():
     contents = "".join(p["choices"][0]["delta"].get("content") or ""
                        for p in parsed)
     assert contents.strip() == "I need a tool."
+
+
+def _assert_streamed_before_finish(timeline, n, idx=0):
+    args_pushes = [pi for pi, kind in timeline if kind == f"args{idx}"]
+    assert args_pushes and args_pushes[0] < n, timeline
+
+
+def test_internlm_streaming():
+    text = ('Let me call a tool.<|action_start|><|plugin|>'
+            '{"name": "search", "parameters": {"q": "tpu kernels"}}'
+            '<|action_end|>')
+    content, calls, timeline, n = drive("internlm", text)
+    assert content.strip() == "Let me call a tool."
+    assert calls[0]["name"] == "search"
+    assert json.loads(calls[0]["arguments"]) == {"q": "tpu kernels"}
+    _assert_streamed_before_finish(timeline, n)
+
+
+def test_jamba_streaming():
+    text = (' <tool_calls>[{"name": "a", "arguments": {"x": 1}}, '
+            '{"name": "b", "arguments": {"y": "z"}}]</tool_calls>')
+    content, calls, timeline, n = drive("jamba", text)
+    assert calls[0]["name"] == "a"
+    assert json.loads(calls[0]["arguments"]) == {"x": 1}
+    assert calls[1]["name"] == "b"
+    assert json.loads(calls[1]["arguments"]) == {"y": "z"}
+    _assert_streamed_before_finish(timeline, n)
+
+
+def test_granite_streaming():
+    text = ('<|tool_call|>[{"name": "lookup", "arguments": '
+            '{"key": "value", "n": 7}}]')
+    content, calls, timeline, n = drive("granite", text)
+    assert calls[0]["name"] == "lookup"
+    assert json.loads(calls[0]["arguments"]) == {"key": "value", "n": 7}
+    _assert_streamed_before_finish(timeline, n)
+
+
+def test_deepseek_v3_streaming():
+    text = ("I'll check.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>"
+            "function<｜tool▁sep｜>get_weather\n```json\n"
+            '{"city": "Paris", "days": 3}\n```<｜tool▁call▁end｜>'
+            "<｜tool▁calls▁end｜>")
+    content, calls, timeline, n = drive("deepseek_v3", text)
+    assert content.strip() == "I'll check."
+    assert calls[0]["name"] == "get_weather"
+    assert json.loads(calls[0]["arguments"]) == {"city": "Paris",
+                                                 "days": 3}
+    _assert_streamed_before_finish(timeline, n)
+
+
+def test_kimi_k2_streaming():
+    text = ("<|tool_calls_section_begin|><|tool_call_begin|>"
+            "functions.get_time:0<|tool_call_argument_begin|>"
+            '{"tz": "UTC"}<|tool_call_end|>'
+            "<|tool_call_begin|>functions.add:1"
+            '<|tool_call_argument_begin|>{"a": 1, "b": 2}'
+            "<|tool_call_end|><|tool_calls_section_end|>")
+    content, calls, timeline, n = drive("kimi_k2", text)
+    assert calls[0]["name"] == "get_time"
+    assert json.loads(calls[0]["arguments"]) == {"tz": "UTC"}
+    assert calls[1]["name"] == "add"
+    assert json.loads(calls[1]["arguments"]) == {"a": 1, "b": 2}
+    _assert_streamed_before_finish(timeline, n)
+    _assert_streamed_before_finish(timeline, n, idx=1)

@@ -506,11 +506,184 @@ class PythonicStreaming(StreamingToolParser):
         })
 
 
+class InternLMStreaming(_MarkeredJsonStreaming):
+    """<|action_start|><|plugin|>{json}<|action_end|>."""
+
+    markers = ("<|action_start|><|plugin|>",)
+    hold_markers = ("<|action_start|><|plugin|>", "<|action_end|>")
+    args_keys = ("parameters", "arguments")
+    re_marker = True
+
+    def _drain(self, final: bool) -> StreamDelta:
+        self._buf = self._buf.replace("<|action_end|>", "")
+        if not final:
+            keep = _held(self._buf, ("<|action_end|>",))
+            if keep and self._state == "between":
+                self._buf = self._buf[:len(self._buf) - keep]
+        return super()._drain(final)
+
+
+class JambaStreaming(_MarkeredJsonStreaming):
+    """<tool_calls>[{...}, ...]</tool_calls>."""
+
+    markers = ("<tool_calls>",)
+    hold_markers = ("<tool_calls>", "</tool_calls>")
+    args_keys = ("arguments",)
+    re_marker = False
+
+    def _drain(self, final: bool) -> StreamDelta:
+        self._buf = self._buf.replace("</tool_calls>", "")
+        if not final:
+            keep = _held(self._buf, ("</tool_calls>",))
+            if keep and self._state == "between":
+                self._buf = self._buf[:len(self._buf) - keep]
+        return super()._drain(final)
+
+
+class GraniteStreaming(_MarkeredJsonStreaming):
+    """<|tool_call|> (or <tool_call>) + JSON list of calls."""
+
+    markers = ("<|tool_call|>", "<tool_call>")
+    args_keys = ("arguments", "parameters")
+    re_marker = False
+
+
+class _HeaderArgsStreaming(StreamingToolParser):
+    """Formats whose calls carry the NAME in a marker header and the
+    arguments json VERBATIM between an args-begin and an end marker
+    (deepseek_v3, kimi_k2): stream the args region through as raw
+    argument deltas (reference: deepseekv3/kimi_k2 tool parsers'
+    extract_tool_calls_streaming)."""
+
+    section_begin = ""
+    call_begin = ""
+    name_re: "re.Pattern" = None  # matches header after call_begin
+    args_end = ""
+    swallow: tuple = ()
+
+    def __init__(self, fmt: str):
+        super().__init__(fmt)
+        self._buf = ""
+        self._state = "content"
+        self._index = -1
+
+    def push(self, delta_text: str) -> StreamDelta:
+        self._all.append(delta_text)
+        self._buf += delta_text
+        return self._drain(final=False)
+
+    def finish(self) -> StreamDelta:
+        return self._drain(final=True)
+
+    def _drain(self, final: bool) -> StreamDelta:
+        import re as _re
+
+        d = StreamDelta()
+        progress = True
+        while progress and self._buf:
+            progress = False
+            if self._state == "content":
+                pos = self._buf.find(self.call_begin)
+                if pos >= 0:
+                    pre = self._buf[:pos]
+                    pre = pre.replace(self.section_begin, "")                         if self.section_begin else pre
+                    if pre.strip():
+                        d.content = (d.content or "") + pre
+                    self._buf = self._buf[pos + len(self.call_begin):]
+                    self._state = "header"
+                    progress = True
+                else:
+                    hold = _held(self._buf, (self.call_begin,
+                                             self.section_begin)
+                                 + tuple(self.swallow))
+                    flush = (self._buf if final else
+                             self._buf[:len(self._buf) - hold])
+                    if self.section_begin:
+                        flush = flush.replace(self.section_begin, "")
+                    for tok in self.swallow:
+                        flush = flush.replace(tok, "")
+                    if flush:
+                        d.content = (d.content or "") + flush
+                    self._buf = "" if final else self._buf[
+                        len(self._buf) - hold:]
+                    break
+            elif self._state == "header":
+                m = self.name_re.match(self._buf)
+                if m is None:
+                    if final:
+                        self._buf = ""
+                    break
+                self._index += 1
+                self.tools_called = True
+                d.tool_calls.append(
+                    _new_call_fragment(self._index, m.group("name")))
+                self._buf = self._buf[m.end():]
+                self._state = "args"
+                progress = True
+            elif self._state == "args":
+                pos = self._buf.find(self.args_end)
+                if pos >= 0:
+                    frag, self._buf = self._buf[:pos], self._buf[
+                        pos + len(self.args_end):]
+                    if frag:
+                        d.tool_calls.append({
+                            "index": self._index,
+                            "function": {"arguments": frag},
+                        })
+                    self._state = "content"
+                    progress = True
+                else:
+                    hold = _held(self._buf, (self.args_end,))
+                    frag = self._buf if final else                         self._buf[:len(self._buf) - hold]
+                    if frag:
+                        d.tool_calls.append({
+                            "index": self._index,
+                            "function": {"arguments": frag},
+                        })
+                    self._buf = "" if final else self._buf[
+                        len(self._buf) - hold:]
+                    break
+        if d.content:
+            for tok in self.swallow:
+                d.content = d.content.replace(tok, "")
+            if not d.content:
+                d.content = None
+        return d
+
+
+class DeepSeekV3Streaming(_HeaderArgsStreaming):
+    import re as _re
+
+    section_begin = "<｜tool▁calls▁begin｜>"
+    call_begin = "<｜tool▁call▁begin｜>"
+    name_re = _re.compile(
+        r".*?<｜tool▁sep｜>(?P<name>.*?)\n```json\n", _re.DOTALL)
+    args_end = "\n```<｜tool▁call▁end｜>"
+    swallow = ("<｜tool▁calls▁end｜>", "<｜end▁of▁sentence｜>")
+
+
+class KimiK2Streaming(_HeaderArgsStreaming):
+    import re as _re
+
+    section_begin = "<|tool_calls_section_begin|>"
+    call_begin = "<|tool_call_begin|>"
+    name_re = _re.compile(
+        r"\s*functions\.(?P<name>[\w\.]+):\d+\s*"
+        r"<\|tool_call_argument_begin\|>\s*")
+    args_end = "<|tool_call_end|>"
+    swallow = ("<|tool_calls_section_end|>",)
+
+
 _STREAMING = {
     "hermes": HermesStreaming,
     "mistral": MistralStreaming,
     "llama3_json": Llama3JsonStreaming,
     "pythonic": PythonicStreaming,
+    "internlm": InternLMStreaming,
+    "jamba": JambaStreaming,
+    "granite": GraniteStreaming,
+    "deepseek_v3": DeepSeekV3Streaming,
+    "kimi_k2": KimiK2Streaming,
 }
 
 
