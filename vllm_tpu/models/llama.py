@@ -364,8 +364,7 @@ class LlamaForCausalLM:
         k = k.reshape(T, nk, d)
         v = v.reshape(T, nk, d)
         if args.qk_norm:
-            q = rms_norm(q, lp["q_norm"][li], args.rms_eps)
-            k = rms_norm(k, lp["k_norm"][li], args.rms_eps)
+            q, k = self._qk_norm(lp, li, q, k)
         if rope_on:  # NoPE layers (SmolLM3 et al.) skip rotary
             q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
         attn_out, kv = self._cached_attention(
@@ -388,6 +387,12 @@ class LlamaForCausalLM:
         """Block-norm hook: default RMSNorm; subclasses may override
         with a different norm."""
         return rms_norm(x, lp[key][li], self.args.rms_eps)
+
+    def _qk_norm(self, lp: dict, li, q: jnp.ndarray, k: jnp.ndarray):
+        """q/k-norm hook: default per-head RMSNorm (Qwen3 et al.);
+        Chameleon overrides with biased LayerNorm."""
+        return (rms_norm(q, lp["q_norm"][li], self.args.rms_eps),
+                rms_norm(k, lp["k_norm"][li], self.args.rms_eps))
 
     def _final_ln(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         return rms_norm(x, params["final_ln"], self.args.rms_eps)

@@ -168,6 +168,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "GritLM": ("vllm_tpu.models.gritlm", "GritLM"),
     "Blip2ForConditionalGeneration": (
         "vllm_tpu.models.blip2", "Blip2ForConditionalGeneration"),
+    "ChameleonForConditionalGeneration": (
+        "vllm_tpu.models.chameleon", "ChameleonForConditionalGeneration"),
+    "ChameleonForCausalLM": (
+        "vllm_tpu.models.chameleon", "ChameleonForCausalLM"),
     "AriaForConditionalGeneration": (
         "vllm_tpu.models.aria", "AriaForConditionalGeneration"),
     "AriaTextForCausalLM": ("vllm_tpu.models.aria",
