@@ -321,6 +321,12 @@ class SpeculativeConfig:
         "LlamaForCausalLMEagle3": "eagle3",
         "MedusaModel": "medusa",
         "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+        # multi-token-prediction draft layers shipped inside/alongside
+        # the main checkpoint (reference registry: deepseek_mtp.py,
+        # mimo_mtp.py, glm4_moe_mtp.py)
+        "MiMoMTPModel": "mtp",
+        "DeepSeekMTPModel": "mtp",
+        "Glm4MoeMTPModel": "mtp",
     }
 
     def __post_init__(self):

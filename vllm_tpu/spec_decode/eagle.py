@@ -185,6 +185,19 @@ class EagleProposer:
         x = x + linear(GATED_ACTIVATIONS[self.act](gate_up), dp["down"])
         return x, kv
 
+    def _fuse(self, draft_params: dict, embed: jnp.ndarray,
+              hidden: jnp.ndarray) -> jnp.ndarray:
+        """Combine (token embedding, previous hidden) into the draft
+        layer input. EAGLE: raw concat -> fc (llama_eagle.py:44)."""
+        return linear(
+            jnp.concatenate([embed, hidden.astype(embed.dtype)],
+                            axis=-1), draft_params["fc"])
+
+    def _head_hidden(self, draft_params: dict,
+                     h: jnp.ndarray) -> jnp.ndarray:
+        """Hidden -> lm-head input (EAGLE: identity; MTP: final norm)."""
+        return h
+
     def propose(
         self,
         draft_params: dict,
@@ -213,9 +226,7 @@ class EagleProposer:
         shifted = shifted.at[accepted_last].set(corr)
 
         embed = embedding_lookup(shifted, target_params["embed"]["w"])
-        h = linear(
-            jnp.concatenate([embed, target_hidden.astype(embed.dtype)],
-                            axis=-1), draft_params["fc"])
+        h = self._fuse(draft_params, embed, target_hidden)
 
         # catch-up pass over the full ragged batch: rejected tail tokens
         # stay in the stream but seq_lens exclude them from attention.
@@ -223,8 +234,9 @@ class EagleProposer:
         md0 = dataclasses.replace(metadata, seq_lens=seq_acc)
         h_out, kv = self._layer(draft_params, h, draft_kv, md0)
 
-        logits = lm_head_logits(h_out[accepted_last],
-                                target_params["lm_head"])
+        logits = lm_head_logits(
+            self._head_hidden(draft_params, h_out[accepted_last]),
+            target_params["lm_head"])
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [R]
         drafts = [token]
         h_prev = h_out[accepted_last]  # [R, H]
@@ -256,11 +268,11 @@ class EagleProposer:
             )
             embed = embedding_lookup(drafts[-1],
                                      target_params["embed"]["w"])
-            h_in = linear(
-                jnp.concatenate([embed, h_prev.astype(embed.dtype)],
-                                axis=-1), draft_params["fc"])
+            h_in = self._fuse(draft_params, embed, h_prev)
             h_out, kv = self._layer(draft_params, h_in, kv, md_j)
-            logits = lm_head_logits(h_out, target_params["lm_head"])
+            logits = lm_head_logits(
+                self._head_hidden(draft_params, h_out),
+                target_params["lm_head"])
             drafts.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
             h_prev = h_out
 
@@ -432,6 +444,19 @@ class Eagle3Proposer(EagleProposer):
         # d2t stores per-draft-id OFFSETS to target token ids
         return draft_ids + dp["d2t"][draft_ids]
 
+    def _fuse(self, draft_params: dict, embed: jnp.ndarray,
+              hidden: jnp.ndarray) -> jnp.ndarray:
+        """Combine (token embedding, previous hidden) into the draft
+        layer input. EAGLE: raw concat -> fc (llama_eagle.py:44)."""
+        return linear(
+            jnp.concatenate([embed, hidden.astype(embed.dtype)],
+                            axis=-1), draft_params["fc"])
+
+    def _head_hidden(self, draft_params: dict,
+                     h: jnp.ndarray) -> jnp.ndarray:
+        """Hidden -> lm-head input (EAGLE: identity; MTP: final norm)."""
+        return h
+
     def propose(
         self,
         draft_params: dict,
@@ -498,3 +523,118 @@ class Eagle3Proposer(EagleProposer):
             drafts.append(self._draft_argmax(draft_params, normed))
             h_prev = prenorm
         return jnp.stack(drafts, axis=1), kv
+
+
+class MTPProposer(EagleProposer):
+    """Multi-Token-Prediction draft (reference behavior parity:
+    vllm/model_executor/models/mimo_mtp.py MiMoMultiTokenPredictorLayer;
+    deepseek_mtp.py shares the shape with an MLA block).
+
+    vs EAGLE: the token embedding and previous hidden are EACH RMS-
+    normed before the 2H->H input projection (token_layernorm /
+    hidden_layernorm), the draft decoder layer is a FULL pre-norm layer
+    (input_layernorm kept), and a final_layernorm feeds the shared
+    lm_head. Serves MiMo-7B-class MTP checkpoints (one predict layer,
+    GQA block); embed + lm_head are shared with the target."""
+
+    def param_shapes(self) -> dict:
+        H = self.hidden
+        shapes = super().param_shapes()
+        shapes.update({
+            "enorm": (H,),
+            "hnorm": (H,),
+            "input_ln": (H,),
+            "final_norm": (H,),
+        })
+        return shapes
+
+    def _fuse(self, draft_params, embed, hidden):
+        e = rms_norm(embed, draft_params["enorm"], self.rms_eps)
+        hh = rms_norm(hidden.astype(embed.dtype), draft_params["hnorm"],
+                      self.rms_eps)
+        return linear(jnp.concatenate([e, hh], axis=-1),
+                      draft_params["fc"])
+
+    def _head_hidden(self, draft_params, h):
+        return rms_norm(h, draft_params["final_norm"], self.rms_eps)
+
+    def _layer(self, dp, x, kv, metadata):
+        # full pre-norm decoder layer (mtp_block keeps input_layernorm,
+        # unlike the EAGLE layer)
+        nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+        T = x.shape[0]
+        h0 = rms_norm(x, dp["input_ln"], self.rms_eps)
+        qkv = linear(h0, dp["qkv"])
+        q, k, v = jnp.split(qkv, [nq * d, (nq + nk) * d], axis=-1)
+        q = q.reshape(T, nq, d)
+        k = k.reshape(T, nk, d)
+        v = v.reshape(T, nk, d)
+        q, k = apply_rope(q, k, metadata.positions, self.inv_freq,
+                          self.is_neox, self.rope_mscale)
+        kv = write_kv_cache(kv, k, v, metadata.slot_mapping, layer=0)
+        attn = attention(q, kv, metadata, self.scale, layer=0)
+        x = x + linear(attn.reshape(T, nq * d), dp["o"])
+        h = rms_norm(x, dp["post_ln"], self.rms_eps)
+        gate_up = linear(h, dp["gate_up"])
+        x = x + linear(GATED_ACTIVATIONS[self.act](gate_up), dp["down"])
+        return x, kv
+
+    def load_weights(self, dtype) -> dict:
+        path = self.spec_config.model
+        if not path or not os.path.isdir(path):
+            logger.warning("mtp: no draft checkpoint at %r, "
+                           "using dummy weights", path)
+            return jax.tree.map(lambda x: jnp.asarray(x, dtype),
+                                self.init_dummy_params())
+        from vllm_tpu.models.weight_utils import weights_iterator
+
+        shapes = self.param_shapes()
+        params = jax.tree.map(
+            lambda s: np.zeros(s, np.float32), shapes,
+            is_leaf=lambda x: isinstance(x, tuple))
+        nq, nk, d = self.num_heads, self.num_kv_heads, self.head_dim
+        I = self.inter
+        flat = {
+            "token_layernorm.weight": "enorm",
+            "hidden_layernorm.weight": "hnorm",
+            "enorm.weight": "enorm",
+            "hnorm.weight": "hnorm",
+            "final_layernorm.weight": "final_norm",
+            "shared_head.norm.weight": "final_norm",
+        }
+        mat = {
+            "input_proj.weight": "fc",
+            "eh_proj.weight": "fc",
+            "mtp_block.self_attn.o_proj.weight": "o",
+            "mtp_block.mlp.down_proj.weight": "down",
+        }
+        lnmap = {
+            "mtp_block.input_layernorm.weight": "input_ln",
+            "mtp_block.post_attention_layernorm.weight": "post_ln",
+        }
+        fused = {
+            "mtp_block.self_attn.q_proj.weight": ("qkv", 0, nq * d),
+            "mtp_block.self_attn.k_proj.weight": ("qkv", nq * d, nk * d),
+            "mtp_block.self_attn.v_proj.weight":
+                ("qkv", (nq + nk) * d, nk * d),
+            "mtp_block.mlp.gate_proj.weight": ("gate_up", 0, I),
+            "mtp_block.mlp.up_proj.weight": ("gate_up", I, I),
+        }
+        for name, w in weights_iterator(path):
+            name = name.removeprefix("model.")
+            # strip the mtp-layer index prefix (mtp_layers.N. or
+            # layers.N. — MTP weights sit past num_hidden_layers)
+            parts = name.split(".")
+            if parts[0] in ("mtp_layers", "layers") and len(parts) > 2:
+                name = ".".join(parts[2:])
+            w = np.asarray(w, np.float32)
+            if name in flat:
+                params[flat[name]][...] = w
+            elif name in mat:
+                params[mat[name]]["w"][...] = w.T
+            elif name in lnmap:
+                params[lnmap[name]][...] = w
+            elif name in fused:
+                key, start, length = fused[name]
+                params[key]["w"][:, start:start + length] = w.T
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)

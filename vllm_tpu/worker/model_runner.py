@@ -99,6 +99,11 @@ class TPUModelRunner:
 
             self.eagle = EagleProposer(self.model, spec_cfg,
                                        self.cache_config)
+        elif spec_cfg.enabled and spec_cfg.method == "mtp":
+            from vllm_tpu.spec_decode.eagle import MTPProposer
+
+            self.eagle = MTPProposer(self.model, spec_cfg,
+                                     self.cache_config)
         elif spec_cfg.enabled and spec_cfg.method == "medusa":
             from vllm_tpu.spec_decode.medusa import MedusaProposer
 
