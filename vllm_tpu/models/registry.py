@@ -163,6 +163,7 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "FalconMambaForCausalLM": ("vllm_tpu.models.mamba",
                                "FalconMambaForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
+    "Zamba2ForCausalLM": ("vllm_tpu.models.zamba2", "Zamba2ForCausalLM"),
     "FalconH1ForCausalLM": ("vllm_tpu.models.falcon_h1",
                             "FalconH1ForCausalLM"),
     "GritLM": ("vllm_tpu.models.gritlm", "GritLM"),
