@@ -164,6 +164,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                                "FalconMambaForCausalLM"),
     "BambaForCausalLM": ("vllm_tpu.models.bamba", "BambaForCausalLM"),
     "Zamba2ForCausalLM": ("vllm_tpu.models.zamba2", "Zamba2ForCausalLM"),
+    "NemotronHForCausalLM": ("vllm_tpu.models.nemotron_h",
+                             "NemotronHForCausalLM"),
     "FalconH1ForCausalLM": ("vllm_tpu.models.falcon_h1",
                             "FalconH1ForCausalLM"),
     "GritLM": ("vllm_tpu.models.gritlm", "GritLM"),
