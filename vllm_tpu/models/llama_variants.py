@@ -234,8 +234,7 @@ class Glm4ForCausalLM(LlamaForCausalLM):
         q = q.reshape(T, nq, d)
         k = k.reshape(T, nk, d)
         v = v.reshape(T, nk, d)
-        q, k = apply_rope(q, k, metadata.positions, inv_freq,
-                          args.rope.is_neox_style, self.rope_mscale)
+        q, k = self._apply_rope_qk(q, k, metadata, inv_freq)
         attn, kv = self._cached_attention(lp, li, q, k, v, kv,
                                           metadata)
         attn = linear(attn.reshape(T, nq * d), lp["o"], layer=li)

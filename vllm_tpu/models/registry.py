@@ -60,6 +60,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "OlmoeForCausalLM": ("vllm_tpu.models.mixtral", "OlmoeForCausalLM"),
     "Qwen2VLForConditionalGeneration": (
         "vllm_tpu.models.qwen2_vl", "Qwen2VLForConditionalGeneration"),
+    "Glm4vForConditionalGeneration": (
+        "vllm_tpu.models.glm4v", "Glm4vForConditionalGeneration"),
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_tpu.models.qwen2_vl", "Qwen25VLForConditionalGeneration"),
     "XLMRobertaModel": ("vllm_tpu.models.bert", "XLMRobertaModel"),

@@ -163,6 +163,7 @@ def apply_mrope(
     inv_freq: jnp.ndarray,
     mrope_section: tuple[int, ...],  # half-dim split (t, h, w)
     mscale: float = 1.0,
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Multimodal rotary (MRoPE; reference: rotary_embedding.py
     MRotaryEmbedding, Qwen2-VL family): each half-dim frequency band
@@ -190,9 +191,16 @@ def apply_mrope(
     def rotate(x: jnp.ndarray) -> jnp.ndarray:
         x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
         xf = x_rot.astype(jnp.float32)
-        x1, x2 = jnp.split(xf, 2, axis=-1)
-        out = jnp.concatenate(
-            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        if interleaved:
+            # GLM-4V: pairs (2i, 2i+1) share angle i
+            # (modeling_glm4v.py apply_multimodal_rotary_pos_emb)
+            x1, x2 = xf[..., 0::2], xf[..., 1::2]
+            out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                            axis=-1).reshape(xf.shape)
+        else:
+            x1, x2 = jnp.split(xf, 2, axis=-1)
+            out = jnp.concatenate(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
         out = out.astype(x.dtype)
         if x_pass.shape[-1]:
             out = jnp.concatenate([out, x_pass], axis=-1)
