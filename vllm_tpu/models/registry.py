@@ -20,6 +20,10 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
     "Qwen3ForCausalLM": ("vllm_tpu.models.llama", "Qwen3ForCausalLM"),
     "Gemma2ForCausalLM": ("vllm_tpu.models.gemma", "Gemma2ForCausalLM"),
     "Gemma3ForCausalLM": ("vllm_tpu.models.gemma", "Gemma3ForCausalLM"),
+    "Gemma3nForCausalLM": ("vllm_tpu.models.gemma3n",
+                           "Gemma3nForCausalLM"),
+    "Gemma3nForConditionalGeneration": (
+        "vllm_tpu.models.gemma3n", "Gemma3nForConditionalGeneration"),
     "GemmaForCausalLM": ("vllm_tpu.models.gemma", "GemmaForCausalLM"),
     "OPTForCausalLM": ("vllm_tpu.models.opt", "OPTForCausalLM"),
     "GPT2LMHeadModel": ("vllm_tpu.models.gpt2", "GPT2LMHeadModel"),
@@ -342,6 +346,8 @@ _MODEL_TYPE_ARCH = {
     "gemma": "GemmaForCausalLM",
     "gemma2": "Gemma2ForCausalLM",
     "gemma3_text": "Gemma3ForCausalLM",
+    "gemma3n": "Gemma3nForConditionalGeneration",
+    "gemma3n_text": "Gemma3nForCausalLM",
     "cohere": "CohereForCausalLM",
     "cohere2": "Cohere2ForCausalLM",
     "phi3": "Phi3ForCausalLM",
