@@ -758,3 +758,60 @@ class InternLM2ForRewardModel(InternLM2ForCausalLM):
             "v_head.weight", np.zeros((1, H), np.float32)).T.astype(
                 params["final_ln"].dtype)
         return params
+
+
+class Fairseq2LlamaForCausalLM(LlamaForCausalLM):
+    """Llama weights in fairseq2 serialization (reference:
+    models/fairseq2_llama.py): a ``model.pt`` whose state dict is
+    wrapped as {"model_key": name, name: state_dict}, fairseq2 module
+    names, and q/k projections stored in interleaved rotary layout
+    (permuted here to neox, fairseq2_llama.py:108)."""
+
+    _FS2_PREFIX = {
+        "decoder_frontend.embed.": "model.embed_tokens.",
+        "decoder.": "model.",
+        "final_proj.": "lm_head.",
+    }
+    _FS2_SUBSTR = {
+        ".self_attn_layer_norm.": ".input_layernorm.",
+        ".ffn_layer_norm.": ".post_attention_layernorm.",
+        ".self_attn.output_proj.": ".self_attn.o_proj.",
+        ".ffn.gate_proj.": ".mlp.gate_proj.",
+        ".ffn.inner_proj.": ".mlp.up_proj.",
+        ".ffn.output_proj.": ".mlp.down_proj.",
+        ".layer_norm.": ".norm.",
+    }
+
+    def load_weights(self, weights_iter) -> dict:
+        a = self.args
+
+        def permute(w: np.ndarray, n_heads: int) -> np.ndarray:
+            # interleaved rotary -> neox half-split layout
+            attn_in = a.head_dim * n_heads
+            attn_out = w.shape[-1]
+            return w.reshape(n_heads, attn_in // n_heads // 2, 2,
+                             attn_out).transpose(0, 2, 1, 3).reshape(
+                                 attn_in, attn_out)
+
+        blob = dict(weights_iter)
+        if "model_key" in blob:  # fairseq2 wrapper
+            blob = dict(blob[str(blob["model_key"])])
+
+        def remap():
+            for name, w in blob.items():
+                if not hasattr(w, "shape"):
+                    continue
+                for old, new in self._FS2_PREFIX.items():
+                    if name.startswith(old):
+                        name = new + name[len(old):]
+                        break
+                for old, new in self._FS2_SUBSTR.items():
+                    name = name.replace(old, new)
+                w = np.asarray(w)
+                if name.endswith("q_proj.weight"):
+                    w = permute(w, a.num_heads)
+                elif name.endswith("k_proj.weight"):
+                    w = permute(w, a.num_kv_heads)
+                yield name, w
+
+        return super().load_weights(remap())

@@ -120,6 +120,8 @@ _TEXT_GENERATION_MODELS: dict[str, tuple[str, str]] = {
                                         "ChatGLMForCausalLM"),
     "Olmo2ForCausalLM": ("vllm_tpu.models.llama_variants",
                          "Olmo2ForCausalLM"),
+    "Fairseq2LlamaForCausalLM": ("vllm_tpu.models.llama_variants",
+                                 "Fairseq2LlamaForCausalLM"),
     "Ernie4_5ForCausalLM": ("vllm_tpu.models.llama_variants",
                             "Ernie4_5ForCausalLM"),
     "SmolLM3ForCausalLM": ("vllm_tpu.models.llama_variants",

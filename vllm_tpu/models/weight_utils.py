@@ -57,8 +57,13 @@ def torch_bin_weights_iterator(
     for fname in files:
         state = torch.load(os.path.join(model_dir, fname),
                            map_location="cpu", weights_only=True)
+        if "model_key" in state:
+            # fairseq2 wrapper: {"model_key": name, name: state_dict}
+            # (reference: models/fairseq2_llama.py:52)
+            state = state[state["model_key"]]
         for name, t in state.items():
-            yield name, _bf16_from_torch(t)
+            if hasattr(t, "dtype"):
+                yield name, _bf16_from_torch(t)
 
 
 def weights_iterator(model_dir: str) -> Iterator[tuple[str, np.ndarray]]:
